@@ -1,0 +1,384 @@
+"""Arrow-aware column codec layer: pyarrow.Array ↔ EncodedColumn.
+
+This is the analog of the reference's page assembly/deserialize dispatch
+(/root/reference/src/deserialize/native.rs:54-99 — encoding × dict ×
+optional dispatch): a registry of named codecs, each a pair of
+vectorized encode/decode functions over Arrow buffers.
+
+Null handling mirrors parquet's def-level design
+(/root/reference/src/page/mod.rs:352-431 — [levels][values]): the
+payload frames an optional validity bitmap (LSB-first, the Arrow layout
+— SURVEY.md E5 "zero-copy pass-through") followed by the encoded
+NON-NULL values only.
+
+Payload frame:
+
+    uleb(num_rows) uleb(null_count)
+    [validity bitmap ceil8(num_rows) bytes, present iff null_count > 0]
+    encoded non-null values
+
+List columns are composite: uleb-framed (offsets payload, child
+payload); offsets are encoded as lengths via DELTA_BINARY_PACKED (Arrow
+list offsets ↔ Dremel rep/def levels, SURVEY.md §1 mapping).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import byte_array, delta, dictionary, for_pack, fsst, hybrid_rle, plain
+from .bitpack import bits_needed
+from .uleb import uleb_decode, uleb_encode, zz_uleb_decode, zz_uleb_encode
+
+__all__ = [
+    "EncodedColumn",
+    "encode_array",
+    "decode_array",
+    "NUMERIC_CODECS",
+    "BINARY_CODECS",
+    "codecs_for_type",
+]
+
+
+# ---------------------------------------------------------------------------
+# arrow type (de)serialization — the limited grammar we support
+
+_SIMPLE_TYPES = {
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "date32[day]": pa.date32(),
+    "timestamp[s]": pa.timestamp("s"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("ns"),
+}
+
+
+def type_to_str(t: pa.DataType) -> str:
+    s = str(t)
+    if s in _SIMPLE_TYPES:
+        return s
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_to_str(t.value_type)}>"
+    raise TypeError(f"unsupported arrow type: {t}")
+
+
+def str_to_type(s: str) -> pa.DataType:
+    if s in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[s]
+    if s.startswith("list<") and s.endswith(">"):
+        return pa.list_(str_to_type(s[5:-1]))
+    raise TypeError(f"unsupported arrow type string: {s}")
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EncodedColumn:
+    """One encoded column of one partition (≈ a parquet column chunk)."""
+
+    name: str
+    codec: str
+    arrow_type: str
+    num_values: int
+    payload: bytes
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def encoded_bytes(self) -> int:
+        return len(self.payload)
+
+
+# numeric value codecs: np int/float array (non-null) -> bytes
+def _enc_rle(v: np.ndarray) -> bytes:
+    ref = int(v.min()) if len(v) else 0
+    residual = (v.astype(np.int64) - ref).astype(np.uint64)
+    nb = bits_needed(int(residual.max())) if len(v) else 0
+    out = bytearray(zz_uleb_encode(ref))
+    out += uleb_encode(nb)
+    out += uleb_encode(len(v))
+    out += hybrid_rle.encode(residual, nb)
+    return bytes(out)
+
+
+def _dec_rle(buf: bytes) -> np.ndarray:
+    ref, pos = zz_uleb_decode(buf, 0)
+    nb, pos = uleb_decode(buf, pos)
+    n, pos = uleb_decode(buf, pos)
+    residual = hybrid_rle.decode(buf[pos:], nb, n)
+    return residual.view(np.int64) + ref
+
+
+_NUMERIC_ENC = {
+    "plain": plain.encode,
+    "for_bitpack": for_pack.encode,
+    "delta_binary_packed": lambda v: delta.encode(v),
+    "dict_rle": lambda v: dictionary.encode_int(v),
+    "rle": _enc_rle,
+}
+
+NUMERIC_CODECS = set(_NUMERIC_ENC)
+FLOAT_CODECS = {"plain"}
+
+# binary value codecs: (offsets:int64, data:uint8) -> bytes
+_FSST_SAMPLE = 1 << 16
+
+
+def _enc_fsst(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    raw = data.tobytes()
+    table = fsst.train(raw[:_FSST_SAMPLE])
+    out = bytearray(uleb_encode(len(offsets) - 1))
+    lens_enc = delta.encode(np.diff(offsets))
+    out += uleb_encode(len(lens_enc))
+    out += lens_enc
+    out += fsst.encode(table, raw)
+    return bytes(out)
+
+
+def _dec_fsst(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    n, pos = uleb_decode(buf, 0)
+    lens_len, pos = uleb_decode(buf, pos)
+    lens, _ = delta.decode(buf[pos : pos + lens_len])
+    pos += lens_len
+    raw = fsst.decode(buf[pos:])
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum(lens, out=offsets[1:])
+    return offsets, np.frombuffer(raw, dtype=np.uint8)
+
+
+_BINARY_ENC = {
+    "plain_byte_array": byte_array.plain_encode,
+    "delta_length_byte_array": byte_array.delta_length_encode,
+    "delta_byte_array": byte_array.delta_ba_encode,
+    "dict_binary": dictionary.encode_binary,
+    "fsst": _enc_fsst,
+}
+
+BINARY_CODECS = set(_BINARY_ENC)
+
+
+def codecs_for_type(t: pa.DataType) -> set[str]:
+    if pa.types.is_floating(t):
+        return set(FLOAT_CODECS)
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
+        return set(NUMERIC_CODECS)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return set(BINARY_CODECS)
+    if pa.types.is_boolean(t):
+        return {"bitmap"}
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return {"list"}
+    raise TypeError(f"no codecs for arrow type {t}")
+
+
+# ---------------------------------------------------------------------------
+# value extraction (vectorized, via Arrow kernels)
+
+
+def _numeric_np(arr: pa.Array) -> np.ndarray:
+    """Non-null values of a numeric/temporal array as a numpy array."""
+    t = arr.type
+    if pa.types.is_temporal(t):
+        if pa.types.is_date32(t):
+            arr = arr.cast(pa.int32())
+        else:
+            arr = arr.cast(pa.int64())
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _binary_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null (offsets, data) of a string/binary array."""
+    arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    data = data[offsets[0] : offsets[-1]]
+    return offsets - offsets[0], data
+
+
+def _ceil8(v: int) -> int:
+    return (v + 7) // 8
+
+
+# ---------------------------------------------------------------------------
+
+
+def encode_array(name: str, arr: pa.Array | pa.ChunkedArray, codec: str) -> EncodedColumn:
+    """Encode one column with the named codec. Nulls → validity frame."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if codec not in codecs_for_type(t):  # raises TypeError for unsupported t
+        raise ValueError(f"codec {codec!r} does not support arrow type {t}")
+    n = len(arr)
+    null_count = arr.null_count
+    head = bytearray(uleb_encode(n))
+    head += uleb_encode(null_count)
+    if null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        head += np.packbits(valid, bitorder="little").tobytes()
+        dense = arr.drop_null()
+    else:
+        dense = arr
+
+    if codec == "list":
+        child_codec_name = None
+        # offsets → lengths → DELTA_BINARY_PACKED; child encoded recursively
+        la = dense.cast(pa.large_list(dense.type.value_type)) if not pa.types.is_large_list(dense.type) else dense
+        bufs = la.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[la.offset : la.offset + len(la) + 1]
+        lens = np.diff(offs)
+        child = la.values[offs[0] : offs[-1]] if len(offs) else la.values[:0]
+        from ..functions.selector import select_codec  # late import, no cycle at module load
+
+        child_codec_name = select_codec(child)
+        child_col = encode_array("values", child, child_codec_name)
+        lens_enc = delta.encode(lens)
+        body = bytearray(uleb_encode(len(lens_enc)))
+        body += lens_enc
+        body += uleb_encode(len(child_col.payload))
+        body += child_col.payload
+        return EncodedColumn(
+            name=name,
+            codec="list",
+            arrow_type=type_to_str(t),
+            num_values=n,
+            payload=bytes(head) + bytes(body),
+            meta={"child_codec": child_codec_name, "child_type": type_to_str(child.type)},
+        )
+
+    if codec == "bitmap":
+        vals = dense.to_numpy(zero_copy_only=False).astype(bool)
+        body = uleb_encode(len(vals)) + np.packbits(vals, bitorder="little").tobytes()
+    elif codec in _NUMERIC_ENC:
+        v = _numeric_np(dense)
+        body = _NUMERIC_ENC[codec](v)
+    elif codec in _BINARY_ENC:
+        offsets, data = _binary_np(dense)
+        body = _BINARY_ENC[codec](offsets, data)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    return EncodedColumn(
+        name=name,
+        codec=codec,
+        arrow_type=type_to_str(t),
+        num_values=n,
+        payload=bytes(head) + body,
+        meta={},
+    )
+
+
+def _scatter_validity(values: pa.Array, valid: np.ndarray) -> pa.Array:
+    """Rebuild a nullable array from dense non-null values + validity mask.
+
+    A single ``take`` with null indices: a null index yields a null
+    output slot — works uniformly for primitives, strings and lists.
+    """
+    if len(values) == 0:
+        return pa.nulls(len(valid), type=values.type)
+    idx = np.cumsum(valid) - 1
+    idx[~valid] = 0
+    return values.take(pa.array(idx, type=pa.int64(), mask=~valid))
+
+
+def decode_array(col: EncodedColumn) -> pa.Array:
+    """Decode an EncodedColumn back to a pyarrow array (bit-identical)."""
+    t = str_to_type(col.arrow_type)
+    buf = col.payload
+    n, pos = uleb_decode(buf, 0)
+    null_count, pos = uleb_decode(buf, pos)
+    valid = None
+    if null_count:
+        vb = np.frombuffer(buf, dtype=np.uint8, count=_ceil8(n), offset=pos)
+        pos += _ceil8(n)
+        valid = np.unpackbits(vb, bitorder="little", count=n).astype(bool)
+    body = buf[pos:]
+    n_dense = n - null_count
+
+    if col.codec == "list":
+        p, q = uleb_decode(body, 0)
+        lens, _ = delta.decode(body[q : q + p])
+        q += p
+        clen, q = uleb_decode(body, q)
+        child_col = EncodedColumn(
+            name="values",
+            codec=col.meta["child_codec"],
+            arrow_type=col.meta["child_type"],
+            num_values=0,
+            payload=body[q : q + clen],
+        )
+        child = decode_array(child_col)
+        offsets = np.zeros(n_dense + 1, dtype=np.int64)
+        if n_dense:
+            np.cumsum(lens, out=offsets[1:])
+        dense = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child)
+        dense = dense.cast(t)
+    elif col.codec == "bitmap":
+        m, q = uleb_decode(body, 0)
+        bits = np.frombuffer(body, dtype=np.uint8, count=_ceil8(m), offset=q)
+        dense = pa.array(np.unpackbits(bits, bitorder="little", count=m).astype(bool))
+    elif col.codec in _NUMERIC_ENC:
+        if col.codec == "plain":
+            np_dtype = {
+                "int32": "int32", "int64": "int64", "float": "float32",
+                "double": "float64", "uint32": "uint32", "uint64": "uint64",
+            }.get(col.arrow_type)
+            if np_dtype is None:  # temporal stored as int64 (date32 as int32)
+                np_dtype = "int32" if col.arrow_type == "date32[day]" else "int64"
+            v = plain.decode(body, np_dtype, n_dense)
+        elif col.codec == "for_bitpack":
+            v = for_pack.decode(body)
+        elif col.codec == "delta_binary_packed":
+            v, _ = delta.decode(body)
+        elif col.codec == "dict_rle":
+            v = dictionary.decode_int(body)
+        else:
+            v = _dec_rle(body)
+        storage = _storage_type(t)
+        dense = pa.array(np.asarray(v).astype(storage.to_pandas_dtype(), copy=False), type=storage).cast(t)
+    elif col.codec in _BINARY_ENC:
+        if col.codec == "plain_byte_array":
+            offsets, data = byte_array.plain_decode(body, n_dense)
+        elif col.codec == "delta_length_byte_array":
+            offsets, data = byte_array.delta_length_decode(body, n_dense)
+        elif col.codec == "delta_byte_array":
+            offsets, data = byte_array.delta_ba_decode(body, n_dense)
+        elif col.codec == "dict_binary":
+            offsets, data = dictionary.decode_binary(body)
+        else:
+            offsets, data = _dec_fsst(body)
+        dense = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n_dense,
+            [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(data.tobytes())],
+        ).cast(t)
+    else:
+        raise ValueError(f"unknown codec {col.codec!r}")
+
+    if valid is None:
+        return dense
+    return _scatter_validity(dense, valid).cast(t)
+
+
+def _storage_type(t: pa.DataType) -> pa.DataType:
+    if pa.types.is_temporal(t):
+        return pa.int32() if pa.types.is_date32(t) else pa.int64()
+    return t

@@ -1,0 +1,103 @@
+"""Per-partition codec auto-selection.
+
+The north rule requires a selector that "samples value distributions
+(cardinality, run-length histograms, value ranges) before committing an
+encoding". Rather than hand-tuned thresholds, the selector *encodes a
+deterministic contiguous sample with every candidate codec* and commits
+to the smallest output (ties broken by a fixed priority order). This is
+exact on the sample, fully deterministic given the partition content
+(so Ray task retries re-derive the same choice — SURVEY.md §4
+"deterministic retries"), and cheap: candidates are vectorized kernels
+over ≤ ``SAMPLE_VALUES`` values.
+
+The sample is CONTIGUOUS (two windows: head + middle), not strided —
+strided sampling would destroy exactly the run/delta structure the
+RLE and DELTA_BINARY_PACKED candidates exploit.
+
+The ``bit_width ≤ 32`` dictionary constraint mirrors
+/root/reference/src/deserialize/utils.rs:19-23.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import column as col_mod
+from ..codecs.fsst import train as fsst_train, encode as fsst_encode
+
+__all__ = ["select_codec", "candidate_sizes", "SAMPLE_VALUES"]
+
+SAMPLE_VALUES = 4096
+_FSST_SAMPLE_BYTES = 4096
+
+# fixed tie-break priority: cheaper/simpler decode first
+_PRIORITY = [
+    "plain",
+    "bitmap",
+    "for_bitpack",
+    "rle",
+    "delta_binary_packed",
+    "dict_rle",
+    "plain_byte_array",
+    "delta_length_byte_array",
+    "delta_byte_array",
+    "dict_binary",
+    "fsst",
+    "list",
+]
+_PRIO = {c: i for i, c in enumerate(_PRIORITY)}
+
+
+def _sample(arr: pa.Array) -> pa.Array:
+    n = len(arr)
+    if n <= SAMPLE_VALUES:
+        return arr
+    half = SAMPLE_VALUES // 2
+    mid = n // 2
+    return pa.concat_arrays([arr[:half], arr[mid : mid + half]])
+
+
+def candidate_sizes(arr: pa.Array | pa.ChunkedArray) -> dict[str, int]:
+    """Encoded size of a deterministic sample under each candidate codec."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    candidates = col_mod.codecs_for_type(t)
+    if candidates == {"list"}:
+        return {"list": 0}
+    s = _sample(arr)
+    sizes: dict[str, int] = {}
+    for c in sorted(candidates):
+        if c == "fsst":
+            # FSST's python-loop encode is priced on a smaller slice
+            sizes[c] = _fsst_sample_size(s)
+            continue
+        try:
+            sizes[c] = len(col_mod.encode_array("s", s, c).payload)
+        except (ValueError, TypeError, OverflowError):
+            continue
+    return sizes
+
+
+def _fsst_sample_size(s: pa.Array) -> int:
+    offsets, data = col_mod._binary_np(s.drop_null() if s.null_count else s)
+    raw = data.tobytes()[:_FSST_SAMPLE_BYTES]
+    if not raw:
+        return 1 << 30
+    table = fsst_train(raw[:2048], iterations=2)
+    enc = fsst_encode(table, raw)
+    # scale the measured ratio to the full sample's data size
+    scale = max(int(offsets[-1]), 1) / len(raw)
+    return int(len(enc) * scale) + 8 * (len(offsets) - 1) // 8
+
+
+def select_codec(arr: pa.Array | pa.ChunkedArray) -> str:
+    """Pick the codec with the smallest sampled encoded size."""
+    t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    sizes = candidate_sizes(arr)
+    if not sizes:
+        raise TypeError(f"no viable codec for type {t}")
+    return min(sizes.items(), key=lambda kv: (kv[1], _PRIO.get(kv[0], 99)))[0]

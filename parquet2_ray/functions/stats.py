@@ -1,0 +1,88 @@
+"""Per-column statistics: batch-level build + partial→final reduce.
+
+The reference builds min/max/null_count per page and folds them across
+pages into chunk statistics with ``reduce``
+(/root/reference/src/write/statistics.rs:28-79): min of mins, max of
+maxs, sum of null_counts, and distinct_count dropped because it is not
+mergeable. ``fold_profiles`` reproduces exactly those semantics; string
+min/max compare bytewise-unsigned like the reference's ``ord_binary``
+(/root/reference/src/types.rs:116-132) — which is what
+``pyarrow.compute.min_max`` does on binary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["column_profile", "fold_profiles", "int_shape_stats"]
+
+
+def _scalar(v):
+    if v is None:
+        return None
+    v = v.as_py() if isinstance(v, pa.Scalar) else v
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "surrogateescape")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, float):
+        return v
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+
+def column_profile(name: str, arr: pa.Array | pa.ChunkedArray) -> dict:
+    """min / max / null_count / n for one column (one batch or partition)."""
+    n = len(arr)
+    null_count = arr.null_count
+    prof = {"column": name, "n_values": n, "null_count": null_count,
+            "min": None, "max": None}
+    t = arr.type
+    if n - null_count > 0 and not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        mm = pc.min_max(arr)
+        prof["min"] = _scalar(mm["min"])
+        prof["max"] = _scalar(mm["max"])
+    return prof
+
+
+def fold_profiles(profiles: list[dict]) -> dict:
+    """Partial→final reduce (statistics.rs:28-79 semantics)."""
+    if not profiles:
+        return {}
+    out = dict(profiles[0])
+    for p in profiles[1:]:
+        if p["column"] != out["column"]:
+            raise ValueError("fold_profiles: mixed columns")
+        out["n_values"] += p["n_values"]
+        out["null_count"] += p["null_count"]
+        for key, op in (("min", min), ("max", max)):
+            a, b = out[key], p[key]
+            out[key] = b if a is None else a if b is None else op(a, b)
+    return out
+
+
+def int_shape_stats(v: np.ndarray) -> dict:
+    """Distribution-shape probe for the codec selector (north rule:
+    cardinality, run-length histogram, value range). Vectorized."""
+    n = len(v)
+    if n == 0:
+        return {"n": 0, "min": 0, "max": 0, "range_bits": 0,
+                "n_runs": 0, "mean_run": 0.0, "sorted_frac": 1.0,
+                "distinct": 0}
+    v64 = v.astype(np.int64, copy=False)
+    vmin, vmax = int(v64.min()), int(v64.max())
+    d = np.diff(v64)
+    n_runs = 1 + int(np.count_nonzero(d))
+    return {
+        "n": n,
+        "min": vmin,
+        "max": vmax,
+        "range_bits": int(vmax - vmin).bit_length(),
+        "n_runs": n_runs,
+        "mean_run": n / n_runs,
+        "sorted_frac": float(np.mean(d >= 0)) if len(d) else 1.0,
+        "distinct": int(len(np.unique(v64))),
+    }

@@ -1,0 +1,312 @@
+"""Codec kernel tests — roundtrips + golden vectors from the reference.
+
+Golden byte strings are taken from the reference's inline tests (cited
+per case) so our wire format is independently validated, exactly as the
+reference validated against pyarrow/spark dumps (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parquet2_ray.codecs import (
+    bitpack,
+    byte_array,
+    delta,
+    dictionary,
+    for_pack,
+    fsst,
+    hybrid_rle,
+    plain,
+    uleb,
+)
+
+
+# ---------------------------------------------------------------- uleb/zigzag
+def test_uleb_golden():
+    # /root/reference/src/encoding/uleb128.rs:47-97 — 624485 → [0xE5,0x8E,0x26]
+    assert uleb.uleb_encode(624485) == bytes([0xE5, 0x8E, 0x26])
+    assert uleb.uleb_decode(bytes([0xE5, 0x8E, 0x26])) == (624485, 3)
+
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 255, 2**32, 2**64 - 1])
+def test_uleb_roundtrip(v):
+    assert uleb.uleb_decode(uleb.uleb_encode(v))[0] == v
+
+
+@pytest.mark.parametrize("v", [0, -1, 1, -2, 2, 2**62, -(2**62), 2**63 - 1, -(2**63)])
+def test_zigzag_roundtrip(v):
+    assert uleb.zigzag_decode(uleb.zigzag_encode(v)) == v
+
+
+def test_zigzag_mapping():
+    # 0,-1,1,-2 → 0,1,2,3
+    assert [uleb.zigzag_encode(v) for v in [0, -1, 1, -2]] == [0, 1, 2, 3]
+
+
+# ------------------------------------------------------------------- bitpack
+def test_bitpack_golden_3bits():
+    # /root/reference/src/encoding/bitpacked/mod.rs:172-219:
+    # 0..8 at 3 bits → [0b10001000, 0b11000110, 0b11111010]
+    out = bitpack.pack(np.arange(8, dtype=np.uint64), 3)
+    assert out == bytes([0b10001000, 0b11000110, 0b11111010])
+    back = bitpack.unpack(out, 3, 8)
+    assert back.tolist() == list(range(8))
+
+
+@pytest.mark.parametrize("num_bits", [1, 2, 3, 5, 7, 8, 13, 17, 31, 32, 47, 64])
+@pytest.mark.parametrize("n", [1, 7, 8, 31, 32, 33, 1000])
+def test_bitpack_roundtrip(num_bits, n, rng):
+    hi = (1 << num_bits) - 1
+    v = rng.integers(0, hi + 1 if hi < 2**63 else 2**63, n).astype(np.uint64)
+    if num_bits == 64:
+        v[0] = 2**64 - 1
+    out = bitpack.pack(v, num_bits)
+    assert bitpack.unpack(out, num_bits, n).tolist() == v.tolist()
+
+
+def test_bitpack_truncates_wide_values():
+    out = bitpack.pack(np.array([0b1111], dtype=np.uint64), 2)
+    assert bitpack.unpack(out, 2, 1)[0] == 0b11
+
+
+def test_bitpack_errors():
+    # /root/reference/src/encoding/bitpacked/decode.rs:199-211 error table
+    assert bitpack.unpack(b"", 1, 0).size == 0
+    with pytest.raises(ValueError):
+        bitpack.unpack(b"", 1, 8)
+    with pytest.raises(ValueError):
+        bitpack.unpack(b"\xff", 0, 8)
+
+
+# ---------------------------------------------------------------- hybrid RLE
+def test_hybrid_rle_bitpacked_roundtrip():
+    # mirrors /root/reference/src/encoding/hybrid_rle/mod.rs:140-221
+    # (0..1000) % 512 at 10 bits — pure bitpacked arm
+    v = (np.arange(1000) % 512).astype(np.uint64)
+    out = hybrid_rle.encode(v, 10)
+    assert hybrid_rle.decode(out, 10, 1000).tolist() == v.tolist()
+
+
+def test_hybrid_rle_run_arm():
+    # long runs → RLE arm must be emitted and decode correctly
+    v = np.concatenate(
+        [np.full(100, 7), np.arange(13), np.full(50, 3), np.arange(5)]
+    ).astype(np.uint64)
+    out = hybrid_rle.encode(v, 5)
+    assert hybrid_rle.decode(out, 5, len(v)).tolist() == v.tolist()
+    # pure bitpacked encoding of the same data is larger
+    pure = bytearray()
+    pure += uleb.uleb_encode(((len(v) + 7) // 8 << 1) | 1)
+    assert len(out) < len(pure) + (len(v) * 5 + 7) // 8
+
+
+def test_hybrid_rle_decode_reference_run_semantics():
+    # RLE run: header = run_len << 1, value in ceil8(bits) bytes
+    # (/root/reference/src/encoding/hybrid_rle/decoder.rs:48-63)
+    buf = uleb.uleb_encode(10 << 1) + bytes([9])  # 10 × value 9 at ≤8 bits
+    assert hybrid_rle.decode(buf, 4, 10).tolist() == [9] * 10
+
+
+def test_hybrid_rle_empty_and_zero_bits():
+    # /root/reference/src/encoding/hybrid_rle/mod.rs:238-263
+    assert hybrid_rle.decode(b"", 1, 5).tolist() == [0] * 5  # empty → zeros
+    assert hybrid_rle.decode(b"", 0, 4).tolist() == [0] * 4  # 0 bits → zeros
+    assert hybrid_rle.encode(np.zeros(8, dtype=np.uint64), 0) == b""
+
+
+def test_hybrid_rle_single_value():
+    v = np.array([3], dtype=np.uint64)
+    out = hybrid_rle.encode(v, 2)
+    assert hybrid_rle.decode(out, 2, 1).tolist() == [3]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hybrid_rle_mixed_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    parts = []
+    for _ in range(30):
+        if rng.random() < 0.5:
+            parts.append(np.full(int(rng.integers(1, 200)), int(rng.integers(0, 100))))
+        else:
+            parts.append(rng.integers(0, 100, int(rng.integers(1, 50))))
+    v = np.concatenate(parts).astype(np.uint64)
+    out = hybrid_rle.encode(v, 7)
+    assert hybrid_rle.decode(out, 7, len(v)).tolist() == v.tolist()
+
+
+# ---------------------------------------------------- DELTA_BINARY_PACKED
+def test_delta_golden():
+    # /root/reference/src/encoding/delta_bitpacked/encoder.rs:84-99:
+    # [1,2,3,4,5] → [128,1, 1, 5, 2, 2, 0]
+    out = delta.encode(np.array([1, 2, 3, 4, 5]))
+    assert out == bytes([128, 1, 1, 5, 2, 2, 0])
+    vals, consumed = delta.decode(out)
+    assert vals.tolist() == [1, 2, 3, 4, 5]
+    assert consumed == 7
+
+
+def test_delta_negative_min_delta():
+    # /root/reference/src/encoding/delta_bitpacked/encoder.rs:101-125
+    v = [1, 2, 3, 4, -1, -2, -3, -4, -5]
+    out = delta.encode(np.array(v))
+    vals, _ = delta.decode(out)
+    assert vals.tolist() == v
+
+
+@pytest.mark.parametrize(
+    "v",
+    [
+        [],
+        [0],
+        [7],
+        [-100],
+        list(range(1000)),
+        list(range(1000, 0, -1)),
+        [2**62, -(2**62), 0, 2**63 - 1, -(2**63)],
+    ],
+)
+def test_delta_roundtrip(v):
+    out = delta.encode(np.array(v, dtype=np.int64))
+    vals, _ = delta.decode(out)
+    assert vals.tolist() == v
+
+
+def test_delta_roundtrip_random(rng):
+    v = rng.integers(-(2**40), 2**40, 10_000)
+    vals, _ = delta.decode(delta.encode(v))
+    assert vals.tolist() == v.tolist()
+
+
+# ------------------------------------------------------------- byte arrays
+def _od(strings: list[bytes]):
+    offsets = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offsets[1:])
+    data = np.frombuffer(b"".join(strings), dtype=np.uint8)
+    return offsets, data
+
+
+def _strings(offsets, data):
+    b = data.tobytes()
+    return [b[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+
+
+def test_delta_length_golden():
+    # reference encoder uses miniblocks=1
+    # (/root/reference/src/encoding/delta_bitpacked/encoder.rs:13):
+    # lengths [5,5] → header [128,1,1,2,10] + block [0,0], then raw bytes
+    o, d = _od([b"Hello", b"World"])
+    out = byte_array.delta_length_encode(o, d)
+    assert out == bytes([128, 1, 1, 2, 10, 0, 0]) + b"HelloWorld"
+    oo, dd = byte_array.delta_length_decode(out, 2)
+    assert _strings(oo, dd) == [b"Hello", b"World"]
+
+
+def test_delta_length_decode_4_miniblock_layout():
+    # parquet-format doc example for DELTA_LENGTH_BYTE_ARRAY uses 4
+    # miniblocks per block — our decoder must read that layout too
+    buf = bytes([128, 1, 4, 2, 10, 0, 0, 0, 0, 0]) + b"HelloWorld"
+    oo, dd = byte_array.delta_length_decode(buf, 2)
+    assert _strings(oo, dd) == [b"Hello", b"World"]
+
+
+@pytest.mark.parametrize("codec", ["plain", "delta_length", "delta_ba"])
+@pytest.mark.parametrize(
+    "strings",
+    [
+        [],
+        [b""],
+        [b"", b"", b""],
+        [b"a"],
+        [b"Hello", b"World"],
+        [b"Hello", b"Helicopter", b"Help", b"Hels", b"Hels"],
+        [f"web/{i:04d}/doc-{i:08d}".encode() for i in range(500)],
+        [b"\x00\x01", b"\x00\x01\x02", b"\xff" * 40],
+    ],
+)
+def test_byte_array_roundtrips(codec, strings):
+    o, d = _od(strings)
+    if codec == "plain":
+        out = byte_array.plain_encode(o, d)
+        oo, dd = byte_array.plain_decode(out, len(strings))
+    elif codec == "delta_length":
+        out = byte_array.delta_length_encode(o, d)
+        oo, dd = byte_array.delta_length_decode(out, len(strings))
+    else:
+        out = byte_array.delta_ba_encode(o, d)
+        oo, dd = byte_array.delta_ba_decode(out, len(strings))
+    assert _strings(oo, dd) == strings
+
+
+def test_delta_ba_prefix_compression_wins_on_sorted_keys():
+    strings = [f"source/shard/doc-{i:08d}".encode() for i in range(1000)]
+    o, d = _od(strings)
+    dba = byte_array.delta_ba_encode(o, d)
+    dl = byte_array.delta_length_encode(o, d)
+    assert len(dba) < len(dl) / 2  # front coding strips the shared prefixes
+
+
+# ------------------------------------------------------------- dictionary
+def test_dictionary_int_roundtrip(rng):
+    v = rng.choice([3, 17, 99, -5, 2**40], 5000)
+    out = dictionary.encode_int(v)
+    assert dictionary.decode_int(out).tolist() == v.tolist()
+    assert len(out) < 5000  # low cardinality → far below 8B/value
+
+
+def test_dictionary_binary_roundtrip(rng):
+    pool = [b"web", b"code", b"books", b"wiki"]
+    strings = [pool[i] for i in rng.integers(0, 4, 3000)]
+    o, d = _od(strings)
+    out = dictionary.encode_binary(o, d)
+    oo, dd = dictionary.decode_binary(out)
+    assert _strings(oo, dd) == strings
+    assert len(out) < sum(map(len, strings)) // 4
+
+
+# ---------------------------------------------------------------- for_pack
+@pytest.mark.parametrize(
+    "v",
+    [
+        [],
+        [42],
+        [100, 101, 356, 200],
+        [-50, -20, -50],
+        [7] * 100,
+        list(range(-1000, 1000)),
+    ],
+)
+def test_for_pack_roundtrip(v):
+    out = for_pack.encode(np.array(v, dtype=np.int64))
+    assert for_pack.decode(out).tolist() == v
+
+
+def test_for_pack_narrow_range_is_small(rng):
+    v = rng.integers(100, 357, 10_000)  # 257 distinct → 9 bits
+    out = for_pack.encode(v)
+    assert len(out) < 10_000 * 9 / 8 + 64
+
+
+# -------------------------------------------------------------------- plain
+def test_plain_roundtrip(rng):
+    for dt in ["int32", "int64", "float32", "float64"]:
+        v = rng.integers(-1000, 1000, 100).astype(dt)
+        out = plain.encode(v)
+        assert plain.decode(out, dt if dt in ("int32", "int64") else {"float32": "float32", "float64": "float64"}[dt], 100).tolist() == v.tolist()
+
+
+# --------------------------------------------------------------------- fsst
+def test_fsst_roundtrip():
+    data = (b"http://example.com/page/" * 50) + b"tail-bytes\x00\xff"
+    table = fsst.train(data)
+    out = fsst.encode(table, data)
+    assert fsst.decode(out) == data
+    assert len(out) < len(data)  # repetitive input must compress
+
+
+def test_fsst_empty_and_incompressible(rng):
+    assert fsst.decode(fsst.encode(fsst.train(b""), b"")) == b""
+    noise = rng.integers(0, 256, 2000).astype(np.uint8).tobytes()
+    table = fsst.train(noise)
+    assert fsst.decode(fsst.encode(table, noise)) == noise

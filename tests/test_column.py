@@ -1,0 +1,166 @@
+"""Column-layer tests: pyarrow.Array ↔ EncodedColumn, codec selection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet2_ray.codecs import column as col
+from parquet2_ray.functions.selector import candidate_sizes, select_codec
+
+
+def _roundtrip(arr: pa.Array, codec: str) -> pa.Array:
+    enc = col.encode_array("c", arr, codec)
+    out = col.decode_array(enc)
+    assert out.type == arr.type
+    assert out.equals(arr), f"{codec} roundtrip mismatch"
+    return out
+
+
+INT_CODECS = ["plain", "for_bitpack", "delta_binary_packed", "dict_rle", "rle"]
+STR_CODECS = [
+    "plain_byte_array",
+    "delta_length_byte_array",
+    "delta_byte_array",
+    "dict_binary",
+    "fsst",
+]
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_int_column_roundtrip(codec, rng):
+    arr = pa.array(rng.integers(-500, 500, 2000), type=pa.int64())
+    _roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_int32_column_roundtrip(codec, rng):
+    arr = pa.array(rng.integers(0, 50257, 2000).astype(np.int32))
+    _roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_int_column_with_nulls(codec, rng):
+    v = rng.integers(0, 100, 500).astype(np.int64)
+    mask = rng.random(500) < 0.2
+    arr = pa.array(v, mask=mask)
+    _roundtrip(arr, codec)
+
+
+def test_all_null_column():
+    arr = pa.array([None, None, None], type=pa.int64())
+    _roundtrip(arr, "plain")
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_string_column_roundtrip(codec, rng):
+    pool = ["web", "code", "books", "wiki", "", "a-much-longer-category-name"]
+    arr = pa.array([pool[i] for i in rng.integers(0, len(pool), 1500)])
+    _roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_string_column_with_nulls(codec, rng):
+    pool = ["alpha", "beta", "", "gamma-delta"]
+    vals = [pool[i] if rng.random() > 0.15 else None for i in rng.integers(0, 4, 800)]
+    arr = pa.array(vals, type=pa.string())
+    _roundtrip(arr, codec)
+
+
+def test_temporal_columns_roundtrip():
+    ts = pa.array([1, 2, 3_000_000, None], type=pa.timestamp("us"))
+    for codec in INT_CODECS:
+        _roundtrip(ts, codec)
+    d32 = pa.array([10, 20, None, 40], type=pa.date32())
+    _roundtrip(d32, "plain")
+    _roundtrip(d32, "for_bitpack")
+
+
+def test_float_plain_roundtrip(rng):
+    arr = pa.array(rng.normal(size=1000), type=pa.float64())
+    _roundtrip(arr, "plain")
+    arr32 = pa.array(rng.normal(size=1000).astype(np.float32), type=pa.float32())
+    _roundtrip(arr32, "plain")
+
+
+def test_bool_bitmap_roundtrip(rng):
+    arr = pa.array(rng.random(999) < 0.5)
+    _roundtrip(arr, "bitmap")
+
+
+def test_list_int32_roundtrip(tokens_table):
+    arr = tokens_table["tokens"].combine_chunks()
+    _roundtrip(arr, "list")
+
+
+def test_list_float_roundtrip(rng):
+    vals = [rng.normal(size=8).astype(np.float32).tolist() for _ in range(100)]
+    arr = pa.array(vals, type=pa.list_(pa.float32()))
+    _roundtrip(arr, "list")
+
+
+def test_list_with_nulls_and_empties(rng):
+    vals = [[1, 2, 3], [], None, [7], [5] * 50, None, list(range(100))]
+    arr = pa.array(vals, type=pa.list_(pa.int32()))
+    _roundtrip(arr, "list")
+
+
+def test_empty_arrays():
+    for t, codec in [
+        (pa.int64(), "plain"),
+        (pa.string(), "delta_length_byte_array"),
+        (pa.list_(pa.int32()), "list"),
+    ]:
+        arr = pa.array([], type=t)
+        _roundtrip(arr, codec)
+
+
+def test_sliced_array_roundtrip(rng):
+    base = pa.array(rng.integers(0, 100, 1000), type=pa.int64())
+    _roundtrip(base.slice(100, 500), "for_bitpack")
+    s = pa.array([f"doc-{i}" for i in range(1000)])
+    _roundtrip(s.slice(37, 400), "delta_length_byte_array")
+
+
+# ------------------------------------------------------------------ selector
+def test_selector_narrow_range_picks_bitpack_family(rng):
+    arr = pa.array(rng.integers(100, 357, 5000).astype(np.int32))
+    assert select_codec(arr) in ("for_bitpack", "rle", "dict_rle")
+    sizes = candidate_sizes(arr)
+    assert sizes["for_bitpack"] < sizes["plain"] / 2
+
+
+def test_selector_sorted_picks_delta(rng):
+    arr = pa.array(np.cumsum(rng.integers(0, 5, 5000)).astype(np.int64))
+    choice = select_codec(arr)
+    assert choice == "delta_binary_packed"
+
+
+def test_selector_runs_pick_rle():
+    v = np.repeat(np.arange(50), 200)  # 50 runs of 200
+    arr = pa.array(v, type=pa.int64())
+    assert select_codec(arr) in ("rle", "delta_binary_packed")
+    sizes = candidate_sizes(arr)
+    assert sizes["rle"] < sizes["for_bitpack"] / 4
+
+
+def test_selector_low_cardinality_strings_pick_dict(rng):
+    pool = ["web", "code", "books", "wiki"]
+    arr = pa.array([pool[i] for i in rng.integers(0, 4, 4000)])
+    assert select_codec(arr) == "dict_binary"
+
+
+def test_selector_sorted_prefixed_keys_pick_front_coding():
+    arr = pa.array([f"books/0001/doc-{i:08d}" for i in range(4000)])
+    assert select_codec(arr) == "delta_byte_array"
+
+
+def test_selector_float_and_bool():
+    assert select_codec(pa.array([1.5, 2.5])) == "plain"
+    assert select_codec(pa.array([True, False])) == "bitmap"
+
+
+def test_selector_deterministic(rng):
+    arr = pa.array(rng.integers(0, 1000, 3000), type=pa.int64())
+    assert select_codec(arr) == select_codec(arr)
