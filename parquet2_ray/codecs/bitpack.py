@@ -28,24 +28,35 @@ def bits_needed(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def _container(num_bits: int) -> np.dtype:
+    if num_bits <= 8:
+        return np.dtype("<u1")
+    if num_bits <= 16:
+        return np.dtype("<u2")
+    if num_bits <= 32:
+        return np.dtype("<u4")
+    return np.dtype("<u8")
+
+
 def pack(values: np.ndarray, num_bits: int) -> bytes:
     """Pack unsigned integers into an LSB-first continuous bit stream.
 
     The output is padded with zero bits to a whole number of bytes.
+    Fully vectorized: values are viewed as little-endian bytes, expanded
+    to a bit matrix with one C call (np.unpackbits), the low ``num_bits``
+    columns are kept (which IS the truncation of wider values), and the
+    flattened bit stream re-packed with one C call (np.packbits).
     """
     if not 0 <= num_bits <= 64:
         raise ValueError(f"num_bits must be in [0, 64], got {num_bits}")
     n = len(values)
     if n == 0 or num_bits == 0:
         return b""
-    v = np.asarray(values).astype(np.uint64, copy=False)
-    if num_bits < 64:
-        v = v & np.uint64((1 << num_bits) - 1)
-    # bits[i, j] = bit j of value i (LSB-first)
-    bits = np.empty((n, num_bits), dtype=np.uint8)
-    for j in range(num_bits):
-        bits[:, j] = (v >> np.uint64(j)) & np.uint64(1)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    ct = _container(num_bits)
+    v = np.ascontiguousarray(np.asarray(values).astype(ct, copy=False))
+    vb = v.view(np.uint8).reshape(n, ct.itemsize)
+    bits = np.unpackbits(vb, axis=1, bitorder="little")
+    return np.packbits(bits[:, :num_bits].ravel(), bitorder="little").tobytes()
 
 
 def unpack(packed: bytes | np.ndarray, num_bits: int, length: int) -> np.ndarray:
@@ -70,7 +81,12 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int) -> np.ndarray
         )
     bits = np.unpackbits(buf, bitorder="little", count=length * num_bits)
     bits = bits.reshape(length, num_bits)
-    out = np.zeros(length, dtype=np.uint64)
-    for j in range(num_bits):
-        out |= bits[:, j].astype(np.uint64) << np.uint64(j)
-    return out
+    ct = _container(num_bits)
+    width = ct.itemsize * 8
+    if num_bits == width:
+        full = bits
+    else:
+        full = np.zeros((length, width), dtype=np.uint8)
+        full[:, :num_bits] = bits
+    out = np.packbits(full, axis=1, bitorder="little").view(ct).ravel()
+    return out.astype(np.uint64, copy=False)

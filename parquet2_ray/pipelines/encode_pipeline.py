@@ -1,0 +1,256 @@
+"""The flagship pipeline: read → plan → shuffle → encode → manifest.
+
+Ray-Data-first lifecycle (SURVEY.md §3 "Ray lifecycle equivalent"):
+
+    read_parquet(input, columns=needed)
+      → light stats pass over (group_col, weight_col) only   # prune at the read
+      → map_batches(assign `_part`)                          # broadcast plan, no shuffle
+      → groupby("_part").map_groups(encode_partition_table)  # THE one all-to-all
+      → small manifest-record dataset → global manifest fold # driver-side, tiny
+
+Skew handling is explicit (north rule): partitions are keyed by
+(source, n_tok-range) where ranges are token-MASS quantiles from the
+light pass — each partition carries ≈ equal token mass despite the
+lognormal length skew, so no encode task is a straggler. The plan is a
+small dict broadcast once via ``ray.put`` and read inside the assign
+stage (never re-shipped per batch).
+
+Scale notes (100 TB / 256 nodes):
+- the light pass reads two narrow columns → a few % of input bytes;
+- partial per-batch aggregation keeps the driver fold at
+  O(batches × sources) rows;
+- the only full-data exchange is the single groupby; everything else
+  streams with backpressure;
+- resume skips committed partitions inside the encode task (O(1) ledger
+  probe), so a rerun after failure re-encodes only missing partitions.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..stages.encode import PART_COL, decode_partition_path, encode_partition_table
+from ..state import manifest as mf
+
+__all__ = ["EncodeOptions", "plan_partitions", "encode_dataset", "decode_dataset"]
+
+
+@dataclass
+class EncodeOptions:
+    """EncodeOptions ≈ the reference's WriteOptions
+    (/root/reference/src/write/mod.rs:30-43) plus partitioning knobs."""
+
+    group_col: str | None = "source"      # low-cardinality shuffle key
+    weight_col: str | None = "n_tok"      # token-mass column for skew balance
+    sort_key: str | None = "doc_id"       # canonical row order inside a partition
+    target_weight: int = 4_000_000        # tokens per partition (≈16 MB int32)
+    target_rows: int = 500_000            # fallback when weight_col is absent
+    forced_codecs: dict[str, str] = field(default_factory=dict)
+    resume: bool = True
+    max_partitions: int = 100_000
+
+
+def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
+                 sample_per_batch: int = 256) -> pa.Table:
+    """Per-batch partial aggregate: (source, rows, weight_sum, weight sample)."""
+    n = batch.num_rows
+    if group_col is None:
+        groups = np.zeros(n, dtype=np.int64)
+        keys = [""]
+        codes = groups
+    else:
+        enc = pc.dictionary_encode(batch[group_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [str(v) for v in enc.dictionary.to_pylist()]
+    w = (
+        batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if weight_col
+        else np.ones(n, dtype=np.int64)
+    )
+    out_src, out_rows, out_wsum, out_sample = [], [], [], []
+    for k_idx, key in enumerate(keys):
+        m = codes == k_idx
+        wk = w[m]
+        if wk.size == 0:
+            continue
+        stride = max(1, wk.size // sample_per_batch)
+        out_src.append(key)
+        out_rows.append(int(wk.size))
+        out_wsum.append(int(wk.sum()))
+        out_sample.append(wk[::stride][:sample_per_batch].tolist())
+    return pa.table(
+        {
+            "g": pa.array(out_src, type=pa.string()),
+            "rows": pa.array(out_rows, type=pa.int64()),
+            "wsum": pa.array(out_wsum, type=pa.int64()),
+            "sample": pa.array(out_sample, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def _weighted_edges(sample: np.ndarray, k: int) -> list[int]:
+    """Split the weight distribution into k buckets of ≈ equal MASS:
+    edges are weighted quantiles of the sampled weights."""
+    if k <= 1 or sample.size == 0:
+        return []
+    s = np.sort(sample)
+    cum = np.cumsum(s, dtype=np.float64)
+    targets = cum[-1] * np.arange(1, k) / k
+    idx = np.searchsorted(cum, targets)
+    edges = sorted(set(int(s[min(i, s.size - 1)]) for i in idx))
+    return edges
+
+
+@dataclass
+class PartitionPlan:
+    """(group value, weight-range) → contiguous partition ids."""
+
+    base: dict[str, int]          # group → first part id
+    edges: dict[str, list[int]]   # group → weight bucket edges (upper-exclusive)
+    n_parts: int
+
+    def to_json(self) -> str:
+        return json.dumps({"base": self.base, "edges": self.edges, "n": self.n_parts})
+
+
+def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
+    cols = [c for c in (opts.group_col, opts.weight_col) if c]
+    if not cols:
+        return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1)
+    light = input_ds.select_columns(cols).map_batches(
+        lambda b: _light_stats(b, opts.group_col, opts.weight_col),
+        batch_format="pyarrow",
+    )
+    partials = light.take_all()  # O(batches × sources) tiny rows
+    per_group: dict[str, dict] = {}
+    for row in partials:
+        g = per_group.setdefault(row["g"], {"rows": 0, "wsum": 0, "sample": []})
+        g["rows"] += row["rows"]
+        g["wsum"] += row["wsum"]
+        g["sample"].extend(row["sample"])
+    base, edges = {}, {}
+    next_id = 0
+    for key in sorted(per_group):
+        g = per_group[key]
+        if opts.weight_col:
+            k = max(1, min((g["wsum"] + opts.target_weight - 1) // opts.target_weight,
+                           opts.max_partitions))
+        else:
+            k = max(1, (g["rows"] + opts.target_rows - 1) // opts.target_rows)
+        e = _weighted_edges(np.array(g["sample"], dtype=np.int64), int(k))
+        base[key] = next_id
+        edges[key] = e
+        next_id += len(e) + 1
+    return PartitionPlan(base=base, edges=edges, n_parts=next_id)
+
+
+def _assign_parts(batch: pa.Table, plan_ref, group_col: str | None,
+                  weight_col: str | None) -> pa.Table:
+    plan: PartitionPlan = ray.get(plan_ref) if not isinstance(plan_ref, PartitionPlan) else plan_ref
+    n = batch.num_rows
+    part = np.zeros(n, dtype=np.int32)
+    if group_col is not None:
+        enc = pc.dictionary_encode(batch[group_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [str(v) for v in enc.dictionary.to_pylist()]
+    else:
+        codes = np.zeros(n, dtype=np.int64)
+        keys = [""]
+    w = (
+        batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if weight_col
+        else None
+    )
+    for k_idx, key in enumerate(keys):
+        m = codes == k_idx
+        b = plan.base.get(key, 0)
+        e = plan.edges.get(key, [])
+        if w is not None and e:
+            part[m] = b + np.searchsorted(np.array(e, dtype=np.int64), w[m], side="right")
+        else:
+            part[m] = b
+    return batch.append_column(PART_COL, pa.array(part, type=pa.int32()))
+
+
+def encode_dataset(
+    input_path: str | list[str] | rd.Dataset,
+    out_dir: str,
+    opts: EncodeOptions | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Run the full encode pipeline; returns the global manifest summary."""
+    import os
+    import time
+
+    opts = opts or EncodeOptions()
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    ds = (
+        input_path
+        if isinstance(input_path, rd.Dataset)
+        else rd.read_parquet(input_path, columns=columns)
+    )
+    schema_names = ds.schema().names
+    group_col = opts.group_col if opts.group_col in schema_names else None
+    weight_col = opts.weight_col if opts.weight_col in schema_names else None
+    sort_key = opts.sort_key if opts.sort_key in schema_names else None
+
+    plan = plan_partitions(ds, EncodeOptions(**{**opts.__dict__,
+                                                "group_col": group_col,
+                                                "weight_col": weight_col}))
+    plan_ref = ray.put(plan)  # broadcast once; tasks read it zero-copy
+
+    assigned = ds.map_batches(
+        lambda b: _assign_parts(b, plan_ref, group_col, weight_col),
+        batch_format="pyarrow",
+    )
+    records = assigned.groupby(PART_COL).map_groups(
+        lambda g: encode_partition_table(
+            g,
+            out_dir,
+            sort_key=sort_key,
+            weight_col=weight_col,
+            forced_codecs=opts.forced_codecs,
+            resume=opts.resume,
+        ),
+        batch_format="pyarrow",
+    )
+    recs = records.take_all()  # one small row per partition
+    wall = time.time() - t0
+    summary = {
+        "n_partitions": len(recs),
+        "n_rows": int(sum(r["n_rows"] for r in recs)),
+        "n_weight": int(sum(r["n_weight"] for r in recs)),
+        "raw_bytes": int(sum(r["raw_bytes"] for r in recs)),
+        "encoded_bytes": int(sum(r["encoded_bytes"] for r in recs)),
+        "skipped_partitions": int(sum(bool(r["skipped"]) for r in recs)),
+        "wall_s": wall,
+        "plan": {"n_parts": plan.n_parts},
+        "out_dir": out_dir,
+    }
+    mf.write_global_manifest(out_dir, summary)
+    return summary
+
+
+def decode_dataset(out_dir: str) -> rd.Dataset:
+    """Stream decoded partitions back as a Ray Dataset."""
+    records = mf.load_manifest(out_dir)
+    paths = [r["path"] for r in records.values()]
+    if not paths:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+
+    def _decode_gen(batch: pa.Table):
+        for p in batch["path"]:
+            yield decode_partition_path(p.as_py())
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        _decode_gen, batch_format="pyarrow", batch_size=1
+    )

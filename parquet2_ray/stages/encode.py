@@ -1,0 +1,123 @@
+"""Encode / decode stage callables for Ray Data pipelines.
+
+``encode_partition_table`` is the per-group body used by
+``groupby("_part").map_groups(...)``: codec auto-selection + encode +
+stats + container write + atomic lineage commit, all inside ONE task so
+an output partition is the unit of retry and resume (the analog of the
+reference's write_row_group single-task invariant —
+/root/reference/src/write/row_group.rs:78-139, and of
+"single codec per chunk" — /root/reference/src/write/column_chunk.rs:109-122:
+the codec is chosen once per (partition, column) before encoding).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs import column as col_mod
+from ..functions.selector import select_codec
+from ..functions.stats import column_profile
+from ..state import manifest as mf
+
+__all__ = ["encode_partition_table", "decode_partition_path", "PART_COL"]
+
+PART_COL = "_part"
+
+
+def encode_partition_table(
+    group: pa.Table,
+    out_dir: str,
+    sort_key: str | None = None,
+    weight_col: str | None = None,
+    forced_codecs: dict[str, str] | None = None,
+    resume: bool = True,
+) -> pa.Table:
+    """Encode one partition; returns a one-row manifest-record table.
+
+    Deterministic: the group is canonicalized by ``sort_key`` before
+    fingerprinting and encoding, so shuffle nondeterminism and task
+    retries cannot change the committed bytes.
+    """
+    t0 = time.time()
+    part_id = "p0"
+    if PART_COL in group.column_names:
+        part_id = f"p{group[PART_COL][0].as_py():06d}"
+        group = group.drop_columns([PART_COL])
+    if sort_key is not None and group.num_rows > 1:
+        group = group.take(pc.sort_indices(group[sort_key]))
+    group = group.combine_chunks()
+    fp = mf.canonical_fingerprint(group)
+
+    path = os.path.join(out_dir, f"part-{part_id}.bin")
+    prior = mf.load_manifest_record(out_dir, part_id) if resume else None
+    if prior is not None and prior.get("fingerprint") == fp and os.path.exists(path):
+        rec = dict(prior)
+        rec["skipped"] = True
+        rec["wall_s"] = time.time() - t0
+        return _record_table(rec)
+
+    encoded: list[col_mod.EncodedColumn] = []
+    codecs: dict[str, str] = {}
+    profiles = []
+    for name in group.column_names:
+        arr = group[name].combine_chunks()
+        codec = (forced_codecs or {}).get(name) or select_codec(arr)
+        encoded.append(col_mod.encode_array(name, arr, codec))
+        codecs[name] = codec
+        profiles.append(column_profile(name, arr))
+    n_weight = 0
+    if weight_col and weight_col in group.column_names:
+        n_weight = int(pc.sum(group[weight_col]).as_py() or 0)
+    total_bytes = mf.write_partition_file(
+        path,
+        encoded,
+        group.num_rows,
+        extra={"part_id": part_id, "fingerprint": fp},
+    )
+    rec = {
+        "part_id": part_id,
+        "path": path,
+        "fingerprint": fp,
+        "n_rows": group.num_rows,
+        "n_weight": n_weight,
+        "raw_bytes": group.nbytes,
+        "encoded_bytes": total_bytes,
+        "codecs": codecs,
+        "profiles": profiles,
+        "wall_s": time.time() - t0,
+        "skipped": False,
+    }
+    mf.commit_manifest_record(out_dir, rec)
+    return _record_table(rec)
+
+
+def _record_table(rec: dict) -> pa.Table:
+    import json
+
+    return pa.table(
+        {
+            "part_id": [rec["part_id"]],
+            "path": [rec["path"]],
+            "fingerprint": [rec["fingerprint"]],
+            "n_rows": [rec["n_rows"]],
+            "n_weight": [rec["n_weight"]],
+            "raw_bytes": [rec["raw_bytes"]],
+            "encoded_bytes": [rec["encoded_bytes"]],
+            "codecs": [json.dumps(rec["codecs"])],
+            "wall_s": [rec["wall_s"]],
+            "skipped": [rec["skipped"]],
+        }
+    )
+
+
+def decode_partition_path(path: str) -> pa.Table:
+    """Read + decode one container file back to a pyarrow Table."""
+    footer, cols = mf.read_partition_file(path)
+    arrays = [col_mod.decode_array(c) for c in cols]
+    return pa.table(
+        {c.name: a for c, a in zip(cols, arrays)}
+    )

@@ -1,0 +1,203 @@
+"""Encoded-partition container format + per-partition lineage manifest.
+
+Container (one file per output partition — the analog of a parquet file
+with one row group):
+
+    [column payloads back-to-back]
+    [JSON footer]
+    [u32 LE footer length]
+    b"P2R1"
+
+Footer-at-end framing mirrors the parquet layout the reference parses
+(/root/reference/src/lib.rs:27-29 PAR1 magic;
+/root/reference/src/read/metadata.rs:35-97 footer sniff). The JSON
+footer plays the role of the thrift ``FileMetaData`` — column name,
+codec, arrow type, byte range, per-column stats.
+
+Lineage ledger: one JSON record per partition under
+``<out_dir>/_manifest/part-<pid>.json`` committed atomically
+(write-temp + rename), recording input fingerprint, codec choices,
+raw/encoded bytes, row/token counts and wall time — the
+``PageWriteSpec``/FileWriter-state analog
+(/root/reference/src/write/page.rs:43-52,
+/root/reference/src/write/file.rs:50-62). Resume = read the ledger,
+skip committed partitions whose fingerprint matches (SURVEY.md §4
+checkpoint/resume row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs.column import EncodedColumn
+
+MAGIC = b"P2R1"
+
+__all__ = [
+    "MAGIC",
+    "canonical_fingerprint",
+    "write_partition_file",
+    "read_partition_footer",
+    "read_partition_file",
+    "commit_manifest_record",
+    "load_manifest",
+    "manifest_dir",
+    "write_global_manifest",
+]
+
+
+def canonical_fingerprint(table: pa.Table, sort_key: str | None = None) -> str:
+    """Order-canonical content hash of a table.
+
+    If ``sort_key`` is given the table is sorted by it first, so the
+    fingerprint is invariant to row order produced by the shuffle —
+    encode-task retries and the decode-verify pass re-derive the same
+    value (SURVEY.md §4 "deterministic retries"). Hash is blake2b-128
+    over the Arrow IPC stream of the canonicalized, single-chunk table.
+    """
+    if sort_key is not None and table.num_rows > 1:
+        table = table.take(pc.sort_indices(table[sort_key]))
+    table = table.combine_chunks()
+    # normalize schema: drop key-value/field metadata (e.g. parquet's
+    # ARROW:schema), nullability flags, and list child field names
+    # (parquet says "element", Arrow says "item") — carriers of
+    # provenance, not content, must not perturb the fingerprint
+    norm = pa.schema(
+        [pa.field(f.name, _norm_type(f.type), nullable=True) for f in table.schema]
+    )
+    table = table.cast(norm).replace_schema_metadata(None)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    h = hashlib.blake2b(digest_size=16)
+    h.update(sink.getvalue())
+    return h.hexdigest()
+
+
+def _norm_type(t: pa.DataType) -> pa.DataType:
+    if pa.types.is_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_norm_type(t.value_type))
+    return t
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def write_partition_file(
+    path: str, columns: list[EncodedColumn], num_rows: int, extra: dict | None = None
+) -> int:
+    """Write one encoded-partition container atomically. Returns bytes."""
+    body = bytearray()
+    col_meta = []
+    for c in columns:
+        col_meta.append(
+            {
+                "name": c.name,
+                "codec": c.codec,
+                "arrow_type": c.arrow_type,
+                "num_values": c.num_values,
+                "offset": len(body),
+                "size": len(c.payload),
+                "meta": c.meta,
+            }
+        )
+        body += c.payload
+    footer = {
+        "num_rows": num_rows,
+        "columns": col_meta,
+        "created_by": "parquet2_ray",
+        **(extra or {}),
+    }
+    fb = json.dumps(footer, separators=(",", ":")).encode()
+    blob = bytes(body) + fb + len(fb).to_bytes(4, "little") + MAGIC
+    _atomic_write(path, blob)
+    return len(blob)
+
+
+def read_partition_footer(path: str) -> dict:
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != MAGIC:
+            raise ValueError(f"{path}: bad magic")
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(size - 8 - flen)
+        return json.loads(f.read(flen))
+
+
+def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[-4:] != MAGIC:
+        raise ValueError(f"{path}: bad magic")
+    flen = int.from_bytes(blob[-8:-4], "little")
+    footer = json.loads(blob[-8 - flen : -8])
+    cols = [
+        EncodedColumn(
+            name=m["name"],
+            codec=m["codec"],
+            arrow_type=m["arrow_type"],
+            num_values=m["num_values"],
+            payload=blob[m["offset"] : m["offset"] + m["size"]],
+            meta=m.get("meta", {}),
+        )
+        for m in footer["columns"]
+    ]
+    return footer, cols
+
+
+def manifest_dir(out_dir: str) -> str:
+    d = os.path.join(out_dir, "_manifest")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def commit_manifest_record(out_dir: str, record: dict) -> None:
+    d = manifest_dir(out_dir)
+    path = os.path.join(d, f"part-{record['part_id']}.json")
+    _atomic_write(path, json.dumps(record, separators=(",", ":")).encode())
+
+
+def load_manifest_record(out_dir: str, part_id: str) -> dict | None:
+    """Read ONE partition's record — O(1) per encode task, so resume
+    checks stay constant-cost at 10^5+ partitions."""
+    path = os.path.join(out_dir, "_manifest", f"part-{part_id}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return json.loads(f.read())
+
+
+def load_manifest(out_dir: str) -> dict[str, dict]:
+    d = os.path.join(out_dir, "_manifest")
+    records: dict[str, dict] = {}
+    if not os.path.isdir(d):
+        return records
+    for name in sorted(os.listdir(d)):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(d, name), "rb") as f:
+                r = json.loads(f.read())
+            records[r["part_id"]] = r
+    return records
+
+
+def write_global_manifest(out_dir: str, summary: dict) -> str:
+    """Dataset-level manifest after all partitions commit — the
+    ``write_metadata_sidecar`` analog (/root/reference/src/write/file.rs:63-77)."""
+    path = os.path.join(out_dir, "_MANIFEST.json")
+    _atomic_write(path, json.dumps(summary, indent=1).encode())
+    return path

@@ -1,0 +1,125 @@
+"""End-to-end Ray Data pipeline tests: encode → manifest → decode → verify,
+plus resume semantics (SURVEY.md §5 e2e + resume layers)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from parquet2_ray.pipelines.encode_pipeline import (
+    EncodeOptions,
+    decode_dataset,
+    encode_dataset,
+)
+from parquet2_ray.pipelines.verify_pipeline import (
+    verify_against_source,
+    verify_manifest,
+)
+from parquet2_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(ray_session, tokens_table, tmp_path_factory):
+    d = tmp_path_factory.mktemp("enc")
+    src = d / "src.parquet"
+    pq.write_table(tokens_table, src)
+    out = str(d / "out")
+    opts = EncodeOptions(target_weight=50_000)  # force multiple partitions
+    summary = encode_dataset(str(src), out, opts)
+    return tokens_table, out, summary
+
+
+def test_encode_summary(encoded_dir):
+    tbl, out, summary = encoded_dir
+    assert summary["n_rows"] == tbl.num_rows
+    assert summary["n_partitions"] > 4  # multiple sources × weight buckets
+    assert summary["encoded_bytes"] < summary["raw_bytes"]
+    assert summary["n_weight"] == pc.sum(tbl["n_tok"]).as_py()
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+
+def test_manifest_records(encoded_dir):
+    tbl, out, summary = encoded_dir
+    records = mf.load_manifest(out)
+    assert len(records) == summary["n_partitions"]
+    for r in records.values():
+        assert os.path.exists(r["path"])
+        assert set(r["codecs"]) == {"doc_id", "tokens", "n_tok", "source"}
+        assert r["fingerprint"]
+        assert r["wall_s"] >= 0
+        # lineage: every record carries per-column stats
+        assert {p["column"] for p in r["profiles"]} == set(r["codecs"])
+
+
+def test_decode_bit_identity(encoded_dir, ray_session):
+    tbl, out, _ = encoded_dir
+    assert verify_against_source(tbl, out, key="doc_id")
+
+
+def test_verify_manifest_distributed(encoded_dir, ray_session):
+    _, out, summary = encoded_dir
+    res = verify_manifest(out)
+    assert res["n_partitions"] == summary["n_partitions"]
+    assert res["n_bad"] == 0
+
+
+def test_decode_dataset_streams(encoded_dir, ray_session):
+    tbl, out, _ = encoded_dir
+    ds = decode_dataset(out)
+    assert ds.count() == tbl.num_rows
+    assert set(ds.schema().names) == set(tbl.column_names)
+
+
+def test_partitions_grouped_by_source(encoded_dir):
+    _, out, _ = encoded_dir
+    # every partition must be single-source (groupby-on-source semantics)
+    for r in mf.load_manifest(out).values():
+        from parquet2_ray.stages.encode import decode_partition_path
+
+        t = decode_partition_path(r["path"])
+        assert len(pc.unique(t["source"])) == 1
+
+
+def test_resume_skips_committed(encoded_dir, ray_session, tokens_table, tmp_path):
+    tbl, out, first = encoded_dir
+    # delete 2 partitions + their ledger rows → rerun must re-encode ONLY them
+    records = sorted(mf.load_manifest(out).values(), key=lambda r: r["part_id"])
+    victims = records[:2]
+    for v in victims:
+        os.remove(v["path"])
+        os.remove(os.path.join(out, "_manifest", f"part-{v['part_id']}.json"))
+    src = glob.glob(os.path.join(os.path.dirname(out), "src.parquet"))[0]
+    summary2 = encode_dataset(src, out, EncodeOptions(target_weight=50_000))
+    assert summary2["n_partitions"] == first["n_partitions"]
+    assert summary2["skipped_partitions"] == first["n_partitions"] - 2
+    # re-encoded partitions are byte-identical (deterministic retries)
+    rec2 = mf.load_manifest(out)
+    for v in victims:
+        assert rec2[v["part_id"]]["fingerprint"] == v["fingerprint"]
+        assert rec2[v["part_id"]]["encoded_bytes"] == v["encoded_bytes"]
+    assert verify_against_source(tbl, out, key="doc_id")
+
+
+def test_generic_table_without_token_schema(ray_session, tmp_path, rng):
+    # a table lacking source/n_tok/doc_id must still encode (fallbacks)
+    n = 3000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), type=pa.int64()),
+            "val": pa.array(rng.normal(size=n)),
+            "cat": pa.array([["x", "y", "z"][i % 3] for i in range(n)]),
+        }
+    )
+    src = tmp_path / "g.parquet"
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "gout")
+    summary = encode_dataset(
+        str(src), out, EncodeOptions(sort_key="k", target_rows=1000)
+    )
+    assert summary["n_rows"] == n
+    assert verify_against_source(tbl, out, key="k")
