@@ -72,9 +72,11 @@ def plain_decode(buf: bytes, num_values: int) -> tuple[np.ndarray, np.ndarray]:
     return offsets, data
 
 
-def delta_length_encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
+def delta_length_encode(
+    offsets: np.ndarray, data: np.ndarray, miniblocks: int = 1
+) -> bytes:
     o, d = _as_offsets_data(offsets, data)
-    return delta.encode(np.diff(o)) + d.tobytes()
+    return delta.encode(np.diff(o), miniblocks=miniblocks) + d.tobytes()
 
 
 def delta_length_decode(buf: bytes, num_values: int) -> tuple[np.ndarray, np.ndarray]:
@@ -132,7 +134,9 @@ def delta_ba_encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
     suf_data = d[keep]
     suf_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(suf_lens, out=suf_offsets[1:])
-    return delta.encode(prefix) + delta_length_encode(suf_offsets, suf_data)
+    return delta.encode(prefix, miniblocks=4) + delta_length_encode(
+        suf_offsets, suf_data, miniblocks=4
+    )
 
 
 def delta_ba_decode(buf: bytes, num_values: int) -> tuple[np.ndarray, np.ndarray]:

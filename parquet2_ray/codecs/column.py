@@ -130,7 +130,7 @@ def _dec_rle(buf: bytes) -> np.ndarray:
 _NUMERIC_ENC = {
     "plain": plain.encode,
     "for_bitpack": for_pack.encode,
-    "delta_binary_packed": lambda v: delta.encode(v),
+    "delta_binary_packed": lambda v: delta.encode(v, miniblocks=4),
     "dict_rle": lambda v: dictionary.encode_int(v),
     "rle": _enc_rle,
 }
@@ -146,7 +146,7 @@ def _enc_fsst(offsets: np.ndarray, data: np.ndarray) -> bytes:
     raw = data.tobytes()
     table = fsst.train(raw[:_FSST_SAMPLE])
     out = bytearray(uleb_encode(len(offsets) - 1))
-    lens_enc = delta.encode(np.diff(offsets))
+    lens_enc = delta.encode(np.diff(offsets), miniblocks=4)
     out += uleb_encode(len(lens_enc))
     out += lens_enc
     out += fsst.encode(table, raw)
@@ -167,7 +167,7 @@ def _dec_fsst(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 _BINARY_ENC = {
     "plain_byte_array": byte_array.plain_encode,
-    "delta_length_byte_array": byte_array.delta_length_encode,
+    "delta_length_byte_array": lambda o, d: byte_array.delta_length_encode(o, d, miniblocks=4),
     "delta_byte_array": byte_array.delta_ba_encode,
     "dict_binary": dictionary.encode_binary,
     "fsst": _enc_fsst,
@@ -252,7 +252,7 @@ def encode_array(name: str, arr: pa.Array | pa.ChunkedArray, codec: str) -> Enco
 
         child_codec_name = select_codec(child)
         child_col = encode_array("values", child, child_codec_name)
-        lens_enc = delta.encode(lens)
+        lens_enc = delta.encode(lens, miniblocks=4)
         body = bytearray(uleb_encode(len(lens_enc)))
         body += lens_enc
         body += uleb_encode(len(child_col.payload))

@@ -31,13 +31,22 @@ BLOCK_SIZE = 128
 MINIBLOCKS = 1
 
 
-def encode(values: np.ndarray) -> bytes:
-    """Encode an int array (any int dtype) as DELTA_BINARY_PACKED."""
+def encode(
+    values: np.ndarray, block_size: int = BLOCK_SIZE, miniblocks: int = MINIBLOCKS
+) -> bytes:
+    """Encode an int array (any int dtype) as DELTA_BINARY_PACKED.
+
+    Defaults (128-value blocks, 1 miniblock) match the reference encoder;
+    ``miniblocks=4`` gives pyarrow-style 32-value bitwidth adaptation —
+    the column layer uses that for tighter output. Both layouts are read
+    by :func:`decode`.
+    """
     v = np.asarray(values).astype(np.int64, copy=False)
+    vpm = block_size // miniblocks
     n = len(v)
     out = bytearray()
-    out += uleb_encode(BLOCK_SIZE)
-    out += uleb_encode(MINIBLOCKS)
+    out += uleb_encode(block_size)
+    out += uleb_encode(miniblocks)
     out += uleb_encode(n)
     if n == 0:
         out += zz_uleb_encode(0)
@@ -49,20 +58,26 @@ def encode(values: np.ndarray) -> bytes:
     with np.errstate(over="ignore"):
         deltas = v[1:].astype(np.uint64) - v[:-1].astype(np.uint64)
     deltas = deltas.view(np.int64)
-    for off in range(0, len(deltas), BLOCK_SIZE):
-        block = deltas[off : off + BLOCK_SIZE]
+    for off in range(0, len(deltas), block_size):
+        block = deltas[off : off + block_size]
         min_delta = int(block.min())
-        adjusted = (block.astype(np.uint64) - np.uint64(min_delta & ((1 << 64) - 1)))
-        bw = bitpack.bits_needed(int(adjusted.max()))
+        adjusted = block.astype(np.uint64) - np.uint64(min_delta & ((1 << 64) - 1))
         out += zz_uleb_encode(min_delta)
-        out.append(bw)
-        if bw:
-            padded = adjusted
-            if len(block) < BLOCK_SIZE:
-                padded = np.concatenate(
-                    [adjusted, np.zeros(BLOCK_SIZE - len(block), dtype=np.uint64)]
-                )
-            out += bitpack.pack(padded, bw)
+        # bitwidth list always has `miniblocks` entries (zeros for empty
+        # trailing miniblocks); only their payload bytes are omitted
+        widths = bytearray(miniblocks)
+        payloads = []
+        for m in range(min(miniblocks, -(-len(block) // vpm))):
+            mb = adjusted[m * vpm : (m + 1) * vpm]
+            bw = bitpack.bits_needed(int(mb.max())) if mb.size else 0
+            widths[m] = bw
+            if bw:
+                if len(mb) < vpm:
+                    mb = np.concatenate([mb, np.zeros(vpm - len(mb), dtype=np.uint64)])
+                payloads.append(bitpack.pack(mb, bw))
+        out += widths
+        for p in payloads:
+            out += p
     return bytes(out)
 
 

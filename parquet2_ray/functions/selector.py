@@ -28,7 +28,7 @@ from ..codecs.fsst import train as fsst_train, encode as fsst_encode
 
 __all__ = ["select_codec", "candidate_sizes", "SAMPLE_VALUES"]
 
-SAMPLE_VALUES = 4096
+SAMPLE_VALUES = 8192
 _FSST_SAMPLE_BYTES = 4096
 
 # fixed tie-break priority: cheaper/simpler decode first
@@ -53,9 +53,10 @@ def _sample(arr: pa.Array) -> pa.Array:
     n = len(arr)
     if n <= SAMPLE_VALUES:
         return arr
-    half = SAMPLE_VALUES // 2
-    mid = n // 2
-    return pa.concat_arrays([arr[:half], arr[mid : mid + half]])
+    k = 8  # contiguous windows spread across the array
+    w = SAMPLE_VALUES // k
+    parts = [arr[(n - w) * i // (k - 1) : (n - w) * i // (k - 1) + w] for i in range(k)]
+    return pa.concat_arrays(parts)
 
 
 def candidate_sizes(arr: pa.Array | pa.ChunkedArray) -> dict[str, int]:
