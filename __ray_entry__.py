@@ -1,44 +1,404 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() / queries() / oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init / ray.shutdown anywhere below (see repo README / SURVEY.md).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry maps to operators in SURVEY.md §2:
+
+- q_roundtrip_*          full encode→shuffle→write→manifest→decode
+                         pipeline per table (S8-S11, ST3, O4 bit-identity)
+- q_codec_*              individual codec roundtrips driven through
+                         map_batches (E1-E17)
+- q_stats_lineitem       per-column statistics partial→final fold (A1/A2)
+- q_group_source_stats   grouped aggregation over documents
+- q_filter_events        predicate pushdown at the read (T1/S6)
+- q_dedup_exact          exact dedup (hash-groupby, training-data op)
+- q_token_count/char/md5 text analysis ops
+- q_ann_topk             brute-force cosine similarity search
+- rows-only (no oracle): q_minhash_pairs, q_simhash, q_lang_id,
+  q_tokens_flagship, q_ann_lsh — non-SQL-expressible ops
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+SCRATCH = "/tmp/p2r_entry"
+
+LINEITEM_SORT = ["l_orderkey", "l_linenumber"]
+NUMERIC_LINEITEM = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+def _out_dir(sf_dir: str, tag: str) -> str:
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    d = os.path.join(SCRATCH, h, tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _roundtrip(sf_dir: str, table: str, group_col, weight_col, sort_key):
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+
+    out = _out_dir(sf_dir, table)
+    opts = EncodeOptions(
+        group_col=group_col,
+        weight_col=weight_col,
+        sort_key=sort_key,
+        target_weight=2_000_000,
+        target_rows=100_000,
+    )
+    encode_dataset(f"{sf_dir}/{table}.parquet", out, opts)
+    return decode_dataset(out)
+
+
+def _codec_roundtrip(sf_dir: str, table: str, col: str, codec: str):
+    from parquet2_ray.codecs import decode_array, encode_array
+
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+    def rt(b: pa.Table) -> pa.Table:
+        arr = b[col].combine_chunks()
+        return pa.table({col: decode_array(encode_array(col, arr, codec))})
+
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_roundtrip_documents(sf_dir: str):
+    return _roundtrip(sf_dir, "documents", "source", "n_chars", "doc_id")
+
+
+def q_roundtrip_lineitem(sf_dir: str):
+    return _roundtrip(sf_dir, "lineitem", "l_returnflag", None, LINEITEM_SORT)
+
+
+def q_roundtrip_events(sf_dir: str):
+    return _roundtrip(sf_dir, "events", "event_type", None, "event_id")
+
+
+def q_roundtrip_embeddings(sf_dir: str):
+    return _roundtrip(sf_dir, "embeddings", None, None, "vec_id")
+
+
+def q_codec_dict_int(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "lineitem", "l_suppkey", "dict_rle")
+
+
+def q_codec_for_bitpack(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "lineitem", "l_linenumber", "for_bitpack")
+
+
+def q_codec_delta(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "lineitem", "l_orderkey", "delta_binary_packed")
+
+
+def q_codec_rle(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "lineitem", "l_partkey", "rle")
+
+
+def q_codec_dict_binary(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "lineitem", "l_returnflag", "dict_binary")
+
+
+def q_codec_plain_ba(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "documents", "lang", "plain_byte_array")
+
+
+def q_codec_delta_length(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "documents", "text", "delta_length_byte_array")
+
+
+def q_codec_delta_ba(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "events", "event_type", "delta_byte_array")
+
+
+def q_codec_fsst(sf_dir: str):
+    return _codec_roundtrip(sf_dir, "documents", "text", "fsst")
+
+
+def q_stats_lineitem(sf_dir: str):
+    """Per-column min/max/null_count via per-batch profile + driver fold
+    (the reference's statistics reduce — SURVEY.md A1/A2)."""
+    from parquet2_ray.functions.stats import column_profile, fold_profiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=NUMERIC_LINEITEM)
+
+    def prof(b: pa.Table) -> pa.Table:
+        rows = [column_profile(c, b[c]) for c in NUMERIC_LINEITEM]
+        return pa.table(
+            {
+                "column": [r["column"] for r in rows],
+                "min_v": pa.array([float(r["min"]) for r in rows], type=pa.float64()),
+                "max_v": pa.array([float(r["max"]) for r in rows], type=pa.float64()),
+                "null_count": pa.array([r["null_count"] for r in rows], type=pa.int64()),
+                "n_values": pa.array([r["n_values"] for r in rows], type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(prof, batch_format="pyarrow").take_all()
+    per_col: dict[str, list[dict]] = {}
+    for r in partials:
+        per_col.setdefault(r["column"], []).append(
+            {
+                "column": r["column"],
+                "min": r["min_v"],
+                "max": r["max_v"],
+                "null_count": r["null_count"],
+                "n_values": r["n_values"],
+            }
+        )
+    folded = [fold_profiles(v) for v in per_col.values()]
+    return pa.table(
+        {
+            "column": [f["column"] for f in folded],
+            "min_v": pa.array([f["min"] for f in folded], type=pa.float64()),
+            "max_v": pa.array([f["max"] for f in folded], type=pa.float64()),
+            "null_count": pa.array([f["null_count"] for f in folded], type=pa.int64()),
+            "n_values": pa.array([f["n_values"] for f in folded], type=pa.int64()),
+        }
+    )
+
+
+def q_group_source_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def q_filter_events(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "click"),
+    )
+    return ds
+
+
+def q_dedup_exact(sf_dir: str):
+    from parquet2_ray.stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def q_token_count(sf_dir: str):
+    from parquet2_ray.stages.text import token_count_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pandas")
+
+
+def q_char_stats(sf_dir: str):
+    from parquet2_ray.stages.text import char_stats_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(char_stats_batch, batch_format="pandas")
+
+
+def q_doc_md5(sf_dir: str):
+    from parquet2_ray.stages.text import md5_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(md5_batch, batch_format="pandas")
+
+
+_ANN_K = 10
+_ANN_QUERIES = [0, 1, 2]
+
+
+def _query_matrix(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pa.compute.is_in(t["vec_id"], value_set=pa.array(_ANN_QUERIES))
+    sel = t.filter(mask)
+    sel = sel.take(pa.compute.sort_indices(sel["vec_id"]))
+    return np.stack([np.asarray(v, dtype=np.float64) for v in sel["embedding"].to_pylist()])
+
+
+def q_ann_topk(sf_dir: str):
+    from parquet2_ray.stages.similarity import ann_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_topk(ds, _query_matrix(sf_dir), _ANN_QUERIES, k=_ANN_K)
+
+
+# rows-only ops (not SQL-expressible) -------------------------------------
+
+
+def q_minhash_pairs(sf_dir: str):
+    from parquet2_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from parquet2_ray.stages.dedup import simhash_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pandas")
+
+
+def q_lang_id(sf_dir: str):
+    from parquet2_ray.stages.text import LangId
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def q_ann_lsh(sf_dir: str):
+    from parquet2_ray.stages.similarity import lsh_bucketed_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_bucketed_topk(ds, _query_matrix(sf_dir), _ANN_QUERIES, k=_ANN_K, n_planes=6)
+
+
+def q_tokens_flagship(sf_dir: str):
+    """Tokens-shaped flagship: derive (doc_id, tokens, n_tok, source)
+    from documents, run the full encode pipeline, return decoded rows."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+    from parquet2_ray.sources.readers import tokens_from_documents
+
+    out = _out_dir(sf_dir, "tokens_flagship")
+    ds = tokens_from_documents(sf_dir)
+    encode_dataset(ds, out, EncodeOptions(target_weight=1_000_000))
+    return decode_dataset(out)
+
+
+# ------------------------------------------------------------------ contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    return q_tokens_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_roundtrip_documents": q_roundtrip_documents,
+        "q_roundtrip_lineitem": q_roundtrip_lineitem,
+        "q_roundtrip_events": q_roundtrip_events,
+        "q_roundtrip_embeddings": q_roundtrip_embeddings,
+        "q_codec_dict_int": q_codec_dict_int,
+        "q_codec_for_bitpack": q_codec_for_bitpack,
+        "q_codec_delta": q_codec_delta,
+        "q_codec_rle": q_codec_rle,
+        "q_codec_dict_binary": q_codec_dict_binary,
+        "q_codec_plain_ba": q_codec_plain_ba,
+        "q_codec_delta_length": q_codec_delta_length,
+        "q_codec_delta_ba": q_codec_delta_ba,
+        "q_codec_fsst": q_codec_fsst,
+        "q_stats_lineitem": q_stats_lineitem,
+        "q_group_source_stats": q_group_source_stats,
+        "q_filter_events": q_filter_events,
+        "q_dedup_exact": q_dedup_exact,
+        "q_token_count": q_token_count,
+        "q_char_stats": q_char_stats,
+        "q_doc_md5": q_doc_md5,
+        "q_ann_topk": q_ann_topk,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash": q_simhash,
+        "q_lang_id": q_lang_id,
+        "q_ann_lsh": q_ann_lsh,
+        "q_tokens_flagship": q_tokens_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stats_union = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST(min({c}) AS DOUBLE) AS min_v, "
+        f"CAST(max({c}) AS DOUBLE) AS max_v, "
+        f"count(*) FILTER ({c} IS NULL) AS null_count, "
+        f"count(*) AS n_values FROM lineitem"
+        for c in NUMERIC_LINEITEM
+    )
+    ann = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN (0, 1, 2)
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                 ) AS rank
+          FROM q CROSS JOIN embeddings e
+        )
+        SELECT query_id, vec_id, rank FROM scored WHERE rank <= {_ANN_K}
     """
-    return {}
+    return {
+        "q_roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "q_roundtrip_lineitem": "SELECT * FROM lineitem",
+        "q_roundtrip_events": "SELECT * FROM events",
+        "q_roundtrip_embeddings": "SELECT * FROM embeddings",
+        "q_codec_dict_int": "SELECT l_suppkey FROM lineitem",
+        "q_codec_for_bitpack": "SELECT l_linenumber FROM lineitem",
+        "q_codec_delta": "SELECT l_orderkey FROM lineitem",
+        "q_codec_rle": "SELECT l_partkey FROM lineitem",
+        "q_codec_dict_binary": "SELECT l_returnflag FROM lineitem",
+        "q_codec_plain_ba": "SELECT lang FROM documents",
+        "q_codec_delta_length": "SELECT text FROM documents",
+        "q_codec_delta_ba": "SELECT event_type FROM events",
+        "q_codec_fsst": "SELECT text FROM documents",
+        "q_stats_lineitem": stats_union,
+        "q_group_source_stats": (
+            "SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "q_filter_events": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_type = 'click'"
+        ),
+        "q_dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "q_token_count": (
+            "SELECT doc_id, length(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS n_ws_tok FROM documents"
+        ),
+        "q_char_stats": (
+            "SELECT doc_id, length(text) AS n_chars2, "
+            "length(text) - length(replace(text, ' ', '')) AS n_spaces, "
+            "length(text) - length(replace(text, chr(10), '')) AS n_lines "
+            "FROM documents"
+        ),
+        "q_doc_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "q_ann_topk": ann,
+    }

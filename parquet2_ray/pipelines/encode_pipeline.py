@@ -50,7 +50,7 @@ class EncodeOptions:
 
     group_col: str | None = "source"      # low-cardinality shuffle key
     weight_col: str | None = "n_tok"      # token-mass column for skew balance
-    sort_key: str | None = "doc_id"       # canonical row order inside a partition
+    sort_key: str | list[str] | None = "doc_id"  # canonical row order per partition
     target_weight: int = 4_000_000        # tokens per partition (≈16 MB int32)
     target_rows: int = 500_000            # fallback when weight_col is absent
     forced_codecs: dict[str, str] = field(default_factory=dict)
@@ -201,7 +201,11 @@ def encode_dataset(
     schema_names = ds.schema().names
     group_col = opts.group_col if opts.group_col in schema_names else None
     weight_col = opts.weight_col if opts.weight_col in schema_names else None
-    sort_key = opts.sort_key if opts.sort_key in schema_names else None
+    sort_key: str | list[str] | None = opts.sort_key
+    if isinstance(sort_key, str):
+        sort_key = sort_key if sort_key in schema_names else None
+    elif isinstance(sort_key, list):
+        sort_key = [k for k in sort_key if k in schema_names] or None
 
     plan = plan_partitions(ds, EncodeOptions(**{**opts.__dict__,
                                                 "group_col": group_col,

@@ -31,7 +31,7 @@ PART_COL = "_part"
 def encode_partition_table(
     group: pa.Table,
     out_dir: str,
-    sort_key: str | None = None,
+    sort_key: str | list[str] | None = None,
     weight_col: str | None = None,
     forced_codecs: dict[str, str] | None = None,
     resume: bool = True,
@@ -48,7 +48,7 @@ def encode_partition_table(
         part_id = f"p{group[PART_COL][0].as_py():06d}"
         group = group.drop_columns([PART_COL])
     if sort_key is not None and group.num_rows > 1:
-        group = group.take(pc.sort_indices(group[sort_key]))
+        group = mf.sort_table(group, sort_key)
     group = group.combine_chunks()
     fp = mf.canonical_fingerprint(group)
 

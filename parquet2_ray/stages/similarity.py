@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the baseline: the query matrix is broadcast
+once (``ray.put``), each ``map_batches`` task computes a matmul against
+its batch and emits only its local top-k candidates — so the driver-side
+merge sees O(batches × k) rows, never the full corpus. The LSH-bucketed
+variant (``lsh_bucketed_topk``) is the scale path: random-hyperplane
+signatures bucket the corpus so each query only scans matching buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+__all__ = ["ann_topk", "rp_signature_batch", "lsh_bucketed_topk"]
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    vals = np.asarray(arr.values, dtype=np.float64)
+    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    dim = int(lens[0]) if len(lens) else 0
+    if len(lens) and not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    return vals.reshape(-1, dim)
+
+
+def ann_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, rank).
+
+    Ties broken by ascending vec_id — fully deterministic.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _batch_matrix(batch, emb_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ qm.T  # (batch, nq)
+        kk = min(k, m.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            col = sims[:, j]
+            top = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([query_ids[j]] * kk)
+            out_id.extend(ids[top])
+            out_s.extend(col[top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+                "sim": pa.array(np.asarray(out_s, dtype=np.float64)),
+            }
+        )
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    # final merge: O(batches × nq × k) rows on the driver
+    rows = {"query_id": [], id_col: [], "rank": []}
+    by_q: dict[int, list] = {}
+    for r in cands:
+        by_q.setdefault(r["query_id"], []).append((r["sim"], r[id_col]))
+    for qid in query_ids:
+        top = heapq.nsmallest(k, by_q.get(qid, []), key=lambda t: (-t[0], t[1]))
+        for rank, (_, vid) in enumerate(top, start=1):
+            rows["query_id"].append(qid)
+            rows[id_col].append(vid)
+            rows["rank"].append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            id_col: pa.array(rows[id_col], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+        }
+    )
+
+
+def rp_signature_batch(
+    batch: pa.Table, planes: np.ndarray, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> pa.Table:
+    """Random-hyperplane LSH signature per vector (uint64 bucket id)."""
+    m = _batch_matrix(batch, emb_col)
+    bits = (m @ planes.T > 0).astype(np.uint8)
+    pad = np.zeros((bits.shape[0], 64 - bits.shape[1]), dtype=np.uint8)
+    sig = np.packbits(np.concatenate([bits, pad], axis=1), axis=1, bitorder="little")
+    sig = sig.view(np.uint64).ravel()
+    return pa.table({id_col: batch[id_col], "bucket": pa.array(sig)})
+
+
+def lsh_bucketed_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> pa.Table:
+    """Approximate top-k: only vectors whose random-hyperplane bucket
+    matches the query's bucket are scored. The scale path — each bucket
+    is a tiny fraction of the corpus; recall is tunable via n_planes."""
+    q = np.asarray(queries, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    dim = q.shape[1]
+    planes = rng.normal(size=(n_planes, dim))
+    qsig = (q @ planes.T > 0).astype(np.uint8)
+    pad = np.zeros((qsig.shape[0], 64 - n_planes), dtype=np.uint8)
+    qbuckets = (
+        np.packbits(np.concatenate([qsig, pad], axis=1), axis=1, bitorder="little")
+        .view(np.uint64)
+        .ravel()
+    )
+    wanted = set(qbuckets.tolist())
+
+    def filter_buckets(batch: pa.Table) -> pa.Table:
+        sig = rp_signature_batch(batch, planes, emb_col, id_col)
+        mask = np.isin(sig["bucket"].to_numpy(zero_copy_only=False), list(wanted))
+        return batch.filter(pa.array(mask))
+
+    pruned = ds.map_batches(filter_buckets, batch_format="pyarrow")
+    return ann_topk(pruned, queries, query_ids, k, emb_col, id_col)

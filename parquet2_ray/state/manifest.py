@@ -51,7 +51,14 @@ __all__ = [
 ]
 
 
-def canonical_fingerprint(table: pa.Table, sort_key: str | None = None) -> str:
+def sort_table(table: pa.Table, keys: str | list[str]) -> pa.Table:
+    if isinstance(keys, str):
+        keys = [keys]
+    idx = pc.sort_indices(table, sort_keys=[(k, "ascending") for k in keys])
+    return table.take(idx)
+
+
+def canonical_fingerprint(table: pa.Table, sort_key: str | list[str] | None = None) -> str:
     """Order-canonical content hash of a table.
 
     If ``sort_key`` is given the table is sorted by it first, so the
@@ -61,7 +68,7 @@ def canonical_fingerprint(table: pa.Table, sort_key: str | None = None) -> str:
     over the Arrow IPC stream of the canonicalized, single-chunk table.
     """
     if sort_key is not None and table.num_rows > 1:
-        table = table.take(pc.sort_indices(table[sort_key]))
+        table = sort_table(table, sort_key)
     table = table.combine_chunks()
     # normalize schema: drop key-value/field metadata (e.g. parquet's
     # ARROW:schema), nullability flags, and list child field names

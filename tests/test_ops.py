@@ -1,0 +1,206 @@
+"""Tests for training-data ops: dedup, text analysis, similarity, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from parquet2_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures_batch,
+    ngram_jaccard,
+    simhash_batch,
+)
+from parquet2_ray.stages.multimodal import FeatureExtract, FrameSample, ImageDecode
+from parquet2_ray.stages.similarity import ann_topk, lsh_bucketed_topk
+from parquet2_ray.stages.text import (
+    LangId,
+    char_stats_batch,
+    md5_batch,
+    token_count_batch,
+)
+
+
+def _docs_table(n=60, dup_groups=5, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = ["data", "table", "row", "batch", "spark", "ray", "query", "join"]
+    texts = []
+    for i in range(n):
+        words = rng.choice(vocab, size=rng.integers(20, 60)).tolist()
+        texts.append(" ".join(words))
+    # inject exact duplicates
+    for g in range(dup_groups):
+        texts[n - 1 - g] = texts[g]
+    # inject near duplicates (single word changed)
+    texts[10] = texts[11][: len(texts[11]) // 2] + texts[11][len(texts[11]) // 2 :].replace("data", "datum", 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def test_exact_dedup(ray_session):
+    tbl = _docs_table()
+    ds = rd.from_arrow(tbl)
+    out = exact_dedup(ds).to_pandas()
+    assert out["n_copies"].sum() == tbl.num_rows
+    assert (out["n_copies"] > 1).sum() == 5
+    # keeper is the min doc_id of each duplicate group
+    dups = out[out["n_copies"] > 1]
+    assert set(dups["doc_id"]) == {0, 1, 2, 3, 4}
+
+
+def test_minhash_signatures_shape_and_determinism():
+    tbl = _docs_table()
+    s1 = minhash_signatures_batch(tbl, num_perm=32)
+    s2 = minhash_signatures_batch(tbl, num_perm=32)
+    assert s1.equals(s2)
+    sigs = np.asarray(s1["sig"].combine_chunks().values).reshape(-1, 32)
+    assert sigs.shape == (tbl.num_rows, 32)
+    # identical docs → identical signatures
+    assert (sigs[0] == sigs[-1]).all()
+
+
+def test_minhash_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumped over the lazy dog " * 5
+    tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array([a, b])})
+    sigs = np.asarray(
+        minhash_signatures_batch(tbl, num_perm=128)["sig"].combine_chunks().values
+    ).reshape(2, 128)
+    est = (sigs[0] == sigs[1]).mean()
+    true = ngram_jaccard(a, b, k=5)
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_lsh_pairs_finds_dups(ray_session):
+    tbl = _docs_table()
+    ds = rd.from_arrow(tbl)
+    pairs = minhash_lsh_pairs(ds, threshold=0.9).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for g in range(5):  # exact dup pairs must be found with est_jaccard 1.0
+        assert (g, 59 - g) in found
+    # near-dup pair (10, 11) should surface too
+    assert (10, 11) in found
+    assert not pairs.duplicated(subset=["id_a", "id_b"]).any()
+
+
+def test_simhash_near_dups_close():
+    tbl = _docs_table()
+    out = simhash_batch(tbl.to_pandas())
+    h = out["simhash"].to_numpy().astype(np.uint64)
+    assert (h[0] == h[59]) and (h[1] == h[58])  # exact dups equal
+    d_near = bin(int(h[10]) ^ int(h[11])).count("1")
+    rand = [bin(int(h[i]) ^ int(h[i + 20])).count("1") for i in range(5, 10)]
+    assert d_near <= min(rand)
+
+
+def test_simhash_empty_doc():
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["", "hello world"]})
+    out = simhash_batch(df)
+    assert out["simhash"][0] == 0
+    assert out["simhash"][1] != 0
+
+
+def test_text_batches():
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b  c", "", "one\ntwo three "]}
+    )
+    tc = token_count_batch(df)
+    assert tc["n_ws_tok"].tolist() == [3, 0, 3]
+    cs = char_stats_batch(df)
+    assert cs["n_chars2"].tolist() == [6, 0, 14]
+    assert cs["n_lines"].tolist() == [0, 0, 1]
+    fp = md5_batch(df)
+    import hashlib
+
+    assert fp["fp"][0] == hashlib.md5(b"a b  c").hexdigest()
+
+
+def test_lang_id():
+    li = LangId()
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat sat on the mat and it is happy",
+                "der hund ist ein gutes tier und die katze",
+                "xyzzy qwerty",
+            ],
+        }
+    )
+    out = li(df)
+    assert out["lang_pred"].tolist() == ["en", "de", "und"]
+
+
+def _emb_table(n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], type=pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    tbl, m = _emb_table()
+    ds = rd.from_arrow(tbl)
+    q = m[:3].astype(np.float64)
+    out = ann_topk(ds, q, [0, 1, 2], k=5).to_pandas()
+    # brute-force reference
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = mm @ (q[qi] / np.linalg.norm(q[qi]))
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == order.tolist()
+        assert got[0] == qi  # self is rank 1
+
+
+def test_lsh_bucketed_topk_recall(ray_session):
+    tbl, m = _emb_table(n=500)
+    ds = rd.from_arrow(tbl)
+    q = m[:2].astype(np.float64)
+    exact = ann_topk(ds, q, [0, 1], k=5).to_pandas()
+    approx = lsh_bucketed_topk(ds, q, [0, 1], k=5, n_planes=4).to_pandas()
+    # the query vector itself always lands in its own bucket
+    for qi in (0, 1):
+        a = approx[approx["query_id"] == qi]
+        assert a.iloc[0]["vec_id"] == qi
+        e_ids = set(exact[exact["query_id"] == qi]["vec_id"])
+        assert len(set(a["vec_id"]) & e_ids) >= 2  # decent recall at 4 planes
+
+
+def test_multimodal_stubs(ray_session):
+    rng = np.random.default_rng(0)
+    blobs = [rng.bytes(100) for _ in range(20)]
+    tbl = pa.table(
+        {
+            "video_id": pa.array(range(20), type=pa.int64()),
+            "image": pa.array(blobs, type=pa.binary()),
+            "video": pa.array(blobs, type=pa.binary()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    dec = ds.map_batches(ImageDecode, batch_size=8, concurrency=2, batch_format="pyarrow")
+    out = dec.to_pandas()
+    assert (out["n_pixels"] == out["width"].astype("int64") * out["height"].astype("int64")).all()
+    feats = ds.map_batches(FeatureExtract, batch_size=8, concurrency=2, batch_format="pyarrow").to_pandas()
+    assert all(len(f) == 64 for f in feats["features"])
+    frames = ds.select_columns(["video_id", "video"]).map_batches(
+        FrameSample, batch_size=8, concurrency=2, batch_format="pyarrow"
+    ).to_pandas()
+    assert (frames["frame_idx"] % 10 == 0).all()
+    with pytest.raises(NotImplementedError):
+        ImageDecode(backend="real")
