@@ -377,7 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "q_codec_fsst": "SELECT text FROM documents",
         "q_stats_lineitem": stats_union,
         "q_group_source_stats": (
-            "SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars, "
+            "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
             "FROM documents GROUP BY source"
         ),

@@ -16,6 +16,8 @@ idiom for the same layout.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 __all__ = ["pack", "unpack", "bits_needed"]
@@ -42,21 +44,43 @@ def pack(values: np.ndarray, num_bits: int) -> bytes:
     """Pack unsigned integers into an LSB-first continuous bit stream.
 
     The output is padded with zero bits to a whole number of bytes.
-    Fully vectorized: values are viewed as little-endian bytes, expanded
-    to a bit matrix with one C call (np.unpackbits), the low ``num_bits``
-    columns are kept (which IS the truncation of wider values), and the
-    flattened bit stream re-packed with one C call (np.packbits).
+    Word-level vectorization: values are processed in repeating groups of
+    ``g = 8/gcd(w,8) ≤ 8`` lane positions whose bit offsets recur every
+    ``lcm(w,8)`` bits, so the whole array packs with ≤ 8 × (w/8+2)
+    full-column shift/OR ops — ~8× less memory traffic than the
+    bit-matrix (unpackbits) formulation, which matters because encode is
+    memory-bandwidth-bound at high task concurrency.
     """
     if not 0 <= num_bits <= 64:
         raise ValueError(f"num_bits must be in [0, 64], got {num_bits}")
     n = len(values)
     if n == 0 or num_bits == 0:
         return b""
-    ct = _container(num_bits)
-    v = np.ascontiguousarray(np.asarray(values).astype(ct, copy=False))
-    vb = v.view(np.uint8).reshape(n, ct.itemsize)
-    bits = np.unpackbits(vb, axis=1, bitorder="little")
-    return np.packbits(bits[:, :num_bits].ravel(), bitorder="little").tobytes()
+    w = num_bits
+    v = np.asarray(values).astype(np.uint64, copy=False)
+    if w < 64:
+        v = v & np.uint64((1 << w) - 1)  # truncate wider values
+    g = 8 // math.gcd(w, 8)             # values per repeating group
+    nbytes_group = g * w // 8           # whole bytes per group
+    ngroups = -(-n // g)
+    if ngroups * g != n:
+        v = np.concatenate([v, np.zeros(ngroups * g - n, dtype=np.uint64)])
+    lanes = v.reshape(ngroups, g)
+    out = np.zeros((ngroups, nbytes_group), dtype=np.uint8)
+    for j in range(g):
+        bit0 = j * w
+        b0, s = bit0 >> 3, bit0 & 7
+        col = lanes[:, j]
+        # value j contributes to bytes b0 .. b0 + ceil((s+w)/8) - 1
+        nb = (s + w + 7) >> 3
+        for i in range(nb):
+            if i == 0:
+                chunk = (col << np.uint64(s)) & np.uint64(0xFF)
+            else:
+                chunk = (col >> np.uint64(8 * i - s)) & np.uint64(0xFF)
+            out[:, b0 + i] |= chunk.astype(np.uint8)
+    total = (n * w + 7) // 8
+    return out.reshape(-1)[:total].tobytes()
 
 
 def unpack(packed: bytes | np.ndarray, num_bits: int, length: int) -> np.ndarray:
@@ -79,14 +103,24 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int) -> np.ndarray
         raise ValueError(
             f"packed buffer has {buf.size * 8} bits; need {length * num_bits}"
         )
-    bits = np.unpackbits(buf, bitorder="little", count=length * num_bits)
-    bits = bits.reshape(length, num_bits)
-    ct = _container(num_bits)
-    width = ct.itemsize * 8
-    if num_bits == width:
-        full = bits
-    else:
-        full = np.zeros((length, width), dtype=np.uint8)
-        full[:, :num_bits] = bits
-    out = np.packbits(full, axis=1, bitorder="little").view(ct).ravel()
-    return out.astype(np.uint64, copy=False)
+    w = num_bits
+    g = 8 // math.gcd(w, 8)
+    nbytes_group = g * w // 8
+    ngroups = -(-length // g)
+    need = ngroups * nbytes_group
+    if buf.size < need:
+        buf = np.concatenate([buf, np.zeros(need - buf.size, dtype=np.uint8)])
+    arr = buf[:need].reshape(ngroups, nbytes_group)
+    out = np.empty((ngroups, g), dtype=np.uint64)
+    mask = np.uint64((1 << w) - 1) if w < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    for j in range(g):
+        bit0 = j * w
+        b0, s = bit0 >> 3, bit0 & 7
+        nb = (s + w + 7) >> 3
+        # accumulate pre-shifted by s so no shift ever reaches 64
+        # (w=63, s=7 would need an 8*8=64-bit shift otherwise)
+        acc = arr[:, b0].astype(np.uint64) >> np.uint64(s)
+        for i in range(1, nb):
+            acc |= arr[:, b0 + i].astype(np.uint64) << np.uint64(8 * i - s)
+        out[:, j] = acc & mask
+    return out.reshape(-1)[:length]

@@ -58,27 +58,58 @@ def encode(
     with np.errstate(over="ignore"):
         deltas = v[1:].astype(np.uint64) - v[:-1].astype(np.uint64)
     deltas = deltas.view(np.int64)
-    for off in range(0, len(deltas), block_size):
-        block = deltas[off : off + block_size]
-        min_delta = int(block.min())
-        adjusted = block.astype(np.uint64) - np.uint64(min_delta & ((1 << 64) - 1))
-        out += zz_uleb_encode(min_delta)
-        # bitwidth list always has `miniblocks` entries (zeros for empty
-        # trailing miniblocks); only their payload bytes are omitted
-        widths = bytearray(miniblocks)
-        payloads = []
-        for m in range(min(miniblocks, -(-len(block) // vpm))):
-            mb = adjusted[m * vpm : (m + 1) * vpm]
-            bw = bitpack.bits_needed(int(mb.max())) if mb.size else 0
-            widths[m] = bw
-            if bw:
-                if len(mb) < vpm:
-                    mb = np.concatenate([mb, np.zeros(vpm - len(mb), dtype=np.uint64)])
-                payloads.append(bitpack.pack(mb, bw))
-        out += widths
-        for p in payloads:
-            out += p
-    return bytes(out)
+
+    # Vectorized across blocks: pad the tail with int64.max so it cannot
+    # win the per-block min, compute all mins / adjusted values / miniblock
+    # bitwidths with whole-array ops, then bit-pack every miniblock of a
+    # given width in ONE pack() call (miniblock payloads are byte-aligned
+    # because vpm % 8 == 0, so concatenated packing == per-mini packing).
+    nd = len(deltas)
+    nblocks = -(-nd // block_size)
+    pad = nblocks * block_size - nd
+    if pad:
+        padded = np.concatenate(
+            [deltas, np.full(pad, np.iinfo(np.int64).max, dtype=np.int64)]
+        )
+    else:
+        padded = deltas
+    blocks = padded.reshape(nblocks, block_size)
+    mins = blocks.min(axis=1)
+    adj = blocks.view(np.uint64) - mins.view(np.uint64)[:, None]
+    if pad:
+        adj.reshape(-1)[nd:] = 0  # absent positions encode as zero bits
+    minis = adj.reshape(nblocks * miniblocks, vpm)
+    mx = minis.max(axis=1)
+    # exact bit_length per miniblock max (no float log2 rounding)
+    mx_bits = np.unpackbits(
+        mx.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )[:, ::-1]
+    nonzero = mx_bits.any(axis=1)
+    bw_flat = np.where(nonzero, 64 - np.argmax(mx_bits, axis=1), 0).astype(np.uint8)
+    bw = bw_flat.reshape(nblocks, miniblocks)
+
+    sizes = bw_flat.astype(np.int64) * (vpm // 8)
+    offs = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    payload_all = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for w in np.unique(bw_flat):
+        if w == 0:
+            continue
+        sel = np.nonzero(bw_flat == w)[0]
+        packed = np.frombuffer(
+            bitpack.pack(minis[sel].reshape(-1), int(w)), dtype=np.uint8
+        ).reshape(len(sel), vpm * int(w) // 8)
+        idx = offs[sel][:, None] + np.arange(packed.shape[1])[None, :]
+        payload_all[idx.ravel()] = packed.ravel()
+
+    mv = memoryview(payload_all)
+    pieces: list = [bytes(out)]
+    widths_rows = bw.tobytes()
+    for b in range(nblocks):
+        pieces.append(zz_uleb_encode(int(mins[b])))
+        pieces.append(widths_rows[b * miniblocks : (b + 1) * miniblocks])
+        pieces.append(mv[offs[b * miniblocks] : offs[(b + 1) * miniblocks]])
+    return b"".join(pieces)
 
 
 def decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:

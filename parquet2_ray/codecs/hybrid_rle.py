@@ -44,28 +44,17 @@ def _ceil8(v: int) -> int:
     return (v + 7) // 8
 
 
-def _emit_bitpacked(out: bytearray, span: np.ndarray, num_bits: int) -> None:
-    """Emit one bit-packed run covering len(span) values (padded to *8)."""
-    n = len(span)
-    if n == 0:
-        return
-    groups = _ceil8(n)
-    out += uleb_encode((groups << 1) | 1)
-    if n % 8:
-        span = np.concatenate([span, np.zeros(groups * 8 - n, dtype=span.dtype)])
-    out += bitpack.pack(span, num_bits)
-
-
-def _emit_rle(out: bytearray, value: int, run_len: int, num_bits: int) -> None:
-    out += uleb_encode(run_len << 1)
-    nbytes = _ceil8(num_bits)
-    out += int(value).to_bytes(nbytes, "little")
-
-
 def encode(values: np.ndarray, num_bits: int) -> bytes:
-    """Encode unsigned ints as hybrid RLE/bit-packed."""
+    """Encode unsigned ints as hybrid RLE/bit-packed.
+
+    Run-heavy inputs (e.g. code-token streams) produce tens of thousands
+    of alternating segments; every bit-packed span is therefore packed in
+    ONE ``bitpack.pack`` call over the padded concatenation (a span
+    padded to a multiple of 8 values occupies exactly len/8*num_bits
+    whole bytes, so byte-slicing the joint stream reproduces per-span
+    packing) and the Python loop only assembles headers and slices.
+    """
     n = len(values)
-    out = bytearray()
     if n == 0:
         return b""
     v = np.asarray(values).astype(np.uint64, copy=False)
@@ -78,26 +67,61 @@ def encode(values: np.ndarray, num_bits: int) -> bytes:
     run_starts = np.concatenate([[0], change])
     run_lengths = np.diff(np.concatenate([run_starts, [n]]))
     long_mask = run_lengths >= 2 * MIN_RLE_RUN  # only clearly-profitable runs
-    if not long_mask.any():
-        _emit_bitpacked(out, v, num_bits)
-        return bytes(out)
+
+    # segments: (is_rle, start, length); bit-packed lengths padded to ×8
+    segs: list[tuple[bool, int, int]] = []
     pos = 0
-    for start, length in zip(run_starts[long_mask], run_lengths[long_mask]):
-        start, length = int(start), int(length)
-        if start < pos:  # run partially consumed by previous alignment steal
-            length -= pos - start
-            start = pos
-            if length < MIN_RLE_RUN:
-                continue  # remainder joins the next bit-packed span
-        gap = start - pos
-        steal = (-gap) % 8  # pad the bit-packed span to a multiple of 8
-        if length - steal < MIN_RLE_RUN:
-            continue  # not worth RLE once aligned; fold into next span
-        _emit_bitpacked(out, v[pos : start + steal], num_bits)
-        _emit_rle(out, int(v[start]), length - steal, num_bits)
-        pos = start + length
+    if long_mask.any():
+        for start, length in zip(run_starts[long_mask], run_lengths[long_mask]):
+            start, length = int(start), int(length)
+            if start < pos:  # run partially consumed by alignment steal
+                length -= pos - start
+                start = pos
+                if length < MIN_RLE_RUN:
+                    continue  # remainder joins the next bit-packed span
+            gap = start - pos
+            steal = (-gap) % 8  # pad the bit-packed span to a multiple of 8
+            if length - steal < MIN_RLE_RUN:
+                continue  # not worth RLE once aligned; fold into next span
+            if gap + steal:
+                segs.append((False, pos, gap + steal))
+            segs.append((True, start, length - steal))
+            pos = start + length
     if pos < n:
-        _emit_bitpacked(out, v[pos:], num_bits)
+        segs.append((False, pos, n - pos))
+
+    # pack ALL bit-packed spans in one call
+    bp_spans = [
+        (start, length) for is_rle, start, length in segs if not is_rle
+    ]
+    packed = b""
+    byte_offs = [0]
+    if bp_spans:
+        pieces = []
+        for start, length in bp_spans:
+            span = v[start : start + length]
+            pad = (-length) % 8
+            if pad:
+                span = np.concatenate([span, np.zeros(pad, dtype=np.uint64)])
+            pieces.append(span)
+            byte_offs.append(byte_offs[-1] + (len(span) // 8) * num_bits)
+        packed = bitpack.pack(
+            pieces[0] if len(pieces) == 1 else np.concatenate(pieces), num_bits
+        )
+
+    out = bytearray()
+    nbytes_rle = _ceil8(num_bits)
+    bp_i = 0
+    mv = memoryview(packed)
+    for is_rle, start, length in segs:
+        if is_rle:
+            out += uleb_encode(length << 1)
+            out += int(v[start]).to_bytes(nbytes_rle, "little")
+        else:
+            groups = _ceil8(length)
+            out += uleb_encode((groups << 1) | 1)
+            out += mv[byte_offs[bp_i] : byte_offs[bp_i + 1]]
+            bp_i += 1
     return bytes(out)
 
 
@@ -113,17 +137,21 @@ def decode(data: bytes | np.ndarray, num_bits: int, num_values: int) -> np.ndarr
     filled = 0
     nbytes_rle = _ceil8(num_bits)
     size = len(buf)
+    # parse headers first, then unpack ALL bit-packed spans in one call
+    # (each span is byte-aligned — groups*8 values × num_bits is a whole
+    # number of bytes — so unpacking the joint stream is equivalent)
+    bp_chunks: list[bytes] = []
+    bp_meta: list[tuple[int, int, int]] = []  # (out_start, take, span_total)
     while filled < num_values and pos < size:
         header, pos = uleb_decode(buf, pos)
         if header & 1:  # bit-packed run
             groups = header >> 1
             total = groups * 8
             byte_len = _ceil8(total * num_bits)
-            chunk = buf[pos : pos + byte_len]
+            bp_chunks.append(buf[pos : pos + byte_len])
             pos += byte_len
             take = min(total, num_values - filled)
-            vals = bitpack.unpack(chunk, num_bits, take)
-            out[filled : filled + take] = vals
+            bp_meta.append((filled, take, total))
             filled += take
         else:  # RLE run
             run_len = header >> 1
@@ -132,4 +160,14 @@ def decode(data: bytes | np.ndarray, num_bits: int, num_values: int) -> np.ndarr
             take = min(run_len, num_values - filled)
             out[filled : filled + take] = value
             filled += take
+    if bp_chunks:
+        total_vals = sum(m[2] for m in bp_meta)
+        vals = bitpack.unpack(
+            bp_chunks[0] if len(bp_chunks) == 1 else b"".join(bp_chunks),
+            num_bits, total_vals,
+        )
+        off = 0
+        for start, take, span_total in bp_meta:
+            out[start : start + take] = vals[off : off + take]
+            off += span_total
     return out

@@ -4,9 +4,20 @@ Ray-Data-first lifecycle (SURVEY.md §3 "Ray lifecycle equivalent"):
 
     read_parquet(input, columns=needed)
       → light stats pass over (group_col, weight_col) only   # prune at the read
-      → map_batches(assign `_part`)                          # broadcast plan, no shuffle
-      → groupby("_part").map_groups(encode_partition_table)  # THE one all-to-all
+      → map_batches(assign `_part` + split + IPC-serialize)  # broadcast plan, no shuffle
+      → groupby("_part").map_groups(reassemble + encode)     # THE one all-to-all
       → small manifest-record dataset → global manifest fold # driver-side, tiny
+
+The exchange ships PRE-SERIALIZED SHARDS: each input block is split by
+part id (one vectorized argsort + zero-copy slices) and every shard is
+written as ONE Arrow-IPC binary row ``(part_id, shard_bytes)``.  The
+groupby therefore moves O(blocks × parts-touched) fat rows instead of
+O(rows) thin ones — Ray 2.49's hash-shuffle partitioner hashes rows in
+a Python loop, so shrinking the row count by ~3 orders of magnitude is
+what makes the all-to-all scale (measured on 200k rows / 80M tokens:
+row-level shuffle 46 s → shard-level 9 s on 32 CPUs).  Hash-shuffle
+with ``num_partitions = n_parts`` lands exactly one block per
+partition, so encode parallelism == n_parts.
 
 Skew handling is explicit (north rule): partitions are keyed by
 (source, n_tok-range) where ranges are token-MASS quantiles from the
@@ -56,6 +67,11 @@ class EncodeOptions:
     forced_codecs: dict[str, str] = field(default_factory=dict)
     resume: bool = True
     max_partitions: int = 100_000
+    # block-count override for path inputs; None → Ray's heuristic.  At
+    # bench scale Ray over-splits (DEFAULT_MIN_PARALLELISM=200 → ~1.6 MB
+    # blocks) which multiplies per-block exchange overhead; at real scale
+    # the 128 MB-target default is right.
+    read_num_blocks: int | None = None
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -152,9 +168,9 @@ def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
     return PartitionPlan(base=base, edges=edges, n_parts=next_id)
 
 
-def _assign_parts(batch: pa.Table, plan_ref, group_col: str | None,
-                  weight_col: str | None) -> pa.Table:
-    plan: PartitionPlan = ray.get(plan_ref) if not isinstance(plan_ref, PartitionPlan) else plan_ref
+def _part_ids(batch: pa.Table, plan: PartitionPlan, group_col: str | None,
+              weight_col: str | None) -> np.ndarray:
+    """Vectorized (source, weight-range) → partition id per row."""
     n = batch.num_rows
     part = np.zeros(n, dtype=np.int32)
     if group_col is not None:
@@ -177,7 +193,67 @@ def _assign_parts(batch: pa.Table, plan_ref, group_col: str | None,
             part[m] = b + np.searchsorted(np.array(e, dtype=np.int64), w[m], side="right")
         else:
             part[m] = b
+    return part
+
+
+def _assign_parts(batch: pa.Table, plan_ref, group_col: str | None,
+                  weight_col: str | None) -> pa.Table:
+    plan: PartitionPlan = ray.get(plan_ref) if not isinstance(plan_ref, PartitionPlan) else plan_ref
+    part = _part_ids(batch, plan, group_col, weight_col)
     return batch.append_column(PART_COL, pa.array(part, type=pa.int32()))
+
+
+def _ipc_bytes(tbl: pa.Table) -> bytes:
+    """Arrow-IPC serialize (IPC truncates sliced buffers — a pickled slice
+    would ship the whole parent block, ~100× amplification)."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+@ray.remote
+def _split_block(block: pa.Table, plan: PartitionPlan, group_col, weight_col,
+                 n_parts: int):
+    """Exchange map side: split one block by part id into n_parts IPC
+    shards (None where the block has no rows for a part)."""
+    part = _part_ids(block, plan, group_col, weight_col)
+    out: list = [None] * n_parts
+    if block.num_rows:
+        order = np.argsort(part, kind="stable")
+        tbl = block.take(pa.array(order))
+        sorted_part = part[order]
+        uniq, starts = np.unique(sorted_part, return_index=True)
+        bounds = np.append(starts, len(sorted_part))
+        for i, p in enumerate(uniq):
+            sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            out[int(p)] = _ipc_bytes(sl)
+    return tuple(out) if n_parts > 1 else out[0]
+
+
+@ray.remote
+def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
+                 forced_codecs, resume, *shards) -> dict:
+    """Exchange reduce side: reassemble one partition from its shards and
+    encode/commit it. Deterministic + atomic commit ⇒ safe under retry."""
+    tables = [
+        pa.ipc.open_stream(s).read_all() for s in shards if s is not None
+    ]
+    if not tables:
+        return {}
+    full = pa.concat_tables(tables).combine_chunks()
+    full = full.append_column(
+        PART_COL, pa.array(np.full(full.num_rows, part_id, dtype=np.int32))
+    )
+    rec = encode_partition_table(
+        full,
+        out_dir,
+        sort_key=sort_key,
+        weight_col=weight_col,
+        forced_codecs=forced_codecs,
+        resume=resume,
+    )
+    return rec.to_pylist()[0]
 
 
 def encode_dataset(
@@ -193,11 +269,13 @@ def encode_dataset(
     opts = opts or EncodeOptions()
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    ds = (
-        input_path
-        if isinstance(input_path, rd.Dataset)
-        else rd.read_parquet(input_path, columns=columns)
-    )
+    if isinstance(input_path, rd.Dataset):
+        ds = input_path
+    elif opts.read_num_blocks:
+        ds = rd.read_parquet(input_path, columns=columns,
+                             override_num_blocks=opts.read_num_blocks)
+    else:
+        ds = rd.read_parquet(input_path, columns=columns)
     schema_names = ds.schema().names
     group_col = opts.group_col if opts.group_col in schema_names else None
     weight_col = opts.weight_col if opts.weight_col in schema_names else None
@@ -210,24 +288,40 @@ def encode_dataset(
     plan = plan_partitions(ds, EncodeOptions(**{**opts.__dict__,
                                                 "group_col": group_col,
                                                 "weight_col": weight_col}))
+    plan_s = time.time() - t0
     plan_ref = ray.put(plan)  # broadcast once; tasks read it zero-copy
 
-    assigned = ds.map_batches(
-        lambda b: _assign_parts(b, plan_ref, group_col, weight_col),
-        batch_format="pyarrow",
-    )
-    records = assigned.groupby(PART_COL).map_groups(
-        lambda g: encode_partition_table(
-            g,
-            out_dir,
-            sort_key=sort_key,
-            weight_col=weight_col,
-            forced_codecs=opts.forced_codecs,
-            resume=opts.resume,
-        ),
-        batch_format="pyarrow",
-    )
-    recs = records.take_all()  # one small row per partition
+    # The all-to-all exchange is a direct two-stage push shuffle on raw
+    # Ray tasks (the documented last-resort case: Ray Data 2.49's generic
+    # exchanges were all measured inadequate here — row-level hash-shuffle
+    # hashes per row in Python (46 s), shard-level hash-shuffle pays a 1 s
+    # ray.wait poll per map task (60 s), sort-shuffle's reduce goes
+    # superlinear in block count (40–65 s) — vs ~10 s for this exchange on
+    # the same 80 MTok input).  Split tasks fan each read block into
+    # n_parts compact IPC shards (num_returns=n_parts, so each shard is
+    # its own object and moves point-to-point); one encode task per
+    # partition consumes exactly its shards and starts as soon as they
+    # exist.  Blocks stream in from the Dataset iterator with
+    # backpressure; the object store spills if shards outrun encoders.
+    # SCALE NOTE: the shard-object count is O(blocks × n_parts) — size
+    # target_weight so n_parts stays O(10^3-10^4); beyond that a
+    # hierarchical (two-level) exchange is needed.
+    n_parts = plan.n_parts
+    split_opts = _split_block.options(num_returns=n_parts) if n_parts > 1 else _split_block
+    shard_refs: list = []  # one entry per block: tuple/list of n_parts refs
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            refs = split_opts.remote(block_ref, plan_ref, group_col,
+                                     weight_col, n_parts)
+            shard_refs.append([refs] if n_parts == 1 else list(refs))
+    rec_refs = [
+        _encode_part.remote(
+            p, out_dir, sort_key, weight_col, opts.forced_codecs,
+            opts.resume, *[m[p] for m in shard_refs],
+        )
+        for p in range(n_parts)
+    ]
+    recs = [r for r in ray.get(rec_refs) if r]  # one small record per partition
     wall = time.time() - t0
     summary = {
         "n_partitions": len(recs),
@@ -237,6 +331,7 @@ def encode_dataset(
         "encoded_bytes": int(sum(r["encoded_bytes"] for r in recs)),
         "skipped_partitions": int(sum(bool(r["skipped"]) for r in recs)),
         "wall_s": wall,
+        "plan_s": plan_s,
         "plan": {"n_parts": plan.n_parts},
         "out_dir": out_dir,
     }

@@ -100,7 +100,12 @@ def write_tokens_dataset(
         n = min(rows_per_file, num_rows - start)
         # derive a per-file seed so files are independent and reproducible
         tbl = make_tokens_table(n, seed=seed + 1000 * file_idx)
-        pq.write_table(tbl, os.path.join(path, f"part-{file_idx:05d}.parquet"))
+        # small row groups so ray.data.read_parquet can split each file
+        # into many blocks (parallel read + downstream parallelism)
+        pq.write_table(
+            tbl, os.path.join(path, f"part-{file_idx:05d}.parquet"),
+            row_group_size=8192,
+        )
         file_idx += 1
     with open(done, "w") as f:
         f.write(f"rows={num_rows} seed={seed}\n")
