@@ -57,16 +57,25 @@ def pack(values: np.ndarray, num_bits: int) -> bytes:
     if n == 0 or num_bits == 0:
         return b""
     w = num_bits
-    v = np.asarray(values).astype(np.uint64, copy=False)
-    if w < 64:
-        v = v & np.uint64((1 << w) - 1)  # truncate wider values
+    # smallest container ≥ w: every chunk op is a right-shift or a
+    # low-byte mask, so high bits lost to container wraparound are never
+    # needed — and a u32/u16 container halves/quarters memory traffic vs
+    # u64 (encode is bandwidth-bound at high task concurrency)
+    ct = _container(w)
+    cw = ct.itemsize * 8
+    v = np.asarray(values)
+    if v.dtype != ct:
+        v = v.astype(ct, copy=False)  # wraps = the truncation semantics
+    if w < cw:
+        v = v & ct.type((1 << w) - 1)  # truncate values wider than w
     g = 8 // math.gcd(w, 8)             # values per repeating group
     nbytes_group = g * w // 8           # whole bytes per group
     ngroups = -(-n // g)
     if ngroups * g != n:
-        v = np.concatenate([v, np.zeros(ngroups * g - n, dtype=np.uint64)])
+        v = np.concatenate([v, np.zeros(ngroups * g - n, dtype=ct)])
     lanes = v.reshape(ngroups, g)
     out = np.zeros((ngroups, nbytes_group), dtype=np.uint8)
+    ff = ct.type(0xFF)
     for j in range(g):
         bit0 = j * w
         b0, s = bit0 >> 3, bit0 & 7
@@ -75,16 +84,23 @@ def pack(values: np.ndarray, num_bits: int) -> bytes:
         nb = (s + w + 7) >> 3
         for i in range(nb):
             if i == 0:
-                chunk = (col << np.uint64(s)) & np.uint64(0xFF)
+                chunk = (col << ct.type(s)) & ff
             else:
-                chunk = (col >> np.uint64(8 * i - s)) & np.uint64(0xFF)
+                # 8i−s ≤ w−1 < cw for every byte a value touches
+                chunk = (col >> ct.type(8 * i - s)) & ff
             out[:, b0 + i] |= chunk.astype(np.uint8)
     total = (n * w + 7) // 8
     return out.reshape(-1)[:total].tobytes()
 
 
-def unpack(packed: bytes | np.ndarray, num_bits: int, length: int) -> np.ndarray:
-    """Inverse of :func:`pack`; returns a uint64 array of ``length`` values.
+def unpack(packed: bytes | np.ndarray, num_bits: int, length: int,
+           dtype=None) -> np.ndarray:
+    """Inverse of :func:`pack`; returns an array of ``length`` values.
+
+    ``dtype``: output dtype (default uint64 for backward compatibility).
+    Pass the container dtype (e.g. uint32 for num_bits ≤ 32) to skip the
+    final widening copy — internally all lane ops already run in the
+    smallest container ≥ num_bits.
 
     Error semantics mirror the reference decoder
     (/root/reference/src/encoding/bitpacked/decode.rs:22-40): an empty
@@ -104,6 +120,8 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int) -> np.ndarray
             f"packed buffer has {buf.size * 8} bits; need {length * num_bits}"
         )
     w = num_bits
+    ct = _container(w)
+    cw = ct.itemsize * 8
     g = 8 // math.gcd(w, 8)
     nbytes_group = g * w // 8
     ngroups = -(-length // g)
@@ -111,16 +129,19 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int) -> np.ndarray
     if buf.size < need:
         buf = np.concatenate([buf, np.zeros(need - buf.size, dtype=np.uint8)])
     arr = buf[:need].reshape(ngroups, nbytes_group)
-    out = np.empty((ngroups, g), dtype=np.uint64)
-    mask = np.uint64((1 << w) - 1) if w < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = np.empty((ngroups, g), dtype=ct)
+    mask = ct.type((1 << w) - 1) if w < cw else ct.type(2**cw - 1)
     for j in range(g):
         bit0 = j * w
         b0, s = bit0 >> 3, bit0 & 7
         nb = (s + w + 7) >> 3
-        # accumulate pre-shifted by s so no shift ever reaches 64
-        # (w=63, s=7 would need an 8*8=64-bit shift otherwise)
-        acc = arr[:, b0].astype(np.uint64) >> np.uint64(s)
+        # accumulate pre-shifted by s so no shift ever reaches cw; bits a
+        # byte carries for NEIGHBOR values wrap out of the container or
+        # are cleared by the mask
+        acc = arr[:, b0].astype(ct) >> ct.type(s)
         for i in range(1, nb):
-            acc |= arr[:, b0 + i].astype(np.uint64) << np.uint64(8 * i - s)
+            acc |= arr[:, b0 + i].astype(ct) << ct.type(8 * i - s)
         out[:, j] = acc & mask
-    return out.reshape(-1)[:length]
+    flat = out.reshape(-1)[:length]
+    want = np.dtype(dtype) if dtype is not None else np.dtype(np.uint64)
+    return flat if flat.dtype == want else flat.astype(want)

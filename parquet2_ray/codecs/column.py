@@ -110,8 +110,15 @@ class EncodedColumn:
 # numeric value codecs: np int/float array (non-null) -> bytes
 def _enc_rle(v: np.ndarray) -> bytes:
     ref = int(v.min()) if len(v) else 0
-    residual = (v.astype(np.int64) - ref).astype(np.uint64)
-    nb = bits_needed(int(residual.max())) if len(v) else 0
+    rng = int(v.max()) - ref if len(v) else 0
+    if len(v) and v.dtype.itemsize <= 4 and rng < 2**31:
+        # stay in the narrow dtype (int32 tokens never touch int64)
+        residual = v - v.dtype.type(ref)
+        if np.issubdtype(residual.dtype, np.signedinteger):
+            residual = residual.view(np.dtype(f"<u{residual.dtype.itemsize}"))
+    else:
+        residual = (v.astype(np.int64) - ref).astype(np.uint64)
+    nb = bits_needed(rng) if len(v) else 0
     out = bytearray(zz_uleb_encode(ref))
     out += uleb_encode(nb)
     out += uleb_encode(len(v))

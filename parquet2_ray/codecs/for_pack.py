@@ -20,13 +20,23 @@ __all__ = ["encode", "decode"]
 
 
 def encode(values: np.ndarray) -> bytes:
-    v = np.asarray(values).astype(np.int64, copy=False)
+    v = np.asarray(values)
     n = len(v)
     if n == 0:
         return zz_uleb_encode(0) + uleb_encode(0) + uleb_encode(0)
     ref = int(v.min())
-    residual = (v - ref).astype(np.uint64)
-    num_bits = bitpack.bits_needed(int(residual.max()))
+    rng = int(v.max()) - ref
+    # stay in the input's (narrow) dtype when the residual range fits —
+    # int32 token arrays never touch an int64 temporary this way
+    if v.dtype.itemsize <= 4 and rng < 2**31:
+        residual = (v - v.dtype.type(ref)).view(
+            np.dtype(f"<u{v.dtype.itemsize}")
+        ) if np.issubdtype(v.dtype, np.signedinteger) else (
+            v - v.dtype.type(ref)
+        )
+    else:
+        residual = (v.astype(np.int64) - ref).astype(np.uint64)
+    num_bits = bitpack.bits_needed(rng)
     out = bytearray()
     out += zz_uleb_encode(ref)
     out += uleb_encode(num_bits)

@@ -57,7 +57,11 @@ def encode(values: np.ndarray, num_bits: int) -> bytes:
     n = len(values)
     if n == 0:
         return b""
-    v = np.asarray(values).astype(np.uint64, copy=False)
+    v = np.asarray(values)
+    if np.issubdtype(v.dtype, np.signedinteger):
+        # values are non-negative by contract; same-width unsigned view
+        # avoids an upcast copy (int32 token streams stay 4-byte)
+        v = v.view(np.dtype(f"<u{v.dtype.itemsize}"))
     if num_bits == 0:
         # all values are zero by definition; decoder emits zeros for an
         # empty buffer (reference mod.rs:238-249)
@@ -102,7 +106,7 @@ def encode(values: np.ndarray, num_bits: int) -> bytes:
             span = v[start : start + length]
             pad = (-length) % 8
             if pad:
-                span = np.concatenate([span, np.zeros(pad, dtype=np.uint64)])
+                span = np.concatenate([span, np.zeros(pad, dtype=span.dtype)])
             pieces.append(span)
             byte_offs.append(byte_offs[-1] + (len(span) // 8) * num_bits)
         packed = bitpack.pack(

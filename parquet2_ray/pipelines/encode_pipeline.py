@@ -51,7 +51,8 @@ import ray.data as rd
 from ..stages.encode import PART_COL, decode_partition_path, encode_partition_table
 from ..state import manifest as mf
 
-__all__ = ["EncodeOptions", "plan_partitions", "encode_dataset", "decode_dataset"]
+__all__ = ["EncodeOptions", "plan_partitions", "encode_dataset",
+           "decode_dataset", "prune_partitions"]
 
 
 @dataclass
@@ -72,6 +73,18 @@ class EncodeOptions:
     # blocks) which multiplies per-block exchange overhead; at real scale
     # the 128 MB-target default is right.
     read_num_blocks: int | None = None
+    # how many read blocks one split task coalesces before splitting.
+    # Read parallelism and shard granularity pull opposite ways: many
+    # small read blocks keep the (CPU-heavy) parquet read parallel, but
+    # shards per partition == split-task count, and per-shard object
+    # overhead in the encode task dominates past ~10 shards/partition
+    # (measured: 32 shards/part tripled encode core-seconds vs 8).
+    blocks_per_split: int = 4
+    # optional block compression of encoded payloads (zstd/lz4/...)
+    compression: str | None = None
+    # crash-durability of partition commits; disable only when the output
+    # store has its own durability (see state/manifest._atomic_write)
+    fsync: bool = True
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -213,10 +226,11 @@ def _ipc_bytes(tbl: pa.Table) -> bytes:
 
 
 @ray.remote
-def _split_block(block: pa.Table, plan: PartitionPlan, group_col, weight_col,
-                 n_parts: int):
-    """Exchange map side: split one block by part id into n_parts IPC
-    shards (None where the block has no rows for a part)."""
+def _split_block(plan: PartitionPlan, group_col, weight_col,
+                 n_parts: int, *blocks: pa.Table):
+    """Exchange map side: coalesce the given read blocks and split by
+    part id into n_parts IPC shards (None where there are no rows)."""
+    block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks)
     part = _part_ids(block, plan, group_col, weight_col)
     out: list = [None] * n_parts
     if block.num_rows:
@@ -233,7 +247,7 @@ def _split_block(block: pa.Table, plan: PartitionPlan, group_col, weight_col,
 
 @ray.remote
 def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
-                 forced_codecs, resume, *shards) -> dict:
+                 forced_codecs, resume, compression, fsync, *shards) -> dict:
     """Exchange reduce side: reassemble one partition from its shards and
     encode/commit it. Deterministic + atomic commit ⇒ safe under retry."""
     tables = [
@@ -252,6 +266,8 @@ def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
         weight_col=weight_col,
         forced_codecs=forced_codecs,
         resume=resume,
+        compression=compression,
+        fsync=fsync,
     )
     return rec.to_pylist()[0]
 
@@ -308,21 +324,51 @@ def encode_dataset(
     # hierarchical (two-level) exchange is needed.
     n_parts = plan.n_parts
     split_opts = _split_block.options(num_returns=n_parts) if n_parts > 1 else _split_block
-    shard_refs: list = []  # one entry per block: tuple/list of n_parts refs
+    shard_refs: list = []  # one entry per split task: list of n_parts refs
+    t_iter = time.time()
+    pending: list = []
+
+    def _flush():
+        if not pending:
+            return
+        refs = split_opts.remote(plan_ref, group_col, weight_col,
+                                 n_parts, *pending)
+        shard_refs.append([refs] if n_parts == 1 else list(refs))
+        pending.clear()
+
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            refs = split_opts.remote(block_ref, plan_ref, group_col,
-                                     weight_col, n_parts)
-            shard_refs.append([refs] if n_parts == 1 else list(refs))
+            pending.append(block_ref)
+            if len(pending) >= max(1, opts.blocks_per_split):
+                _flush()
+    _flush()
+    t_launch = time.time()
+    # barrier: every encode task consumes shards from EVERY split task, so
+    # no encode can start before the last split finishes — waiting here is
+    # free, and it keeps half a thousand tasks with unready args out of
+    # the scheduler (submitting them early measured 2.5× slower end-to-end)
+    flat = [r for m in shard_refs for r in m]
+    ray.wait(flat, num_returns=len(flat), fetch_local=False)
+    t_split_done = time.time()
     rec_refs = [
         _encode_part.remote(
             p, out_dir, sort_key, weight_col, opts.forced_codecs,
-            opts.resume, *[m[p] for m in shard_refs],
+            opts.resume, opts.compression, opts.fsync,
+            *[m[p] for m in shard_refs],
         )
         for p in range(n_parts)
     ]
+    t_submit = time.time()
     recs = [r for r in ray.get(rec_refs) if r]  # one small record per partition
-    wall = time.time() - t0
+    t_done = time.time()
+    wall = t_done - t0
+    phases = {
+        "plan_s": round(plan_s, 3),
+        "read_launch_s": round(t_launch - t_iter, 3),
+        "split_s": round(t_split_done - t_launch, 3),
+        "submit_s": round(t_submit - t_split_done, 3),
+        "encode_s": round(t_done - t_submit, 3),
+    }
     summary = {
         "n_partitions": len(recs),
         "n_rows": int(sum(r["n_rows"] for r in recs)),
@@ -332,6 +378,7 @@ def encode_dataset(
         "skipped_partitions": int(sum(bool(r["skipped"]) for r in recs)),
         "wall_s": wall,
         "plan_s": plan_s,
+        "phases": phases,
         "plan": {"n_parts": plan.n_parts},
         "out_dir": out_dir,
     }
@@ -339,10 +386,64 @@ def encode_dataset(
     return summary
 
 
-def decode_dataset(out_dir: str) -> rd.Dataset:
-    """Stream decoded partitions back as a Ray Dataset."""
+def prune_partitions(out_dir: str, key_values) -> list[str]:
+    """Manifest-level partition pruning: keep only partitions whose bloom
+    sketch might contain ANY of ``key_values`` (partitions without a
+    sketch are kept).  The analog of the reference's PageFilter predicate
+    pushdown (/root/reference/src/read/page/reader.rs:61) driven by the
+    A6 membership sketch — a driver-side O(partitions) probe, no data
+    read."""
+    import base64
+
+    from ..functions import bloom
+
     records = mf.load_manifest(out_dir)
-    paths = [r["path"] for r in records.values()]
+    h = bloom.hash_values(list(key_values))
+    keep = []
+    for r in records.values():
+        b64 = r.get("bloom")
+        if not b64:
+            keep.append(r["path"])
+            continue
+        if bloom.might_contain(base64.b64decode(b64), h).any():
+            keep.append(r["path"])
+    return keep
+
+
+def prune_partitions_by_range(out_dir: str, column: str,
+                              lo=None, hi=None) -> list[str]:
+    """Range predicate pushdown against the recorded per-partition
+    min/max statistics — the page-index pruning analog
+    (/root/reference/src/indexes/intervals.rs:62-84 `compute_rows` /
+    /root/reference/src/read/page/indexed_reader.rs:25-60).  Keeps a
+    partition when [min,max] of ``column`` overlaps [lo,hi]; partitions
+    with no recorded stats for the column are kept."""
+    records = mf.load_manifest(out_dir)
+    keep = []
+    for r in records.values():
+        prof = next((p for p in r.get("profiles", [])
+                     if p.get("column") == column), None)
+        if prof is None or prof.get("min") is None:
+            keep.append(r["path"])
+            continue
+        if (lo is not None and prof["max"] < lo) or \
+           (hi is not None and prof["min"] > hi):
+            continue
+        keep.append(r["path"])
+    return keep
+
+
+def decode_dataset(out_dir: str, key_values=None) -> rd.Dataset:
+    """Stream decoded partitions back as a Ray Dataset.
+
+    ``key_values``: optional iterable of key-column values — partitions
+    whose bloom sketch rules out every requested key are skipped at the
+    manifest, before any data is read."""
+    if key_values is not None:
+        paths = prune_partitions(out_dir, key_values)
+    else:
+        records = mf.load_manifest(out_dir)
+        paths = [r["path"] for r in records.values()]
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
 

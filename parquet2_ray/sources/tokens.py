@@ -86,27 +86,45 @@ def make_tokens_table(num_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
+def _write_tokens_file(path: str, file_idx: int, n: int, seed: int) -> str:
+    # derive a per-file seed so files are independent and reproducible
+    tbl = make_tokens_table(n, seed=seed + 1000 * file_idx)
+    # small row groups so ray.data.read_parquet can split each file
+    # into many blocks (parallel read + downstream parallelism)
+    out = os.path.join(path, f"part-{file_idx:05d}.parquet")
+    pq.write_table(tbl, out, row_group_size=8192)
+    return out
+
+
 def write_tokens_dataset(
     path: str, num_rows: int, seed: int = 42, rows_per_file: int = 50_000
 ) -> str:
     """Write the synthetic table as a multi-file parquet dataset (cached:
-    if the directory already exists with a _DONE marker, reuse it)."""
+    if the directory already exists with a _DONE marker, reuse it).
+
+    Generation is row-at-a-time Python (deterministic), so files are
+    produced in parallel with Ray tasks when a Ray runtime is up.
+    """
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
     os.makedirs(path, exist_ok=True)
+    jobs = []
     file_idx = 0
     for start in range(0, num_rows, rows_per_file):
-        n = min(rows_per_file, num_rows - start)
-        # derive a per-file seed so files are independent and reproducible
-        tbl = make_tokens_table(n, seed=seed + 1000 * file_idx)
-        # small row groups so ray.data.read_parquet can split each file
-        # into many blocks (parallel read + downstream parallelism)
-        pq.write_table(
-            tbl, os.path.join(path, f"part-{file_idx:05d}.parquet"),
-            row_group_size=8192,
-        )
+        jobs.append((file_idx, min(rows_per_file, num_rows - start)))
         file_idx += 1
+    try:
+        import ray
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray and len(jobs) > 1:
+        task = ray.remote(_write_tokens_file)
+        ray.get([task.remote(path, i, n, seed) for i, n in jobs])
+    else:
+        for i, n in jobs:
+            _write_tokens_file(path, i, n, seed)
     with open(done, "w") as f:
         f.write(f"rows={num_rows} seed={seed}\n")
     return path

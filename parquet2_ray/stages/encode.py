@@ -35,6 +35,8 @@ def encode_partition_table(
     weight_col: str | None = None,
     forced_codecs: dict[str, str] | None = None,
     resume: bool = True,
+    compression: str | None = None,
+    fsync: bool = True,
 ) -> pa.Table:
     """Encode one partition; returns a one-row manifest-record table.
 
@@ -72,11 +74,26 @@ def encode_partition_table(
     n_weight = 0
     if weight_col and weight_col in group.column_names:
         n_weight = int(pc.sum(group[weight_col]).as_py() or 0)
+    # per-partition membership sketch of the key column (SURVEY.md A6);
+    # probed by decode-side pruning (the T1 PageFilter analog)
+    bloom_b64 = None
+    bloom_col = sort_key[0] if isinstance(sort_key, list) else sort_key
+    if bloom_col and bloom_col in group.column_names and group.num_rows:
+        import base64
+
+        from ..functions import bloom
+
+        vals = group[bloom_col].to_pylist()
+        h = bloom.hash_values(vals)
+        bits = bloom.build(h, bloom.num_blocks_for(group.num_rows))
+        bloom_b64 = base64.b64encode(bits).decode()
     total_bytes = mf.write_partition_file(
         path,
         encoded,
         group.num_rows,
         extra={"part_id": part_id, "fingerprint": fp},
+        compression=compression,
+        fsync=fsync,
     )
     rec = {
         "part_id": part_id,
@@ -88,10 +105,12 @@ def encode_partition_table(
         "encoded_bytes": total_bytes,
         "codecs": codecs,
         "profiles": profiles,
+        "bloom_key": bloom_col if bloom_b64 else None,
+        "bloom": bloom_b64,
         "wall_s": time.time() - t0,
         "skipped": False,
     }
-    mf.commit_manifest_record(out_dir, rec)
+    mf.commit_manifest_record(out_dir, rec, fsync=fsync)
     return _record_table(rec)
 
 

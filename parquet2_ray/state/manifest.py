@@ -94,22 +94,54 @@ def _norm_type(t: pa.DataType) -> pa.DataType:
     return t
 
 
-def _atomic_write(path: str, data: bytes) -> None:
+def _atomic_write(path: str, data: bytes, fsync: bool = True) -> None:
+    """Atomic commit.  ``fsync=False`` skips crash-durability — only valid
+    when the output store provides its own (object storage with
+    checksummed upload) or for benchmarking: concurrent fsyncs on one
+    ext4 journal measured ~+0.35 s per partition commit at 16 writers."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
         f.flush()
-        os.fsync(f.fileno())
+        if fsync:
+            os.fsync(f.fileno())
     os.rename(tmp, path)
 
 
+_COMPRESSIONS = {"zstd", "lz4", "snappy", "gzip", "brotli"}
+
+
 def write_partition_file(
-    path: str, columns: list[EncodedColumn], num_rows: int, extra: dict | None = None
+    path: str, columns: list[EncodedColumn], num_rows: int,
+    extra: dict | None = None, compression: str | None = None,
+    fsync: bool = True,
 ) -> int:
-    """Write one encoded-partition container atomically. Returns bytes."""
+    """Write one encoded-partition container atomically. Returns bytes.
+
+    ``compression``: optional block compression applied per column payload
+    after the lightweight encoding — the reference's C1/C3
+    (/root/reference/src/compression.rs:28-130,
+    /root/reference/src/write/compression.rs:12-50). Off by default: the
+    north rule targets lightweight codecs; this is the opt-in flag.
+    """
+    codec = None
+    if compression:
+        if compression not in _COMPRESSIONS:
+            raise ValueError(f"unknown compression {compression!r}")
+        import pyarrow as _pa
+
+        codec = _pa.Codec(compression)
     body = bytearray()
     col_meta = []
     for c in columns:
+        payload = c.payload
+        meta = dict(c.meta)
+        if codec is not None:
+            compressed = codec.compress(payload, asbytes=True)
+            if len(compressed) < len(payload):  # keep only if it helps
+                meta["compression"] = compression
+                meta["uncompressed_size"] = len(payload)
+                payload = compressed
         col_meta.append(
             {
                 "name": c.name,
@@ -117,11 +149,11 @@ def write_partition_file(
                 "arrow_type": c.arrow_type,
                 "num_values": c.num_values,
                 "offset": len(body),
-                "size": len(c.payload),
-                "meta": c.meta,
+                "size": len(payload),
+                "meta": meta,
             }
         )
-        body += c.payload
+        body += payload
     footer = {
         "num_rows": num_rows,
         "columns": col_meta,
@@ -130,7 +162,7 @@ def write_partition_file(
     }
     fb = json.dumps(footer, separators=(",", ":")).encode()
     blob = bytes(body) + fb + len(fb).to_bytes(4, "little") + MAGIC
-    _atomic_write(path, blob)
+    _atomic_write(path, blob, fsync=fsync)
     return len(blob)
 
 
@@ -153,17 +185,31 @@ def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
         raise ValueError(f"{path}: bad magic")
     flen = int.from_bytes(blob[-8:-4], "little")
     footer = json.loads(blob[-8 - flen : -8])
-    cols = [
-        EncodedColumn(
-            name=m["name"],
-            codec=m["codec"],
-            arrow_type=m["arrow_type"],
-            num_values=m["num_values"],
-            payload=blob[m["offset"] : m["offset"] + m["size"]],
-            meta=m.get("meta", {}),
+    cols = []
+    for m in footer["columns"]:
+        payload = blob[m["offset"] : m["offset"] + m["size"]]
+        meta = m.get("meta", {})
+        comp = meta.get("compression")
+        if comp:
+            # reference C2/C4 decompress-at-read
+            # (/root/reference/src/compression.rs:134-225)
+            import pyarrow as _pa
+
+            payload = _pa.Codec(comp).decompress(
+                payload, meta["uncompressed_size"], asbytes=True
+            )
+            meta = {k: v for k, v in meta.items()
+                    if k not in ("compression", "uncompressed_size")}
+        cols.append(
+            EncodedColumn(
+                name=m["name"],
+                codec=m["codec"],
+                arrow_type=m["arrow_type"],
+                num_values=m["num_values"],
+                payload=payload,
+                meta=meta,
+            )
         )
-        for m in footer["columns"]
-    ]
     return footer, cols
 
 
@@ -173,10 +219,12 @@ def manifest_dir(out_dir: str) -> str:
     return d
 
 
-def commit_manifest_record(out_dir: str, record: dict) -> None:
+def commit_manifest_record(out_dir: str, record: dict,
+                           fsync: bool = True) -> None:
     d = manifest_dir(out_dir)
     path = os.path.join(d, f"part-{record['part_id']}.json")
-    _atomic_write(path, json.dumps(record, separators=(",", ":")).encode())
+    _atomic_write(path, json.dumps(record, separators=(",", ":")).encode(),
+                  fsync=fsync)
 
 
 def load_manifest_record(out_dir: str, part_id: str) -> dict | None:

@@ -1,0 +1,76 @@
+"""Block compression (SURVEY.md C1-C4) and the parquet-tools analog (S14)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet2_ray.codecs.column import EncodedColumn, decode_array, encode_array
+from parquet2_ray.state import manifest as mf
+
+
+def _cols(rng):
+    ints = pa.array(rng.integers(0, 1000, 5000), type=pa.int64())
+    strs = pa.array([f"doc-{i % 97:05d}" for i in range(5000)])
+    return [
+        encode_array("k", ints, "delta_binary_packed"),
+        encode_array("s", strs, "dict_binary"),
+    ], ints, strs
+
+
+@pytest.mark.parametrize("compression", ["zstd", "lz4", "gzip", "snappy", "brotli"])
+def test_partition_file_compression_roundtrip(tmp_path, rng, compression):
+    cols, ints, strs = _cols(rng)
+    path = str(tmp_path / "part.bin")
+    total = mf.write_partition_file(path, cols, 5000, compression=compression)
+    footer, read_cols = mf.read_partition_file(path)
+    assert footer["num_rows"] == 5000
+    assert decode_array(read_cols[0]).equals(ints)
+    assert decode_array(read_cols[1]).equals(strs)
+    # compressed container must not exceed the uncompressed one
+    path_u = str(tmp_path / "part_u.bin")
+    total_u = mf.write_partition_file(path_u, cols, 5000)
+    assert total <= total_u
+
+
+def test_compression_skipped_when_not_smaller(tmp_path, rng):
+    # incompressible payload: already-dense random bytes under dict codec
+    payload = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    col = EncodedColumn(name="b", codec="raw-test", arrow_type="binary",
+                        num_values=1, payload=payload)
+    path = str(tmp_path / "p.bin")
+    mf.write_partition_file(path, [col], 1, compression="zstd")
+    footer, cols = mf.read_partition_file(path)
+    assert cols[0].payload == payload
+    assert "compression" not in footer["columns"][0]["meta"]
+
+
+def test_unknown_compression_rejected(tmp_path, rng):
+    cols, _, _ = _cols(rng)
+    with pytest.raises(ValueError, match="unknown compression"):
+        mf.write_partition_file(str(tmp_path / "x.bin"), cols, 5000,
+                                compression="xz")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tools_cli(tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from parquet2_ray import tools
+    from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    src = tmp_path / "in.parquet"
+    pq.write_table(make_tokens_table(1000, seed=3), src)
+    out = str(tmp_path / "enc")
+    s = encode_dataset(str(src), out, EncodeOptions(target_weight=100_000))
+
+    assert tools.rowcount(out) == 1000
+    m = tools.meta(out)
+    assert m["n_rows"] == 1000
+    assert m["n_partitions"] == s["n_partitions"]
+    assert all(p["codecs"] for p in m["partitions"])
+    rows = tools.dump(out, limit=5)
+    assert len(rows) == 5 and "doc_id" in rows[0]
+
+    tools.main(["rowcount", out])
+    assert capsys.readouterr().out.strip() == "1000"
