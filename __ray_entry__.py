@@ -104,6 +104,22 @@ def q_roundtrip_embeddings(sf_dir: str):
     return _roundtrip(sf_dir, "embeddings", None, None, "vec_id")
 
 
+def q_roundtrip_compressed(sf_dir: str):
+    """Container-level block compression (SURVEY.md C1-C4) on top of the
+    lightweight encodings; decode must still be bit-identical."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+
+    out = _out_dir(sf_dir, "nation_zstd")
+    opts = EncodeOptions(group_col=None, weight_col=None, sort_key="n_nationkey",
+                         target_rows=10, compression="zstd")
+    encode_dataset(f"{sf_dir}/nation.parquet", out, opts)
+    return decode_dataset(out)
+
+
 def q_codec_dict_int(sf_dir: str):
     return _codec_roundtrip(sf_dir, "lineitem", "l_suppkey", "dict_rle")
 
@@ -314,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_roundtrip_lineitem": q_roundtrip_lineitem,
         "q_roundtrip_events": q_roundtrip_events,
         "q_roundtrip_embeddings": q_roundtrip_embeddings,
+        "q_roundtrip_compressed": q_roundtrip_compressed,
         "q_codec_dict_int": q_codec_dict_int,
         "q_codec_for_bitpack": q_codec_for_bitpack,
         "q_codec_delta": q_codec_delta,
@@ -366,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "q_roundtrip_lineitem": "SELECT * FROM lineitem",
         "q_roundtrip_events": "SELECT * FROM events",
         "q_roundtrip_embeddings": "SELECT * FROM embeddings",
+        "q_roundtrip_compressed": "SELECT * FROM nation",
         "q_codec_dict_int": "SELECT l_suppkey FROM lineitem",
         "q_codec_for_bitpack": "SELECT l_linenumber FROM lineitem",
         "q_codec_delta": "SELECT l_orderkey FROM lineitem",

@@ -134,10 +134,14 @@ def run_headline(tag: str, num_cpus: int) -> dict:
     # identical job at every parallelism level: fixed block count sized
     # for ~25 MB blocks (O(blocks × n_parts) shard objects stay bounded)
     # fsync=False: single-disk journal contention is a sandbox artifact —
-    # the production output store (object storage) has its own durability
+    # the production output store (object storage) has its own durability.
+    # target_weight scales with the corpus (≈256 partitions) the same way
+    # a 10^12-sequence job would size GB partitions, so per-partition
+    # overhead stays amortized at every bench size.
+    tw = max(2_000_000, BENCH_ROWS * 400 // 256)
     summary = encode_dataset(
         corpus, out,
-        EncodeOptions(target_weight=2_000_000, read_num_blocks=32,
+        EncodeOptions(target_weight=tw, read_num_blocks=32,
                       blocks_per_split=2, fsync=False),
     )
     wall = time.time() - t0

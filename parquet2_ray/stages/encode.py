@@ -105,6 +105,14 @@ def encode_partition_table(
         "encoded_bytes": total_bytes,
         "codecs": codecs,
         "profiles": profiles,
+        # ordering metadata (reference O1-O3: SortOrder / BoundaryOrder /
+        # dict is_sorted — /root/reference/src/metadata/sort.rs:18-94,
+        # /root/reference/src/parquet_bridge.rs:370-380): rows inside a
+        # partition are canonically sorted by sort_key; partition-level
+        # boundary order over the weight ranges is ascending by plan
+        "sort_key": sort_key if isinstance(sort_key, list) else (
+            [sort_key] if sort_key else []),
+        "boundary_order": "ascending" if sort_key else "unordered",
         "bloom_key": bloom_col if bloom_b64 else None,
         "bloom": bloom_b64,
         "wall_s": time.time() - t0,

@@ -123,3 +123,42 @@ def test_generic_table_without_token_schema(ray_session, tmp_path, rng):
     )
     assert summary["n_rows"] == n
     assert verify_against_source(tbl, out, key="k")
+
+
+def test_nullable_tokens_roundtrip(ray_session, tmp_path):
+    """FIXTURES.md F1 nullable variant: 5% of ``tokens`` entries null —
+    the reference's Optional (def-levels) path ↔ Arrow validity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    tbl = make_tokens_table(1200, seed=11)
+    rng = np.random.default_rng(0)
+    null_mask = rng.random(len(tbl)) < 0.05
+    tokens = tbl["tokens"].combine_chunks()
+    idx = pa.array(np.arange(len(tbl)), type=pa.int64(),
+                   mask=null_mask)  # null index → null element
+    nullable = tokens.take(idx)
+    assert nullable.null_count > 0
+    tbl = tbl.set_column(tbl.schema.get_field_index("tokens"), "tokens", nullable)
+    src = tmp_path / "nullable.parquet"
+    pq.write_table(tbl, src)
+
+    out = str(tmp_path / "enc")
+    encode_dataset(str(src), out, EncodeOptions(target_weight=150_000))
+    got = decode_dataset(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["tokens"].isna().sum() == want["tokens"].isna().sum() > 0
+    for g, w in zip(got["tokens"], want["tokens"]):
+        if w is None or (not isinstance(w, (list, np.ndarray)) and g is None):
+            assert g is None or (not isinstance(g, (list, np.ndarray)))
+        else:
+            assert np.array_equal(np.asarray(g), np.asarray(w))
