@@ -262,6 +262,13 @@ def _query_matrix(sf_dir: str) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in sel["embedding"].to_pylist()])
 
 
+def q_embed_neardup(sf_dir: str):
+    from parquet2_ray.stages.similarity import neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return neardup_pairs(ds, threshold=0.45)
+
+
 def q_ann_topk(sf_dir: str):
     from parquet2_ray.stages.similarity import ann_topk
 
@@ -277,6 +284,13 @@ def q_minhash_pairs(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_ngram_dedup(sf_dir: str):
+    from parquet2_ray.stages.dedup import verified_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return verified_neardup_pairs(ds, candidate_threshold=0.5, exact_threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
@@ -347,8 +361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_count": q_token_count,
         "q_char_stats": q_char_stats,
         "q_doc_md5": q_doc_md5,
+        "q_embed_neardup": q_embed_neardup,
         "q_ann_topk": q_ann_topk,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_ngram_dedup": q_ngram_dedup,
         "q_simhash": q_simhash,
         "q_lang_id": q_lang_id,
         "q_ann_lsh": q_ann_lsh,
@@ -398,6 +414,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
             "FROM documents GROUP BY source"
+        ),
+        "q_embed_neardup": (
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
         "q_filter_events": (
             "SELECT event_id, event_type, value FROM events "

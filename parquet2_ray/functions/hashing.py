@@ -43,6 +43,7 @@ def rolling_window_hashes(data: np.ndarray, k: int) -> np.ndarray:
     w = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
-    for i in range(1, k):
-        powers[i] = powers[i - 1] * _BASE  # wraps mod 2^64
-    return w @ powers
+    with np.errstate(over="ignore"):  # wrap mod 2^64 is the ring
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * _BASE
+        return w @ powers

@@ -209,3 +209,44 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def verified_neardup_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    candidate_threshold: float = 0.5,
+    exact_threshold: float = 0.5,
+) -> pa.Table:
+    """Two-stage near-dedup: MinHash+LSH candidates → exact k-shingle
+    Jaccard verification (the production shape: the cheap sketch prunes
+    the O(n²) space, the exact measure decides).
+
+    The candidate-pair set is small by construction, so verification
+    reads only the texts of candidate ids (filter pushed to the scan)
+    and runs driver-side.
+    """
+    cand = minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col, k=k, threshold=candidate_threshold
+    ).to_pandas()
+    if not len(cand):
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+    import pyarrow.compute as pc
+
+    texts = {}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        m = pc.is_in(batch[id_col], value_set=pa.array(need))
+        sel = batch.filter(m)
+        texts.update(zip(sel[id_col].to_pylist(), sel[text_col].to_pylist()))
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        j = ngram_jaccard(texts[a], texts[b], k)
+        if j >= exact_threshold:
+            out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
+    return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                     "id_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})

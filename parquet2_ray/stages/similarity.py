@@ -137,3 +137,50 @@ def lsh_bucketed_topk(
 
     pruned = ds.map_batches(filter_buckets, batch_format="pyarrow")
     return ann_topk(pruned, queries, query_ids, k, emb_col, id_col)
+
+
+def neardup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.45,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id) with
+    cosine(a, b) ≥ threshold and a_id < b_id.  Exact variant.
+
+    Broadcast pattern: the full normalized matrix is put in the object
+    store ONCE (the embedding table is the small side of the join vs the
+    document corpus it indexes) and every batch does one float64 matmul
+    against it — no shuffle.  For corpora where the matrix itself is too
+    big to broadcast, :func:`lsh_bucketed_topk`'s hyperplane bucketing is
+    the scale path (bucket groupby, within-bucket pairwise).
+    """
+    full = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+    import pyarrow as _pa
+
+    tables = [t if isinstance(t, _pa.Table) else ray.get(t) for t in full]
+    tbl = _pa.concat_tables(tables).combine_chunks()
+    m = _batch_matrix(tbl, emb_col)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    all_ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    ref = ray.put((mn, all_ids))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        mat, ids_all = ray.get(ref)
+        b = _batch_matrix(batch, emb_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bn = np.linalg.norm(b, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (b / bn[:, None]) @ mat.T  # (batch, N)
+        rows, cols = np.nonzero(sims >= threshold)
+        a = ids[rows]
+        bid = ids_all[cols]
+        keep = a < bid  # each unordered pair emitted exactly once
+        return pa.table({
+            "a_id": pa.array(a[keep], type=pa.int64()),
+            "b_id": pa.array(bid[keep], type=pa.int64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

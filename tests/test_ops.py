@@ -204,3 +204,43 @@ def test_multimodal_stubs(ray_session):
     assert (frames["frame_idx"] % 10 == 0).all()
     with pytest.raises(NotImplementedError):
         ImageDecode(backend="real")
+
+
+def test_embed_neardup_pairs(ray_session):
+    import ray.data as rd
+
+    from parquet2_ray.stages.similarity import neardup_pairs
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = neardup_pairs(ds, threshold=0.45).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["a_id"] < pairs["b_id"]).all()
+    assert not pairs.duplicated(["a_id", "b_id"]).any()
+    # absurd threshold finds nothing
+    empty = neardup_pairs(ds, threshold=0.999).to_pandas()
+    assert len(empty) == 0
+
+
+def test_verified_neardup_pairs(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from parquet2_ray.stages.dedup import verified_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = {
+        "doc_id": list(range(6)),
+        "text": [base, base + "tail", "completely different text here " * 8,
+                 base, "another unrelated document body " * 8, base + " tail2"],
+    }
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table(rows), src)
+    ds = rd.read_parquet(str(src))
+    got = verified_neardup_pairs(ds, candidate_threshold=0.4,
+                                 exact_threshold=0.6).to_pandas()
+    found = {tuple(p) for p in got[["id_a", "id_b"]].to_numpy()}
+    assert (0, 3) in found  # exact dupes must survive verification
+    assert all(a < b for a, b in found)
+    assert (got["jaccard"] >= 0.6).all()
