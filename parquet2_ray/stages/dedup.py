@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
@@ -124,60 +125,87 @@ def minhash_lsh_pairs(
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
 
-    shingle→minhash→band→bucket-groupby (ray_guide.md near-dup recipe).
+    shingle→minhash→band→bucket (ray_guide.md near-dup recipe).  The
+    EXPENSIVE stage — shingling + num_perm permutation mins over the
+    text bytes — runs distributed in ``map_batches``.  The resulting
+    sketch table is tiny (num_perm+bands u64 per doc ≈ 640 B), so bucket
+    pairing runs vectorized on the gathered sketch: per band, argsort the
+    bucket hashes, pair ids inside equal-hash runs, then verify by
+    full-signature agreement.  PARTITIONING ASSUMPTION: the sketch table
+    fits one node (≈ 0.6 GB per 10^6 docs); beyond ~10^8 docs the pairing
+    step must become a hash-shuffle groupby on (band, bucket-hash).
     Pairs are verified by full-signature agreement before being emitted.
     """
     rows_per_band = num_perm // bands
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def to_sketch(batch: pa.Table) -> pa.Table:
         sig_tbl = minhash_signatures_batch(batch, text_col, id_col, k, num_perm, seed)
         sigs = np.asarray(sig_tbl["sig"].combine_chunks().values).reshape(-1, num_perm)
         n = len(sig_tbl)
         band_hashes = np.empty((n, bands), dtype=np.uint64)
-        for b_i in range(bands):
-            chunk = sigs[:, b_i * rows_per_band : (b_i + 1) * rows_per_band]
-            h = np.uint64(14695981039346656037)
-            for c in range(rows_per_band):
-                h = (h ^ chunk[:, c]) * np.uint64(1099511628211)
-            band_hashes[:, b_i] = h
-        ids = sig_tbl[id_col].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            for b_i in range(bands):
+                chunk = sigs[:, b_i * rows_per_band : (b_i + 1) * rows_per_band]
+                h = np.full(n, 14695981039346656037, dtype=np.uint64)
+                for c in range(rows_per_band):
+                    h = (h ^ chunk[:, c]) * np.uint64(1099511628211)
+                band_hashes[:, b_i] = h
         return pa.table(
             {
-                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
-                "bh": pa.array(band_hashes.T.ravel()),
-                id_col: pa.array(np.tile(ids, bands)),
-                "sig": pa.concat_arrays([sig_tbl["sig"].combine_chunks()] * bands),
+                id_col: sig_tbl[id_col],
+                "bands": pa.array(list(band_hashes), type=pa.list_(pa.uint64())),
+                "sig": sig_tbl["sig"],
             }
         )
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    sketch_parts = ds.map_batches(to_sketch, batch_format="pyarrow").to_arrow_refs()
+    tables = [t if isinstance(t, pa.Table) else ray.get(t) for t in sketch_parts]
+    tables = [t for t in tables if t.num_rows]  # empty blocks may carry null-typed schemas
+    if not tables:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64()),
+                                       "est_jaccard": pa.array([], pa.float64())}))
+    sk = pa.concat_tables(tables).combine_chunks()
+    n = sk.num_rows
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    if n < 2:
+        return rd.from_arrow(empty)
+    ids = sk[id_col].to_numpy(zero_copy_only=False)
+    bh = np.asarray(sk["bands"].combine_chunks().values).reshape(n, bands)
+    sigs = np.asarray(sk["sig"].combine_chunks().values).reshape(n, num_perm)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
-            )
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(g)):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(agree >= threshold)
-            out_a.extend([ids[i]] * len(hit))
-            out_b.extend(ids[i + 1 + hit])
-            out_j.extend(agree[hit])
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "est_jaccard": out_j}
-        ).astype({"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"})
-
-    pairs = banded.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pandas")
-
-    # a pair can surface in several bands — dedup on (id_a, id_b)
-    def drop_dupes(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates(subset=["id_a", "id_b"])
-
-    return pairs.groupby("id_a").map_groups(drop_dupes, batch_format="pandas")
+    cand_a: list[np.ndarray] = []
+    cand_b: list[np.ndarray] = []
+    for b_i in range(bands):
+        order = np.argsort(bh[:, b_i], kind="stable")
+        h = bh[order, b_i]
+        # runs of equal bucket hash → all intra-run pairs
+        boundary = np.flatnonzero(np.diff(h) != 0) + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [n]])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            members = np.sort(order[s:e])
+            ii, jj = np.triu_indices(len(members), k=1)
+            cand_a.append(members[ii])
+            cand_b.append(members[jj])
+    if not cand_a:
+        return rd.from_arrow(empty)
+    a_idx = np.concatenate(cand_a)
+    b_idx = np.concatenate(cand_b)
+    uniq = np.unique(np.stack([a_idx, b_idx], axis=1), axis=0)
+    a_idx, b_idx = uniq[:, 0], uniq[:, 1]
+    est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+    keep = est >= threshold
+    out = pa.table({
+        "id_a": pa.array(np.minimum(ids[a_idx[keep]], ids[b_idx[keep]]), type=pa.int64()),
+        "id_b": pa.array(np.maximum(ids[a_idx[keep]], ids[b_idx[keep]]), type=pa.int64()),
+        "est_jaccard": pa.array(est[keep], type=pa.float64()),
+    })
+    return rd.from_arrow(out)
 
 
 def simhash_batch(
