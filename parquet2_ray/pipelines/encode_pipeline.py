@@ -91,12 +91,13 @@ def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
                  sample_per_batch: int = 256) -> pa.Table:
     """Per-batch partial aggregate: (source, rows, weight_sum, weight sample)."""
     n = batch.num_rows
-    if group_col is None:
+    gcol = batch[group_col].combine_chunks() if group_col is not None else None
+    if gcol is None or pa.types.is_null(gcol.type) or gcol.null_count == n:
         groups = np.zeros(n, dtype=np.int64)
         keys = [""]
         codes = groups
     else:
-        enc = pc.dictionary_encode(batch[group_col].combine_chunks())
+        enc = pc.dictionary_encode(gcol)
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         keys = [str(v) for v in enc.dictionary.to_pylist()]
     w = (
@@ -178,7 +179,10 @@ def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
         base[key] = next_id
         edges[key] = e
         next_id += len(e) + 1
-    return PartitionPlan(base=base, edges=edges, n_parts=next_id)
+    # rows whose group value is NULL are invisible to the light pass and
+    # route to partition 0 in _part_ids — the plan must always have ≥1
+    # partition or an all-null group column would drop every row
+    return PartitionPlan(base=base, edges=edges, n_parts=max(1, next_id))
 
 
 def _part_ids(batch: pa.Table, plan: PartitionPlan, group_col: str | None,
@@ -186,11 +190,14 @@ def _part_ids(batch: pa.Table, plan: PartitionPlan, group_col: str | None,
     """Vectorized (source, weight-range) → partition id per row."""
     n = batch.num_rows
     part = np.zeros(n, dtype=np.int32)
-    if group_col is not None:
-        enc = pc.dictionary_encode(batch[group_col].combine_chunks())
+    col = batch[group_col].combine_chunks() if group_col is not None else None
+    if col is not None and not pa.types.is_null(col.type) and col.null_count < n:
+        enc = pc.dictionary_encode(col)
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         keys = [str(v) for v in enc.dictionary.to_pylist()]
     else:
+        # no group column, or it is entirely null (null rows default to
+        # partition 0 — they are invisible to the plan's light pass)
         codes = np.zeros(n, dtype=np.int64)
         keys = [""]
     w = (
@@ -230,10 +237,11 @@ def _split_block(plan: PartitionPlan, group_col, weight_col,
                  n_parts: int, *blocks: pa.Table):
     """Exchange map side: coalesce the given read blocks and split by
     part id into n_parts IPC shards (None where there are no rows)."""
-    block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks)
-    part = _part_ids(block, plan, group_col, weight_col)
+    blocks = [b for b in blocks if b.num_rows]
     out: list = [None] * n_parts
-    if block.num_rows:
+    if blocks:
+        block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks)
+        part = _part_ids(block, plan, group_col, weight_col)
         order = np.argsort(part, kind="stable")
         tbl = block.take(pa.array(order))
         sorted_part = part[order]

@@ -162,3 +162,41 @@ def test_nullable_tokens_roundtrip(ray_session, tmp_path):
             assert g is None or (not isinstance(g, (list, np.ndarray)))
         else:
             assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_edge_inputs_roundtrip(ray_session, tmp_path):
+    """Empty table, single row, and an all-null column through the full
+    pipeline (reference edge semantics: zero-value pages, Optional path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+
+    # single row with an all-null string column
+    tbl = pa.table({
+        "doc_id": pa.array(["only/one"]),
+        "tokens": pa.array([[1, 2, 3]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([3], type=pa.int32()),
+        "source": pa.array([None], type=pa.string()),
+    })
+    src = tmp_path / "one.parquet"
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "enc1")
+    s = encode_dataset(str(src), out, EncodeOptions())
+    assert s["n_rows"] == 1
+    got = decode_dataset(out).to_pandas()
+    assert len(got) == 1 and got["source"].isna().all()
+    assert np.array_equal(np.asarray(got["tokens"][0]), [1, 2, 3])
+
+    # empty table
+    empty = tbl.slice(0, 0)
+    src2 = tmp_path / "empty.parquet"
+    pq.write_table(empty, src2)
+    out2 = str(tmp_path / "enc2")
+    s2 = encode_dataset(str(src2), out2, EncodeOptions())
+    assert s2["n_rows"] == 0
