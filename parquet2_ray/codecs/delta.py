@@ -102,14 +102,63 @@ def encode(
         idx = offs[sel][:, None] + np.arange(packed.shape[1])[None, :]
         payload_all[idx.ravel()] = packed.ravel()
 
-    mv = memoryview(payload_all)
-    pieces: list = [bytes(out)]
-    widths_rows = bw.tobytes()
-    for b in range(nblocks):
-        pieces.append(zz_uleb_encode(int(mins[b])))
-        pieces.append(widths_rows[b * miniblocks : (b + 1) * miniblocks])
-        pieces.append(mv[offs[b * miniblocks] : offs[(b + 1) * miniblocks]])
-    return b"".join(pieces)
+    # Fully vectorized stream assembly (a Python loop over blocks costs
+    # more than the packing itself at 32k+ blocks): zigzag-varint all the
+    # per-block min_deltas at once, compute every block's byte offset,
+    # then scatter headers / width lists / payloads with whole-array ops.
+    hdr, hlen = _zz_uleb_many(mins)
+    psize = np.add.reduceat(sizes, np.arange(0, len(sizes), miniblocks))
+    block_bytes = hlen + miniblocks + psize
+    block_off = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(block_bytes, out=block_off[1:])
+    head = bytes(out)
+    buf = np.zeros(len(head) + int(block_off[-1]), dtype=np.uint8)
+    buf[: len(head)] = np.frombuffer(head, dtype=np.uint8)
+    base = len(head) + block_off[:-1]
+    for i in range(hdr.shape[1]):          # ≤10 varint byte positions
+        m = hlen > i
+        if not m.any():
+            break
+        buf[base[m] + i] = hdr[m, i]
+    wpos = base + hlen
+    for m_i in range(miniblocks):
+        buf[wpos + m_i] = bw[:, m_i]
+    if len(payload_all):
+        dst_start = wpos + miniblocks
+        seg = psize
+        starts0 = np.zeros(nblocks, dtype=np.int64)
+        np.cumsum(seg, out=starts0)
+        starts0 = np.concatenate([[0], starts0[:-1]])
+        rep_start = np.repeat(dst_start, seg)
+        rep_base = np.repeat(starts0, seg)
+        dest = rep_start + (np.arange(len(payload_all)) - rep_base)
+        buf[dest] = payload_all
+    return buf.tobytes()
+
+
+def _zz_uleb_many(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized zigzag + ULEB128 of an int64 array.
+
+    Returns ``(byte_matrix (n,10), lengths (n,))`` — byte i carries the
+    continuation bit iff more bytes follow (same wire bytes as
+    :func:`..uleb.zz_uleb_encode`, reference zigzag semantics
+    /root/reference/src/encoding/zigzag_leb128.rs:5-15)."""
+    v = np.asarray(vals, dtype=np.int64)
+    zz = ((v.astype(np.uint64) << np.uint64(1)) ^
+          (v >> np.int64(63)).astype(np.uint64))
+    n = len(v)
+    out = np.zeros((n, 10), dtype=np.uint8)
+    lens = np.ones(n, dtype=np.int64)
+    cur = zz.copy()
+    for i in range(10):
+        out[:, i] = (cur & np.uint64(0x7F)).astype(np.uint8)
+        cur >>= np.uint64(7)
+        more = cur != 0
+        if not more.any():
+            break
+        out[more, i] |= 0x80
+        lens[more] = i + 2
+    return out, lens
 
 
 def decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
