@@ -1,36 +1,38 @@
-"""FSST-style symbol-table string compression (simplified).
+"""FSST-style symbol-table string compression, fully vectorized.
 
 FSST (Boncz, Neumann, Leis — "FSST: Fast Random Access String
 Compression", VLDB 2020) replaces frequent 1-8 byte substrings with
-1-byte codes; code 255 is an escape prefix for literal bytes. The
+1-byte codes; code 255 is an escape prefix for one literal byte. The
 reference (parquet2) does not implement FSST — the north rule adds it
-for string columns (SURVEY.md E17).
+for string columns (SURVEY.md E17). Reimplemented from the paper's
+public description only.
 
-This is a simplified, deterministic reimplementation of the published
-idea, built from the paper's public description only:
-
-- ``train`` runs BPE-style iterations on a sample: encode the sample
-  with the current table, count adjacent symbol-pair frequencies, keep
-  the 255 highest-gain symbols (gain = (len-1) × freq), repeat.
-- ``encode`` greedily matches the longest symbol at each position
-  (symbols indexed by their first byte).
-- Escape: 0xFF followed by the literal byte.
-
-Wire format:
+Wire format (unchanged from round 1):
 
     uleb(n_symbols) [uleb(len) bytes]*   # symbol table
     uleb(payload_len) payload            # code stream
 
-The encoder walks the byte stream in Python — acceptable because the
-auto-selector only picks FSST when a sampled gain estimate beats the
-vectorized alternatives, and string columns are small next to the token
-payload. The symbol table is trained once per partition / actor
-(SURVEY.md ST5), never per batch.
+Vectorization strategy (the round-1 encoder was a per-byte Python loop
+at ~0.15 MB/s — VERDICT.md "What's wrong" #1):
+
+- *Match table*: symbols are packed little-endian into uint64 values
+  grouped by length; for every input position one 8-byte window word is
+  assembled (8 shifted adds), then 8 ``searchsorted`` probes find the
+  longest matching symbol per position — all O(n) NumPy.
+- *Parse*: greedy longest-match has a sequential dependency (the match
+  at position i determines position i+1), but ANY parse whose symbol
+  concatenation reproduces the input is a valid FSST stream. We force
+  parse boundaries every ``CHUNK`` bytes and walk all chunks in
+  lockstep: each Python-level step advances every active chunk by one
+  token with whole-array gathers. Python iterations = max tokens in one
+  chunk (~CHUNK/avg_len), independent of input size.
+- *Decode*: which code bytes are escapes follows from runs of 0xFF —
+  inside a run the escapes sit at alternating offsets, and the phase of
+  each run is the running parity of previous run lengths (a cumsum).
+  Everything else is repeat/cumsum gathers.
 """
 
 from __future__ import annotations
-
-from collections import Counter
 
 import numpy as np
 
@@ -41,22 +43,42 @@ __all__ = ["train", "encode", "decode", "SymbolTable"]
 ESCAPE = 0xFF
 MAX_SYMBOLS = 255
 MAX_SYMBOL_LEN = 8
+CHUNK = 512  # forced parse boundary; bounds the lockstep step count
+
+_SHIFTS = np.arange(8, dtype=np.uint64) * np.uint64(8)
+_LEN_MASKS = np.array(
+    [0] + [(1 << (8 * L)) - 1 for L in range(1, 8)] + [np.iinfo(np.uint64).max],
+    dtype=np.uint64,
+)
+
+
+def _pack_le(sym: bytes) -> int:
+    """Little-endian packing of ≤8 bytes into an int (low byte first)."""
+    return int.from_bytes(sym.ljust(8, b"\x00"), "little")
 
 
 class SymbolTable:
-    """Immutable trained symbol table with a first-byte index."""
+    """Immutable trained symbol table with vectorized match tables."""
 
     def __init__(self, symbols: list[bytes]):
         if len(symbols) > MAX_SYMBOLS:
             raise ValueError("too many symbols")
         self.symbols = symbols
-        self.code_of = {s: i for i, s in enumerate(symbols)}
-        # first byte → symbols sorted by length desc (greedy longest match)
-        self.by_first: dict[int, list[tuple[bytes, int]]] = {}
-        for s, i in self.code_of.items():
-            self.by_first.setdefault(s[0], []).append((s, i))
-        for lst in self.by_first.values():
-            lst.sort(key=lambda t: -len(t[0]))
+        # decode table: 256×8 byte matrix + per-code lengths
+        self.sym_matrix = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
+        self.sym_lens = np.ones(256, dtype=np.int64)  # escape/unused rows: 1
+        for i, s in enumerate(symbols):
+            b = np.frombuffer(s, dtype=np.uint8)
+            self.sym_matrix[i, : len(s)] = b
+            self.sym_lens[i] = len(s)
+        # encode tables: per length L, sorted packed values + their codes
+        self._by_len_vals: list[np.ndarray] = []
+        self._by_len_codes: list[np.ndarray] = []
+        for L in range(MAX_SYMBOL_LEN + 1):
+            vals = [(_pack_le(s), i) for i, s in enumerate(symbols) if len(s) == L]
+            vals.sort()
+            self._by_len_vals.append(np.array([v for v, _ in vals], dtype=np.uint64))
+            self._by_len_codes.append(np.array([c for _, c in vals], dtype=np.uint8))
 
     def serialize(self) -> bytes:
         out = bytearray(uleb_encode(len(self.symbols)))
@@ -76,74 +98,89 @@ class SymbolTable:
         return cls(symbols), pos
 
 
-def _encode_with(table: SymbolTable, data: bytes) -> bytearray:
-    out = bytearray()
-    by_first = table.by_first
-    pos = 0
-    n = len(data)
-    while pos < n:
-        cands = by_first.get(data[pos])
-        if cands:
-            for sym, code in cands:
-                if data.startswith(sym, pos):
-                    out.append(code)
-                    pos += len(sym)
-                    break
-            else:
-                out.append(ESCAPE)
-                out.append(data[pos])
-                pos += 1
-        else:
-            out.append(ESCAPE)
-            out.append(data[pos])
-            pos += 1
+def _tokenize(
+    table: SymbolTable, d: np.ndarray, chunk: int = CHUNK
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse ``d`` into tokens; returns (code, is_escape, literal) per
+    token in stream order. Escape tokens emit (0xFF, literal).
+
+    Matches are probed lazily at the positions the lockstep walk
+    actually visits (~n / avg_symbol_len of them), never at every byte.
+    Matches may not cross a chunk boundary or the end of the buffer, so
+    the concatenated per-chunk token streams decode to exactly ``d``.
+    """
+    n = d.size
+    empty = np.empty(0, dtype=np.uint8)
+    if n == 0:
+        return empty, np.empty(0, dtype=bool), empty
+    padded = np.zeros(n + 7, dtype=np.uint8)
+    padded[:n] = d
+    lengths_desc = [
+        L for L in range(MAX_SYMBOL_LEN, 0, -1) if table._by_len_vals[L].size
+    ]
+
+    n_chunks = (n + chunk - 1) // chunk
+    pos = np.arange(n_chunks, dtype=np.int64) * chunk
+    ends = np.minimum(pos + chunk, n)
+    active = np.arange(n_chunks, dtype=np.int64)
+    rows_parts: list[np.ndarray] = []
+    code_parts: list[np.ndarray] = []
+    esc_parts: list[np.ndarray] = []
+    lit_parts: list[np.ndarray] = []
+    while active.size:
+        p = pos[active]
+        w = np.zeros(p.size, dtype=np.uint64)
+        for j in range(8):
+            w |= padded[p + j].astype(np.uint64) << _SHIFTS[j]
+        room = ends[active] - p  # bytes left before the parse boundary
+        L_here = np.zeros(p.size, dtype=np.int64)
+        code_here = np.full(p.size, ESCAPE, dtype=np.uint8)
+        for L in lengths_desc:  # first (longest) hit wins
+            cand = np.flatnonzero((L_here == 0) & (room >= L))
+            if cand.size == 0:
+                continue
+            vals = table._by_len_vals[L]
+            wL = w[cand] & _LEN_MASKS[L]
+            idx = np.minimum(np.searchsorted(vals, wL), vals.size - 1)
+            hit = vals[idx] == wL
+            if hit.any():
+                hit_pos = cand[hit]
+                L_here[hit_pos] = L
+                code_here[hit_pos] = table._by_len_codes[L][idx[hit]]
+        esc = L_here == 0
+        rows_parts.append(active)
+        code_parts.append(code_here)
+        esc_parts.append(esc)
+        lit_parts.append(d[p])
+        pos[active] = p + np.maximum(L_here, 1)
+        active = active[pos[active] < ends[active]]
+    rows = np.concatenate(rows_parts)
+    order = np.argsort(rows, kind="stable")  # (chunk, step) → stream order
+    return (
+        np.concatenate(code_parts)[order],
+        np.concatenate(esc_parts)[order],
+        np.concatenate(lit_parts)[order],
+    )
+
+
+def _encode_payload(table: SymbolTable, d: np.ndarray, chunk: int = CHUNK) -> np.ndarray:
+    code, esc, lit = _tokenize(table, d, chunk)
+    nbytes = 1 + esc.astype(np.int64)
+    starts = np.zeros(code.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=starts[1:])
+    out = np.empty(starts[-1], dtype=np.uint8)
+    out[starts[:-1]] = code
+    out[starts[:-1][esc] + 1] = lit[esc]
     return out
-
-
-def train(sample: bytes, iterations: int = 3) -> SymbolTable:
-    """Train a symbol table on a sample buffer (deterministic)."""
-    if not sample:
-        return SymbolTable([])
-    # iteration 0: single bytes by frequency
-    counts = Counter(sample)
-    symbols = [bytes([b]) for b, _ in counts.most_common(MAX_SYMBOLS)]
-    table = SymbolTable(symbols)
-    for _ in range(iterations):
-        codes = _encode_with(table, sample)
-        # decode stream into symbol sequence to count adjacent pairs
-        seq: list[bytes] = []
-        i = 0
-        while i < len(codes):
-            c = codes[i]
-            if c == ESCAPE:
-                seq.append(bytes([codes[i + 1]]))
-                i += 2
-            else:
-                seq.append(table.symbols[c])
-                i += 1
-        pair_counts: Counter[bytes] = Counter()
-        for a, b in zip(seq, seq[1:]):
-            merged = a + b
-            if len(merged) <= MAX_SYMBOL_LEN:
-                pair_counts[merged] += 1
-        single_counts = Counter(seq)
-        gains: Counter[bytes] = Counter()
-        for s, c in single_counts.items():
-            gains[s] += (len(s) - 1) * c + c  # saving vs escaped literals
-        for s, c in pair_counts.items():
-            gains[s] += (len(s) - 1) * c
-        # deterministic: sort by (-gain, symbol)
-        best = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_SYMBOLS]
-        table = SymbolTable([s for s, _ in best])
-    return table
 
 
 def encode(table: SymbolTable, data: bytes) -> bytes:
     """Encode a byte buffer: table + uleb(len) + code stream."""
-    payload = _encode_with(table, data)
+    d = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    payload = _encode_payload(table, d)
     out = bytearray(table.serialize())
-    out += uleb_encode(len(payload))
-    out += payload
+    out += uleb_encode(payload.size)
+    out += payload.tobytes()
     return bytes(out)
 
 
@@ -151,15 +188,127 @@ def decode(buf: bytes) -> bytes:
     table, pos = SymbolTable.deserialize(buf, 0)
     n, pos = uleb_decode(buf, pos)
     codes = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
-    out_parts: list[bytes] = []
-    i = 0
-    symbols = table.symbols
-    while i < len(codes):
-        c = codes[i]
-        if c == ESCAPE:
-            out_parts.append(bytes([codes[i + 1]]))
-            i += 2
-        else:
-            out_parts.append(symbols[c])
-            i += 1
-    return b"".join(out_parts)
+    if n == 0:
+        return b""
+    # --- classify positions: escape marker / literal / symbol code ----
+    is_ff = codes == ESCAPE
+    is_escape = np.zeros(n, dtype=bool)
+    if is_ff.any():
+        # runs of consecutive 0xFF bytes
+        padded = np.concatenate([[False], is_ff, [False]])
+        d = np.diff(padded.astype(np.int8))
+        run_starts = np.flatnonzero(d == 1)
+        run_ends = np.flatnonzero(d == -1)
+        run_lens = run_ends - run_starts
+        # a maximal 0xFF run always begins at a token start (a literal's
+        # escape byte sits immediately before it, i.e. inside the run),
+        # so escapes sit at offsets 0, 2, 4, … of every run; an odd run
+        # makes the following non-FF byte a literal (handled below).
+        n_esc = (run_lens + 1) // 2
+        tok = np.repeat(np.arange(run_lens.size), n_esc)
+        local = (
+            np.arange(int(n_esc.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(n_esc)])[:-1], n_esc)
+        )
+        esc_pos = run_starts[tok] + 2 * local
+        is_escape[esc_pos] = True
+    is_literal = np.zeros(n, dtype=bool)
+    esc_idx = np.flatnonzero(is_escape)
+    is_literal[np.minimum(esc_idx + 1, n - 1)] = True  # well-formed streams never truncate
+    # --- emit: literals (1 byte) + symbol codes (sym_lens bytes) -------
+    tok_pos = np.flatnonzero(~is_escape)
+    tok_codes = codes[tok_pos]
+    tok_lit = is_literal[tok_pos]
+    lens = np.where(tok_lit, 1, table.sym_lens[tok_codes])
+    starts = np.zeros(tok_pos.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    total = int(starts[-1])
+    rec = np.repeat(np.arange(tok_pos.size, dtype=np.int64), lens)
+    col = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
+    out = table.sym_matrix[tok_codes[rec], col]
+    lit_rec = tok_lit[rec]
+    out[lit_rec] = tok_codes[rec][lit_rec]
+    return out.tobytes()
+
+
+# ------------------------------------------------------------------ training
+
+
+def _count_pairs(
+    vals: np.ndarray, lens: np.ndarray, same_chunk: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merged (val, len, count) of adjacent token pairs ≤ 8 bytes."""
+    if vals.size < 2:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    mlen = lens[:-1] + lens[1:]
+    ok = (mlen <= MAX_SYMBOL_LEN) & same_chunk
+    mval = vals[:-1] | (vals[1:] << (np.uint64(8) * lens[:-1].astype(np.uint64)))
+    mval, mlen = mval[ok], mlen[ok]
+    order = np.lexsort((mlen, mval))
+    mval, mlen = mval[order], mlen[order]
+    bound = np.flatnonzero((np.diff(mval) != 0) | (np.diff(mlen) != 0)) + 1
+    starts = np.concatenate([[0], bound])
+    counts = np.diff(np.concatenate([starts, [mval.size]]))
+    return mval[starts], mlen[starts], counts
+
+
+def train(sample: bytes, iterations: int = 3, chunk: int = CHUNK) -> SymbolTable:
+    """Train a symbol table on a sample buffer (deterministic).
+
+    BPE-style: start from single-byte frequencies, then repeatedly
+    tokenize the sample with the current table, count adjacent-pair
+    merges, and keep the MAX_SYMBOLS highest-gain symbols
+    (gain = bytes saved vs escaped literals)."""
+    d = np.frombuffer(sample, dtype=np.uint8) if not isinstance(sample, np.ndarray) else sample
+    if d.size == 0:
+        return SymbolTable([])
+    counts = np.bincount(d, minlength=256)
+    order = np.lexsort((np.arange(256), -counts))
+    order = order[counts[order] > 0][:MAX_SYMBOLS]
+    table = SymbolTable([bytes([b]) for b in order])
+    for _ in range(iterations):
+        code, esc, lit = _tokenize(table, d, chunk)
+        tok_vals = np.where(esc, lit.astype(np.uint64), 0)
+        tok_lens = np.ones(code.size, dtype=np.int64)
+        if not esc.all():
+            ne = ~esc
+            tok_vals[ne] = _pack_symbol_vals(table)[code[ne]]
+            tok_lens[ne] = table.sym_lens[code[ne]]
+        # chunk of each token: cumsum of lengths → byte position → chunk id
+        tok_ends = np.cumsum(tok_lens)
+        tok_chunk = (tok_ends - 1) // chunk
+        same_chunk = tok_chunk[:-1] == tok_chunk[1:]
+        pv, pl, pc = _count_pairs(tok_vals, tok_lens, same_chunk)
+        # single-token counts
+        so = np.lexsort((tok_lens, tok_vals))
+        sv, sl = tok_vals[so], tok_lens[so]
+        sb = np.flatnonzero((np.diff(sv) != 0) | (np.diff(sl) != 0)) + 1
+        ss = np.concatenate([[0], sb])
+        sc = np.diff(np.concatenate([ss, [sv.size]]))
+        sv, sl = sv[ss], sl[ss]
+        # gains: singles save len·count vs escapes; merges save (len−1)·count
+        g_vals = np.concatenate([sv, pv])
+        g_lens = np.concatenate([sl, pl])
+        g_gain = np.concatenate([sl * sc, (pl - 1) * pc])
+        # aggregate duplicates (a pair may equal an existing single)
+        order = np.lexsort((g_lens, g_vals))
+        g_vals, g_lens, g_gain = g_vals[order], g_lens[order], g_gain[order]
+        bound = np.flatnonzero((np.diff(g_vals) != 0) | (np.diff(g_lens) != 0)) + 1
+        starts = np.concatenate([[0], bound])
+        gain = np.add.reduceat(g_gain, starts)
+        g_vals, g_lens = g_vals[starts], g_lens[starts]
+        # deterministic top-MAX_SYMBOLS: (-gain, len, val)
+        top = np.lexsort((g_vals, g_lens, -gain))[:MAX_SYMBOLS]
+        symbols = [
+            int(g_vals[i]).to_bytes(8, "little")[: g_lens[i]] for i in top
+        ]
+        table = SymbolTable(symbols)
+    return table
+
+
+def _pack_symbol_vals(table: SymbolTable) -> np.ndarray:
+    vals = np.zeros(256, dtype=np.uint64)
+    for i, s in enumerate(table.symbols):
+        vals[i] = _pack_le(s)
+    return vals

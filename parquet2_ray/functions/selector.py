@@ -24,12 +24,10 @@ import numpy as np
 import pyarrow as pa
 
 from ..codecs import column as col_mod
-from ..codecs.fsst import train as fsst_train, encode as fsst_encode
 
 __all__ = ["select_codec", "candidate_sizes", "SAMPLE_VALUES"]
 
 SAMPLE_VALUES = 8192
-_FSST_SAMPLE_BYTES = 4096
 
 # fixed tie-break priority: cheaper/simpler decode first
 _PRIORITY = [
@@ -70,27 +68,11 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray) -> dict[str, int]:
     s = _sample(arr)
     sizes: dict[str, int] = {}
     for c in sorted(candidates):
-        if c == "fsst":
-            # FSST's python-loop encode is priced on a smaller slice
-            sizes[c] = _fsst_sample_size(s)
-            continue
         try:
             sizes[c] = len(col_mod.encode_array("s", s, c).payload)
         except (ValueError, TypeError, OverflowError):
             continue
     return sizes
-
-
-def _fsst_sample_size(s: pa.Array) -> int:
-    offsets, data = col_mod._binary_np(s.drop_null() if s.null_count else s)
-    raw = data.tobytes()[:_FSST_SAMPLE_BYTES]
-    if not raw:
-        return 1 << 30
-    table = fsst_train(raw[:2048], iterations=2)
-    enc = fsst_encode(table, raw)
-    # scale the measured ratio to the full sample's data size
-    scale = max(int(offsets[-1]), 1) / len(raw)
-    return int(len(enc) * scale) + 8 * (len(offsets) - 1) // 8
 
 
 def select_codec(arr: pa.Array | pa.ChunkedArray) -> str:
