@@ -55,21 +55,41 @@ def plain_encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
 
 
 def plain_decode(buf: bytes, num_values: int) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of plain_encode → (offsets, data). Sequential length chain."""
-    b = memoryview(buf)
-    offsets = np.empty(num_values + 1, dtype=np.int64)
-    offsets[0] = 0
-    parts = []
+    """Inverse of plain_encode → (offsets, data).
+
+    The length chain is inherently sequential (offset i+1 needs length
+    i), but the loop is reduced to pure int arithmetic over a
+    precomputed u32-at-every-byte array; the payload copy is one
+    vectorized gather."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    total = raw.size
+    if num_values == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, np.uint8)
+    padded = np.zeros(total + 3, dtype=np.uint32)
+    padded[:total] = raw
+    u32_at = padded[:total] | (padded[1 : total + 1] << 8) | (
+        padded[2 : total + 2] << 16
+    ) | (padded[3 : total + 3] << 24)
+    lens = np.empty(num_values, dtype=np.int64)
+    starts = np.empty(num_values, dtype=np.int64)  # payload start per value
+    get = u32_at.item  # scalar extraction without per-access allocation
     pos = 0
     for i in range(num_values):
-        ln = int.from_bytes(b[pos : pos + 4], "little")
-        if pos + 4 + ln > len(b):
+        if pos + 4 > total:
             raise ValueError("plain byte-array length overflows buffer")
-        parts.append(b[pos + 4 : pos + 4 + ln])
-        offsets[i + 1] = offsets[i] + ln
+        ln = get(pos)
+        starts[i] = pos + 4
+        lens[i] = ln
         pos += 4 + ln
-    data = np.frombuffer(b"".join(parts), dtype=np.uint8) if parts else np.empty(0, np.uint8)
-    return offsets, data
+    if pos > total:
+        raise ValueError("plain byte-array length overflows buffer")
+    offsets = np.zeros(num_values + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    n_bytes = int(offsets[-1])
+    if n_bytes == 0:
+        return offsets, np.empty(0, np.uint8)
+    src = np.repeat(starts - offsets[:-1], lens) + np.arange(n_bytes, dtype=np.int64)
+    return offsets, raw[src]
 
 
 def delta_length_encode(

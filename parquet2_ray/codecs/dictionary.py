@@ -73,25 +73,50 @@ def decode_int(buf: bytes) -> np.ndarray:
 
 
 def encode_binary(offsets: np.ndarray, data: np.ndarray) -> bytes:
-    """Dictionary-encode a byte-array column given (offsets, data)."""
+    """Dictionary-encode a byte-array column given (offsets, data).
+
+    Factorization runs in Arrow C++ (``pc.dictionary_encode``); the
+    dictionary is then re-sorted byte-lexicographically so the layout is
+    deterministic and the dict page ``is_sorted``
+    (/root/reference/src/page/mod.rs:304 — SURVEY.md O3)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     o = np.asarray(offsets).astype(np.int64, copy=False)
     d = np.asarray(data, dtype=np.uint8)
     n = len(o) - 1
-    # unique over variable-length items: factorize via sorted bytes objects
-    items = [d[o[i] : o[i + 1]].tobytes() for i in range(n)]
-    uniq = sorted(set(items))
-    lookup = {s: i for i, s in enumerate(uniq)}
-    codes = np.fromiter((lookup[s] for s in items), dtype=np.int64, count=n)
-    u_data = np.frombuffer(b"".join(uniq), dtype=np.uint8)
-    u_offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
-    np.cumsum([len(s) for s in uniq], out=u_offsets[1:])
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(o.tobytes()), pa.py_buffer(d.tobytes())],
+    )
+    dict_arr = pc.dictionary_encode(arr)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = dict_arr.dictionary
+    # remap first-occurrence codes → sorted-dictionary codes
+    order = pc.sort_indices(uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq), dtype=np.int64)
+    if n:
+        codes = rank[codes]
+    uniq_sorted = uniq.take(pa.array(order)) if len(uniq) else uniq
+    ub = uniq_sorted.buffers()
+    if len(uniq_sorted):
+        u_offsets = np.frombuffer(ub[1], dtype=np.int64)[: len(uniq_sorted) + 1].astype(np.int64)
+        u_data = (
+            np.frombuffer(ub[2], dtype=np.uint8)[: u_offsets[-1]]
+            if ub[2] is not None
+            else np.empty(0, np.uint8)
+        )
+    else:
+        u_offsets = np.zeros(1, dtype=np.int64)
+        u_data = np.empty(0, np.uint8)
     payload = byte_array.delta_length_encode(u_offsets, u_data)
     out = bytearray()
     out += uleb_encode(1)
-    out += uleb_encode(len(uniq))
+    out += uleb_encode(len(uniq_sorted))
     out += uleb_encode(len(payload))
     out += payload
-    out += _encode_indices(codes, len(uniq))
+    out += _encode_indices(codes, len(uniq_sorted))
     return bytes(out)
 
 
