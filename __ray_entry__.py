@@ -156,6 +156,80 @@ def q_codec_fsst(sf_dir: str):
     return _codec_roundtrip(sf_dir, "documents", "text", "fsst")
 
 
+def q_roundtrip_structs(sf_dir: str):
+    """Struct-column roundtrip through the FULL pipeline (nested group
+    tree — reference schema_descriptor.rs:100-144): events columns are
+    packed into one struct column, encoded into the container (per-field
+    recursive codecs + parent validity), decoded, and unpacked back to
+    flat columns for the oracle compare."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        ev = pa.StructArray.from_arrays(
+            [b[c].combine_chunks() for c in ("ts", "user_id", "value", "props")],
+            names=["ts", "user_id", "value", "props"],
+        )
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"], "ev": ev})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet").map_batches(
+        pack, batch_format="pyarrow")
+    out = _out_dir(sf_dir, "events_struct")
+    encode_dataset(ds, out, EncodeOptions(
+        group_col="event_type", weight_col=None, sort_key="event_id",
+        target_rows=5_000))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ev = b["ev"].combine_chunks()
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "ts": ev.field("ts"),
+            "user_id": ev.field("user_id"),
+            "value": ev.field("value"),
+            "props": ev.field("props"),
+        })
+
+    return decode_dataset(out).map_batches(unpack, batch_format="pyarrow")
+
+
+def q_roundtrip_flba(sf_dir: str):
+    """FixedLenByteArray codecs (reference deserialize/fixed_len.rs:56-110):
+    md5 digests as binary(16) (high-cardinality → plain_flba) and padded
+    lang codes as binary(8) (low-cardinality → dict_flba), auto-selected,
+    encoded and decoded bit-identically inside map_batches."""
+    import hashlib as _hl
+
+    from parquet2_ray.codecs import decode_array, encode_array
+    from parquet2_ray.functions.selector import select_codec
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def rt(b: pa.Table) -> pa.Table:
+        dig = pa.array([_hl.md5(s.encode()).digest()
+                        for s in b["text"].to_pylist()], type=pa.binary(16))
+        lang8 = pa.array([s.encode().ljust(8, b"\0")
+                          for s in b["lang"].to_pylist()], type=pa.binary(8))
+        decoded = {}
+        for name, arr in (("dig", dig), ("lang8", lang8)):
+            codec = select_codec(arr)
+            assert codec in ("plain_flba", "dict_flba"), codec
+            decoded[name] = decode_array(encode_array(name, arr, codec))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "fp": pa.array([v.hex() for v in decoded["dig"].to_pylist()]),
+            "lang": pa.array([v.rstrip(b"\0").decode()
+                              for v in decoded["lang8"].to_pylist()]),
+        })
+
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
 def q_stats_lineitem(sf_dir: str):
     """Per-column min/max/null_count via per-batch profile + driver fold
     (the reference's statistics reduce — SURVEY.md A1/A2)."""
@@ -345,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_roundtrip_events": q_roundtrip_events,
         "q_roundtrip_embeddings": q_roundtrip_embeddings,
         "q_roundtrip_compressed": q_roundtrip_compressed,
+        "q_roundtrip_structs": q_roundtrip_structs,
+        "q_roundtrip_flba": q_roundtrip_flba,
         "q_codec_dict_int": q_codec_dict_int,
         "q_codec_for_bitpack": q_codec_for_bitpack,
         "q_codec_delta": q_codec_delta,
@@ -400,6 +476,10 @@ def oracle_sql() -> dict[str, str]:
         "q_roundtrip_events": "SELECT * FROM events",
         "q_roundtrip_embeddings": "SELECT * FROM embeddings",
         "q_roundtrip_compressed": "SELECT * FROM nation",
+        "q_roundtrip_structs": (
+            "SELECT event_id, event_type, ts, user_id, value, props FROM events"
+        ),
+        "q_roundtrip_flba": "SELECT doc_id, md5(text) AS fp, lang FROM documents",
         "q_codec_dict_int": "SELECT l_suppkey FROM lineitem",
         "q_codec_for_bitpack": "SELECT l_linenumber FROM lineitem",
         "q_codec_delta": "SELECT l_orderkey FROM lineitem",

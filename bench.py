@@ -155,6 +155,7 @@ def run_headline(tag: str, num_cpus: int) -> dict:
         "raw_bytes": summary["raw_bytes"],
         "encoded_bytes": summary["encoded_bytes"],
         "compression_ratio": summary["raw_bytes"] / max(1, summary["encoded_bytes"]),
+        "phases": summary.get("phases", {}),
     }
 
 
@@ -272,6 +273,7 @@ def main() -> None:
             "raw_bytes": hl["raw_bytes"],
             "encoded_bytes": hl["encoded_bytes"],
             "compression_ratio": round(hl["compression_ratio"], 3),
+            "phases": hl["phases"],
             "bench_rows": BENCH_ROWS,
         }))
     finally:

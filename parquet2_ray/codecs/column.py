@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import byte_array, delta, dictionary, for_pack, fsst, hybrid_rle, plain
+from . import byte_array, delta, dictionary, fixed_len, for_pack, fsst, hybrid_rle, plain
 from .bitpack import bits_needed
 from .uleb import uleb_decode, uleb_encode, zz_uleb_decode, zz_uleb_encode
 
@@ -77,6 +77,15 @@ def type_to_str(t: pa.DataType) -> str:
         return s
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{type_to_str(t.value_type)}>"
+    if pa.types.is_fixed_size_binary(t):
+        return f"fixed_size_binary[{t.byte_width}]"
+    if pa.types.is_struct(t):
+        # JSON field list — robust to arbitrary field names
+        import json
+
+        return "struct<" + json.dumps(
+            [[f.name, type_to_str(f.type)] for f in t],
+            separators=(",", ":")) + ">"
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -85,6 +94,12 @@ def str_to_type(s: str) -> pa.DataType:
         return _SIMPLE_TYPES[s]
     if s.startswith("list<") and s.endswith(">"):
         return pa.list_(str_to_type(s[5:-1]))
+    if s.startswith("fixed_size_binary[") and s.endswith("]"):
+        return pa.binary(int(s[18:-1]))
+    if s.startswith("struct<") and s.endswith(">"):
+        import json
+
+        return pa.struct([(n, str_to_type(ts)) for n, ts in json.loads(s[7:-1])])
     raise TypeError(f"unsupported arrow type string: {s}")
 
 
@@ -182,18 +197,26 @@ _BINARY_ENC = {
 
 BINARY_CODECS = set(_BINARY_ENC)
 
+# FLBA codecs: (data:uint8, byte_width) -> bytes
+# (/root/reference/src/deserialize/fixed_len.rs:56-110)
+FLBA_CODECS = {"plain_flba", "dict_flba"}
+
 
 def codecs_for_type(t: pa.DataType) -> set[str]:
     if pa.types.is_floating(t):
         return set(FLOAT_CODECS)
     if pa.types.is_integer(t) or pa.types.is_temporal(t):
         return set(NUMERIC_CODECS)
+    if pa.types.is_fixed_size_binary(t):
+        return set(FLBA_CODECS)
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return set(BINARY_CODECS)
     if pa.types.is_boolean(t):
         return {"bitmap"}
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return {"list"}
+    if pa.types.is_struct(t):
+        return {"struct"}
     raise TypeError(f"no codecs for arrow type {t}")
 
 
@@ -220,6 +243,16 @@ def _binary_np(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     data = data[offsets[0] : offsets[-1]]
     return offsets - offsets[0], data
+
+
+def _flba_np(arr: pa.Array) -> tuple[np.ndarray, int]:
+    """Non-null raw slot bytes of a fixed_size_binary array + byte_width."""
+    k = arr.type.byte_width
+    bufs = arr.buffers()
+    if bufs[1] is None:
+        return np.empty(0, dtype=np.uint8), k
+    data = np.frombuffer(bufs[1], dtype=np.uint8)
+    return data[arr.offset * k : (arr.offset + len(arr)) * k], k
 
 
 def _ceil8(v: int) -> int:
@@ -264,13 +297,42 @@ def encode_array(name: str, arr: pa.Array | pa.ChunkedArray, codec: str) -> Enco
         body += lens_enc
         body += uleb_encode(len(child_col.payload))
         body += child_col.payload
+        meta = {"child_codec": child_codec_name,
+                "child_type": type_to_str(child.type)}
+        if child_col.meta:  # nested list/struct children carry their own meta
+            meta["child_meta"] = child_col.meta
         return EncodedColumn(
             name=name,
             codec="list",
             arrow_type=type_to_str(t),
             num_values=n,
             payload=bytes(head) + bytes(body),
-            meta={"child_codec": child_codec_name, "child_type": type_to_str(child.type)},
+            meta=meta,
+        )
+
+    if codec == "struct":
+        # per-field recursive encode, parent validity in the head frame —
+        # the group-tree / per-leaf def-level analog
+        # (/root/reference/src/metadata/schema_descriptor.rs:100-144)
+        from ..functions.selector import select_codec
+
+        body = bytearray()
+        fields_meta = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            child = dense.field(i) if len(dense) else pa.nulls(0, f.type)
+            ccodec = select_codec(child)
+            ccol = encode_array(f.name, child, ccodec)
+            fields_meta.append([f.name, ccol.arrow_type, ccodec, ccol.meta])
+            body += uleb_encode(len(ccol.payload))
+            body += ccol.payload
+        return EncodedColumn(
+            name=name,
+            codec="struct",
+            arrow_type=type_to_str(t),
+            num_values=n,
+            payload=bytes(head) + bytes(body),
+            meta={"fields": fields_meta},
         )
 
     if codec == "bitmap":
@@ -279,6 +341,10 @@ def encode_array(name: str, arr: pa.Array | pa.ChunkedArray, codec: str) -> Enco
     elif codec in _NUMERIC_ENC:
         v = _numeric_np(dense)
         body = _NUMERIC_ENC[codec](v)
+    elif codec in FLBA_CODECS:
+        data, k = _flba_np(dense)
+        body = (fixed_len.plain_encode(data, k) if codec == "plain_flba"
+                else fixed_len.dict_encode(data, k))
     elif codec in _BINARY_ENC:
         offsets, data = _binary_np(dense)
         body = _BINARY_ENC[codec](offsets, data)
@@ -332,12 +398,29 @@ def decode_array(col: EncodedColumn) -> pa.Array:
             arrow_type=col.meta["child_type"],
             num_values=0,
             payload=body[q : q + clen],
+            meta=col.meta.get("child_meta", {}),
         )
         child = decode_array(child_col)
         offsets = np.zeros(n_dense + 1, dtype=np.int64)
         if n_dense:
             np.cumsum(lens, out=offsets[1:])
         dense = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child)
+        dense = dense.cast(t)
+    elif col.codec == "struct":
+        children, names, q = [], [], 0
+        for fname, ftype, fcodec, fmeta in col.meta["fields"]:
+            clen, q = uleb_decode(body, q)
+            ccol = EncodedColumn(
+                name=fname, codec=fcodec, arrow_type=ftype,
+                num_values=0, payload=body[q : q + clen], meta=fmeta or {},
+            )
+            children.append(decode_array(ccol))
+            names.append(fname)
+            q += clen
+        if children:
+            dense = pa.StructArray.from_arrays(children, names=names)
+        else:
+            dense = pa.nulls(n_dense, type=t).fill_null({})
         dense = dense.cast(t)
     elif col.codec == "bitmap":
         m, q = uleb_decode(body, 0)
@@ -362,6 +445,14 @@ def decode_array(col: EncodedColumn) -> pa.Array:
             v = _dec_rle(body)
         storage = _storage_type(t)
         dense = pa.array(np.asarray(v).astype(storage.to_pandas_dtype(), copy=False), type=storage).cast(t)
+    elif col.codec in FLBA_CODECS:
+        if col.codec == "plain_flba":
+            k, data = fixed_len.plain_decode(body)
+        else:
+            k, data = fixed_len.dict_decode(body)
+        dense = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(k), n_dense, [None, pa.py_buffer(data.tobytes())]
+        ).cast(t)
     elif col.codec in _BINARY_ENC:
         if col.codec == "plain_byte_array":
             offsets, data = byte_array.plain_decode(body, n_dense)

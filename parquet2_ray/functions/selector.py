@@ -42,7 +42,10 @@ _PRIORITY = [
     "delta_byte_array",
     "dict_binary",
     "fsst",
+    "plain_flba",
+    "dict_flba",
     "list",
+    "struct",
 ]
 _PRIO = {c: i for i, c in enumerate(_PRIORITY)}
 
@@ -65,6 +68,8 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray) -> dict[str, int]:
     candidates = col_mod.codecs_for_type(t)
     if candidates == {"list"}:
         return {"list": 0}
+    if candidates == {"struct"}:
+        return {"struct": 0}
     s = _sample(arr)
     sizes: dict[str, int] = {}
     for c in sorted(candidates):
@@ -80,6 +85,8 @@ def select_codec(arr: pa.Array | pa.ChunkedArray) -> str:
     t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return "list"
+    if pa.types.is_struct(t):
+        return "struct"
     sizes = candidate_sizes(arr)
     if not sizes:
         raise TypeError(f"no viable codec for type {t}")

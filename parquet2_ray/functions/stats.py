@@ -41,7 +41,8 @@ def column_profile(name: str, arr: pa.Array | pa.ChunkedArray) -> dict:
     prof = {"column": name, "n_values": n, "null_count": null_count,
             "min": None, "max": None}
     t = arr.type
-    if n - null_count > 0 and not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+    if n - null_count > 0 and not (pa.types.is_list(t) or pa.types.is_large_list(t)
+                                   or pa.types.is_struct(t)):
         mm = pc.min_max(arr)
         prof["min"] = _scalar(mm["min"])
         prof["max"] = _scalar(mm["max"])

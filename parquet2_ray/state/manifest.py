@@ -91,6 +91,10 @@ def _norm_type(t: pa.DataType) -> pa.DataType:
         return pa.list_(_norm_type(t.value_type))
     if pa.types.is_large_list(t):
         return pa.large_list(_norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, _norm_type(f.type), nullable=True) for f in t]
+        )
     return t
 
 

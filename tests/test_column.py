@@ -164,3 +164,84 @@ def test_selector_float_and_bool():
 def test_selector_deterministic(rng):
     arr = pa.array(rng.integers(0, 1000, 3000), type=pa.int64())
     assert select_codec(arr) == select_codec(arr)
+
+
+# ------------------------------------------------------- struct / fixed-len
+
+
+def _mk_flba(rng, n=400, k=16, card=None, nulls=False):
+    if card:
+        pool = [bytes(rng.integers(0, 256, k, dtype=np.uint8)) for _ in range(card)]
+        vals = [pool[int(i)] for i in rng.integers(0, card, n)]
+    else:
+        vals = [bytes(rng.integers(0, 256, k, dtype=np.uint8)) for _ in range(n)]
+    if nulls:
+        vals = [None if i % 7 == 0 else v for i, v in enumerate(vals)]
+    return pa.array(vals, type=pa.binary(k))
+
+
+@pytest.mark.parametrize("codec", ["plain_flba", "dict_flba"])
+def test_flba_roundtrip(codec, rng):
+    _roundtrip(_mk_flba(rng), codec)
+    _roundtrip(_mk_flba(rng, card=5), codec)
+    _roundtrip(_mk_flba(rng, nulls=True), codec)
+    _roundtrip(pa.array([], type=pa.binary(8)), codec)
+
+
+def test_flba_trailing_nul_slots_survive_dict(rng):
+    # numpy 'S' dtype would strip trailing NULs — the void-view must not
+    vals = [b"ab\x00\x00", b"ab\x00\x01", b"ab\x00\x00", None]
+    _roundtrip(pa.array(vals, type=pa.binary(4)), "dict_flba")
+    _roundtrip(pa.array(vals, type=pa.binary(4)), "plain_flba")
+
+
+def test_flba_selector(rng):
+    assert select_codec(_mk_flba(rng, card=4)) == "dict_flba"
+    assert select_codec(_mk_flba(rng, n=9000)) == "plain_flba"
+
+
+def test_flba_sliced(rng):
+    a = _mk_flba(rng, n=100)
+    _roundtrip(a.slice(13, 50), "plain_flba")
+    _roundtrip(a.slice(13, 50), "dict_flba")
+
+
+STRUCT_T = pa.struct([("a", pa.int32()), ("b", pa.string()),
+                      ("c", pa.list_(pa.int64()))])
+
+
+def _mk_struct(n=300):
+    vals = [
+        None if i % 11 == 0 else
+        {"a": None if i % 5 == 0 else i,
+         "b": None if i % 3 == 0 else f"s{i % 17}",
+         "c": None if i % 7 == 0 else list(range(i % 4))}
+        for i in range(n)
+    ]
+    return pa.array(vals, type=STRUCT_T)
+
+
+def test_struct_roundtrip():
+    _roundtrip(_mk_struct(), "struct")
+    assert select_codec(_mk_struct()) == "struct"
+
+
+def test_struct_empty_and_all_null():
+    _roundtrip(pa.array([], type=STRUCT_T), "struct")
+    _roundtrip(pa.array([None, None], type=STRUCT_T), "struct")
+
+
+def test_nested_struct_list_combinations():
+    s = _mk_struct(60)
+    ls = pa.array([s[:3].to_pylist(), None, [], s[4:6].to_pylist()] * 20,
+                  type=pa.list_(STRUCT_T))
+    _roundtrip(ls, "list")
+    outer = pa.StructArray.from_arrays(
+        [ls, pa.array(range(80), type=pa.int64())], names=["inner", "k"])
+    _roundtrip(outer, "struct")
+
+
+def test_struct_type_grammar():
+    for t in (pa.binary(16), STRUCT_T, pa.list_(STRUCT_T),
+              pa.struct([("weird,name<>", pa.binary(3))])):
+        assert col.str_to_type(col.type_to_str(t)) == t
