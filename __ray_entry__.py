@@ -350,6 +350,30 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(ds, _query_matrix(sf_dir), _ANN_QUERIES, k=_ANN_K)
 
 
+def q_image_meta(sf_dir: str):
+    """Multimodal decode as an oracle-checked op: a deterministic PPM
+    image is synthesized per doc_id (w=16+id%32, h=16+7id%32, constant
+    fill id%251), and ``ImageDecode`` (actor pool, REAL backend) decodes
+    the actual bytes; the oracle recomputes the expected metadata
+    arithmetically, so a decode bug cannot hash-match."""
+    from parquet2_ray.stages.multimodal import ImageDecode, encode_ppm
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        imgs = []
+        for i in b["doc_id"].to_pylist():
+            w, h, val = 16 + i % 32, 16 + (i * 7) % 32, i % 251
+            imgs.append(encode_ppm(np.full((h, w, 3), val, np.uint8)))
+        return pa.table({"doc_id": b["doc_id"],
+                         "image": pa.array(imgs, type=pa.binary())})
+
+    dec = ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        ImageDecode, concurrency=2, batch_size=64, batch_format="pyarrow")
+    return dec.select_columns(["doc_id", "width", "height",
+                               "n_pixels", "mean_lum"])
+
+
 # rows-only ops (not SQL-expressible) -------------------------------------
 
 
@@ -439,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_md5": q_doc_md5,
         "q_embed_neardup": q_embed_neardup,
         "q_ann_topk": q_ann_topk,
+        "q_image_meta": q_image_meta,
         "q_minhash_pairs": q_minhash_pairs,
         "q_ngram_dedup": q_ngram_dedup,
         "q_simhash": q_simhash,
@@ -520,4 +545,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_doc_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
         "q_ann_topk": ann,
+        "q_image_meta": (
+            "SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width, "
+            "CAST(16 + (doc_id * 7) % 32 AS INT) AS height, "
+            "CAST((16 + doc_id % 32) * (16 + (doc_id * 7) % 32) AS BIGINT) AS n_pixels, "
+            "CAST(doc_id % 251 AS DOUBLE) AS mean_lum FROM documents"
+        ),
     }

@@ -243,6 +243,8 @@ def main() -> None:
             f"tokens_per_sec_{hi}": round(t_hi),
             f"wall_s_{lo}": round(runs[lo]["value"], 2),
             f"wall_s_{hi}": round(runs[hi]["value"], 2),
+            f"phases_{lo}": runs[lo].get("phases", {}),
+            f"phases_{hi}": runs[hi].get("phases", {}),
             "hardware_cpu_ceiling": hw_eff,
             # the shared-host VM cannot scale even a pure-CPU spin loop
             # perfectly (see hardware_cpu_ceiling); this is the job's

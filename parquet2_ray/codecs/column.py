@@ -161,7 +161,9 @@ NUMERIC_CODECS = set(_NUMERIC_ENC)
 FLOAT_CODECS = {"plain"}
 
 # binary value codecs: (offsets:int64, data:uint8) -> bytes
-_FSST_SAMPLE = 1 << 16
+# 16 KB train sample — the FSST paper's own sampling scale; measured
+# ratio identical to 64 KB on the documents corpus, 4× cheaper to train
+_FSST_SAMPLE = 1 << 14
 
 
 def _enc_fsst(offsets: np.ndarray, data: np.ndarray) -> bytes:

@@ -54,10 +54,10 @@ def encode(
     out += zz_uleb_encode(int(v[0]))
     if n == 1:
         return bytes(out)
-    # wrapping i64 subtraction (parquet deltas are defined mod 2^64)
+    # wrapping i64 subtraction (parquet deltas are defined mod 2^64) —
+    # direct int64 subtract wraps like C, no uint64 astype copies
     with np.errstate(over="ignore"):
-        deltas = v[1:].astype(np.uint64) - v[:-1].astype(np.uint64)
-    deltas = deltas.view(np.int64)
+        deltas = np.subtract(v[1:], v[:-1])
 
     # Vectorized across blocks: pad the tail with int64.max so it cannot
     # win the per-block min, compute all mins / adjusted values / miniblock
@@ -75,65 +75,61 @@ def encode(
         padded = deltas
     blocks = padded.reshape(nblocks, block_size)
     mins = blocks.min(axis=1)
-    adj = blocks.view(np.uint64) - mins.view(np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        adj = blocks - mins[:, None]       # int64 wrap == uint64 residual
     if pad:
         adj.reshape(-1)[nd:] = 0  # absent positions encode as zero bits
-    minis = adj.reshape(nblocks * miniblocks, vpm)
+    minis = adj.view(np.uint64).reshape(nblocks * miniblocks, vpm)
     mx = minis.max(axis=1)
-    # exact bit_length per miniblock max (no float log2 rounding)
-    mx_bits = np.unpackbits(
-        mx.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    )[:, ::-1]
-    nonzero = mx_bits.any(axis=1)
-    bw_flat = np.where(nonzero, 64 - np.argmax(mx_bits, axis=1), 0).astype(np.uint8)
+    # bit_length via frexp exponents: exact below 2^53; above, float
+    # rounding can only round UP across a power of two (2^k is exactly
+    # representable), so the width may overshoot by one bit — still a
+    # valid encoding, never an under-allocation.  ~50× cheaper than the
+    # exact unpackbits scan this replaces.
+    bw_flat = np.minimum(np.frexp(mx.astype(np.float64))[1], 64).astype(np.uint8)
     bw = bw_flat.reshape(nblocks, miniblocks)
 
     sizes = bw_flat.astype(np.int64) * (vpm // 8)
     offs = np.zeros(len(sizes) + 1, dtype=np.int64)
     np.cumsum(sizes, out=offs[1:])
-    payload_all = np.zeros(int(offs[-1]), dtype=np.uint8)
-    for w in np.unique(bw_flat):
-        if w == 0:
-            continue
-        sel = np.nonzero(bw_flat == w)[0]
-        packed = np.frombuffer(
-            bitpack.pack(minis[sel].reshape(-1), int(w)), dtype=np.uint8
-        ).reshape(len(sel), vpm * int(w) // 8)
-        idx = offs[sel][:, None] + np.arange(packed.shape[1])[None, :]
-        payload_all[idx.ravel()] = packed.ravel()
+    uniq_w = np.unique(bw_flat)
+    if len(uniq_w) == 1:
+        w = int(uniq_w[0])
+        payload_all = (
+            np.frombuffer(bitpack.pack(minis.reshape(-1), w), dtype=np.uint8)
+            if w else np.empty(0, dtype=np.uint8))
+    else:
+        payload_all = np.zeros(int(offs[-1]), dtype=np.uint8)
+        for w in uniq_w:
+            if w == 0:
+                continue
+            sel = np.nonzero(bw_flat == w)[0]
+            packed = np.frombuffer(
+                bitpack.pack(minis[sel].reshape(-1), int(w)), dtype=np.uint8
+            ).reshape(len(sel), vpm * int(w) // 8)
+            idx = (offs[sel][:, None].astype(np.int64)
+                   + np.arange(packed.shape[1], dtype=np.int64)[None, :])
+            payload_all[idx.reshape(-1)] = packed.reshape(-1)
 
-    # Fully vectorized stream assembly (a Python loop over blocks costs
-    # more than the packing itself at 32k+ blocks): zigzag-varint all the
-    # per-block min_deltas at once, compute every block's byte offset,
-    # then scatter headers / width lists / payloads with whole-array ops.
+    # Stream assembly: per-block header bytes (zigzag-varint min_delta +
+    # miniblock width list) are INSERTED into the contiguous payload in
+    # one C pass (np.insert), instead of scattering the payload through
+    # O(payload) int64 index arrays — this step was 3.1 s/4M values as a
+    # scatter, ~0.05 s as an insert.
     hdr, hlen = _zz_uleb_many(mins)
+    hb = hdr.shape[1]
+    M = np.zeros((nblocks, hb + miniblocks), dtype=np.uint8)
+    M[:, :hb] = hdr
+    M[np.arange(nblocks)[:, None],
+      hlen[:, None] + np.arange(miniblocks)[None, :]] = bw
+    keep = np.arange(hb + miniblocks)[None, :] < (hlen + miniblocks)[:, None]
+    header_values = M[keep]  # ragged extract, row order preserved
     psize = np.add.reduceat(sizes, np.arange(0, len(sizes), miniblocks))
-    block_bytes = hlen + miniblocks + psize
-    block_off = np.zeros(nblocks + 1, dtype=np.int64)
-    np.cumsum(block_bytes, out=block_off[1:])
-    head = bytes(out)
-    buf = np.zeros(len(head) + int(block_off[-1]), dtype=np.uint8)
-    buf[: len(head)] = np.frombuffer(head, dtype=np.uint8)
-    base = len(head) + block_off[:-1]
-    for i in range(hdr.shape[1]):          # ≤10 varint byte positions
-        m = hlen > i
-        if not m.any():
-            break
-        buf[base[m] + i] = hdr[m, i]
-    wpos = base + hlen
-    for m_i in range(miniblocks):
-        buf[wpos + m_i] = bw[:, m_i]
-    if len(payload_all):
-        dst_start = wpos + miniblocks
-        seg = psize
-        starts0 = np.zeros(nblocks, dtype=np.int64)
-        np.cumsum(seg, out=starts0)
-        starts0 = np.concatenate([[0], starts0[:-1]])
-        rep_start = np.repeat(dst_start, seg)
-        rep_base = np.repeat(starts0, seg)
-        dest = rep_start + (np.arange(len(payload_all)) - rep_base)
-        buf[dest] = payload_all
-    return buf.tobytes()
+    starts0 = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(psize[:-1], out=starts0[1:])
+    positions = np.repeat(starts0, hlen + miniblocks)
+    body = np.insert(payload_all, positions, header_values)
+    return bytes(out) + body.tobytes()
 
 
 def _zz_uleb_many(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -175,27 +171,58 @@ def decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     if count == 1:
         return np.array([first], dtype=np.int64), pos - offset
     n_deltas = count - 1
-    deltas = np.empty(n_deltas, dtype=np.uint64)
+    vpm = values_per_mini
+    # Phase 1 — sequential header walk (unavoidable: each block's varint
+    # min_delta has data-dependent length), but only O(blocks) cheap
+    # Python steps: record per-present-miniblock (slot, width, byte pos).
+    mins: list[int] = []
+    mini_slot: list[int] = []
+    mini_w: list[int] = []
+    mini_pos: list[int] = []
     filled = 0
+    slot = 0
     while filled < n_deltas:
         min_delta, pos = zz_uleb_decode(buf, pos)
-        widths = bytearray(buf[pos : pos + miniblocks])
+        widths = buf[pos : pos + miniblocks]
         pos += miniblocks
+        mins.append(min_delta)
         for bw in widths:
             if filled >= n_deltas:
                 break  # trailing miniblocks of the last block may be absent
-            take = min(values_per_mini, n_deltas - filled)
-            if bw == 0:
-                vals = np.zeros(take, dtype=np.uint64)
-            else:
-                nbytes = (values_per_mini * bw + 7) // 8
-                vals = bitpack.unpack(buf[pos : pos + nbytes], bw, take)
-                pos += nbytes
-            deltas[filled : filled + take] = vals + np.uint64(
-                min_delta & ((1 << 64) - 1)
-            )
-            filled += take
+            if bw:
+                mini_slot.append(slot)
+                mini_w.append(bw)
+                mini_pos.append(pos)
+                pos += (vpm * bw + 7) // 8
+            filled += min(vpm, n_deltas - filled)
+            slot += 1
+    # Phase 2 — vectorized unpack, grouped by width (vpm % 8 == 0 ⇒
+    # concatenated unpack == per-miniblock unpack, same trick as encode)
+    n_slots = len(mins) * miniblocks
+    dmat = np.zeros((n_slots, vpm), dtype=np.uint64)
+    if mini_w:
+        src = np.frombuffer(buf, dtype=np.uint8)
+        # zero-pad so a final short miniblock gathers zeros, not garbage
+        pad_len = max(0, max(p + (vpm * w + 7) // 8
+                             for p, w in zip(mini_pos, mini_w)) - len(src))
+        if pad_len:
+            src = np.concatenate([src, np.zeros(pad_len, dtype=np.uint8)])
+        wa = np.asarray(mini_w)
+        pa_ = np.asarray(mini_pos)
+        sa = np.asarray(mini_slot)
+        for w in np.unique(wa):
+            selm = wa == w
+            L = vpm * int(w) // 8
+            idx = pa_[selm][:, None] + np.arange(L, dtype=np.int64)[None, :]
+            packed = src[idx.reshape(-1)]
+            vals = bitpack.unpack(packed.tobytes(), int(w),
+                                  int(selm.sum()) * vpm)
+            dmat[sa[selm]] = vals.reshape(-1, vpm)
+    # add per-block min_delta (wrap mod 2^64) and prefix-sum
+    bs_rows = dmat.reshape(len(mins), miniblocks * vpm)
+    with np.errstate(over="ignore"):
+        bs_rows += np.asarray(mins, dtype=np.int64).view(np.uint64)[:, None]
     out = np.empty(count, dtype=np.uint64)
     out[0] = np.uint64(first & ((1 << 64) - 1))
-    out[1:] = deltas
+    out[1:] = bs_rows.reshape(-1)[:n_deltas]
     return np.cumsum(out, dtype=np.uint64).view(np.int64), pos - offset

@@ -253,13 +253,18 @@ def _count_pairs(
     return mval[starts], mlen[starts], counts
 
 
-def train(sample: bytes, iterations: int = 3, chunk: int = CHUNK) -> SymbolTable:
+def train(sample: bytes, iterations: int = 3, chunk: int = 64) -> SymbolTable:
     """Train a symbol table on a sample buffer (deterministic).
 
     BPE-style: start from single-byte frequencies, then repeatedly
     tokenize the sample with the current table, count adjacent-pair
     merges, and keep the MAX_SYMBOLS highest-gain symbols
-    (gain = bytes saved vs escaped literals)."""
+    (gain = bytes saved vs escaped literals).
+
+    ``chunk=64`` (vs the encode-path 512): training samples are small,
+    so a tighter parse boundary gives the lockstep walk ~8× more
+    parallel rows and ~4× fewer Python iterations at an unchanged
+    (measured marginally better) compression ratio."""
     d = np.frombuffer(sample, dtype=np.uint8) if not isinstance(sample, np.ndarray) else sample
     if d.size == 0:
         return SymbolTable([])

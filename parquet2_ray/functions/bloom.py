@@ -36,10 +36,20 @@ _BLOCK_BYTES = 32  # 8 lanes × u32
 
 
 def hash_values(values) -> np.ndarray:
-    """uint64 element hashes (vectorized; strings or bytes)."""
+    """uint64 element hashes (vectorized).
+
+    Keys are canonicalized EXPLICITLY to their ``str()`` form before
+    hashing — the persisted sketch format must not depend on pandas
+    ``hash_array``'s undocumented object-dtype fallback for non-string
+    keys (int sort keys, timestamps): if that fallback changed, probes
+    against old manifests would silently false-prune partitions."""
+    import pandas as pd
+
     from .hashing import hash_strings
 
-    return hash_strings(values)
+    s = pd.Series(np.asarray(values, dtype=object), dtype=object)
+    canon = s.astype(str)  # identity for str keys, explicit for the rest
+    return hash_strings(canon.to_numpy(dtype=object))
 
 
 def num_blocks_for(ndv: int, bits_per_value: int = 10) -> int:

@@ -85,6 +85,11 @@ class EncodeOptions:
     # crash-durability of partition commits; disable only when the output
     # store has its own durability (see state/manifest._atomic_write)
     fsync: bool = True
+    # row-block size for the sub-partition page index (None = one block
+    # per partition).  Paged partitions record per-block per-column
+    # min/max so point/range reads decode only overlapping blocks
+    # (reference intervals.rs:62-138 / indexed_reader.rs:25-209).
+    rows_per_block: int | None = None
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -255,7 +260,8 @@ def _split_block(plan: PartitionPlan, group_col, weight_col,
 
 @ray.remote
 def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
-                 forced_codecs, resume, compression, fsync, *shards) -> dict:
+                 forced_codecs, resume, compression, fsync,
+                 rows_per_block, *shards) -> dict:
     """Exchange reduce side: reassemble one partition from its shards and
     encode/commit it. Deterministic + atomic commit ⇒ safe under retry."""
     tables = [
@@ -276,6 +282,7 @@ def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
         resume=resume,
         compression=compression,
         fsync=fsync,
+        rows_per_block=rows_per_block,
     )
     return rec.to_pylist()[0]
 
@@ -344,11 +351,20 @@ def encode_dataset(
         shard_refs.append([refs] if n_parts == 1 else list(refs))
         pending.clear()
 
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            pending.append(block_ref)
-            if len(pending) >= max(1, opts.blocks_per_split):
-                _flush()
+    # iter_internal_ref_bundles is Ray-2.49 private API (streams block
+    # refs with backpressure, no driver materialization).  Guarded: on a
+    # Ray without it, fall back to the public to_arrow_refs() — same
+    # object-store residency, but the full block list is produced before
+    # splitting starts (acceptable degraded mode, loudly documented).
+    if hasattr(ds, "iter_internal_ref_bundles"):
+        block_iter = (br for bundle in ds.iter_internal_ref_bundles()
+                      for br in bundle.block_refs)
+    else:  # pragma: no cover — exercised only on other Ray versions
+        block_iter = iter(ds.to_arrow_refs())
+    for block_ref in block_iter:
+        pending.append(block_ref)
+        if len(pending) >= max(1, opts.blocks_per_split):
+            _flush()
     _flush()
     t_launch = time.time()
     # barrier: every encode task consumes shards from EVERY split task, so
@@ -361,7 +377,7 @@ def encode_dataset(
     rec_refs = [
         _encode_part.remote(
             p, out_dir, sort_key, weight_col, opts.forced_codecs,
-            opts.resume, opts.compression, opts.fsync,
+            opts.resume, opts.compression, opts.fsync, opts.rows_per_block,
             *[m[p] for m in shard_refs],
         )
         for p in range(n_parts)
@@ -441,19 +457,47 @@ def prune_partitions_by_range(out_dir: str, column: str,
     return keep
 
 
-def decode_dataset(out_dir: str, key_values=None) -> rd.Dataset:
+def decode_dataset(out_dir: str, key_values=None,
+                   key_range: tuple | None = None) -> rd.Dataset:
     """Stream decoded partitions back as a Ray Dataset.
 
     ``key_values``: optional iterable of key-column values — partitions
     whose bloom sketch rules out every requested key are skipped at the
-    manifest, before any data is read."""
+    manifest, before any data is read.
+
+    ``key_range``: optional ``(column, lo, hi)`` — partitions are pruned
+    by their recorded min/max, and inside each surviving PAGED partition
+    only the row-blocks whose page index overlaps [lo,hi] are read and
+    decoded (rows are then exactly filtered to the range).  Either bound
+    may be None (open interval)."""
     if key_values is not None:
         paths = prune_partitions(out_dir, key_values)
+    elif key_range is not None:
+        paths = prune_partitions_by_range(out_dir, *key_range)
     else:
         records = mf.load_manifest(out_dir)
         paths = [r["path"] for r in records.values()]
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+
+    if key_range is not None:
+        kcol, lo, hi = key_range
+
+        def _decode_range(batch: pa.Table):
+            for p in batch["path"]:
+                t = decode_partition_path(p.as_py(), kcol, lo, hi)
+                # exact filter on top of block-granular pruning
+                m = None
+                if lo is not None:
+                    m = pc.greater_equal(t[kcol], lo)
+                if hi is not None:
+                    m2 = pc.less_equal(t[kcol], hi)
+                    m = m2 if m is None else pc.and_(m, m2)
+                yield t.filter(m) if m is not None else t
+
+        return rd.from_items([{"path": p} for p in paths]).map_batches(
+            _decode_range, batch_format="pyarrow", batch_size=1
+        )
 
     def _decode_gen(batch: pa.Table):
         for p in batch["path"]:

@@ -37,6 +37,7 @@ def encode_partition_table(
     resume: bool = True,
     compression: str | None = None,
     fsync: bool = True,
+    rows_per_block: int | None = None,
 ) -> pa.Table:
     """Encode one partition; returns a one-row manifest-record table.
 
@@ -45,6 +46,7 @@ def encode_partition_table(
     retries cannot change the committed bytes.
     """
     t0 = time.time()
+    tm: dict[str, float] = {}
     part_id = "p0"
     if PART_COL in group.column_names:
         part_id = f"p{group[PART_COL][0].as_py():06d}"
@@ -52,25 +54,62 @@ def encode_partition_table(
     if sort_key is not None and group.num_rows > 1:
         group = mf.sort_table(group, sort_key)
     group = group.combine_chunks()
+    tm["sort_s"] = round(time.time() - t0, 4)
     fp = mf.canonical_fingerprint(group)
+    tm["fp_s"] = round(time.time() - t0 - tm["sort_s"], 4)
 
     path = os.path.join(out_dir, f"part-{part_id}.bin")
+    # resume skips only when BOTH the data fingerprint AND the
+    # encoding-affecting options match — re-running with a different
+    # compression / forced codec / paging must re-encode, not silently
+    # keep the old bytes
+    enc_opts = {"compression": compression,
+                "forced_codecs": forced_codecs or {},
+                "rows_per_block": rows_per_block}
     prior = mf.load_manifest_record(out_dir, part_id) if resume else None
-    if prior is not None and prior.get("fingerprint") == fp and os.path.exists(path):
+    if (prior is not None and prior.get("fingerprint") == fp
+            and prior.get("encoding_opts") == enc_opts
+            and os.path.exists(path)):
         rec = dict(prior)
         rec["skipped"] = True
         rec["wall_s"] = time.time() - t0
         return _record_table(rec)
 
-    encoded: list[col_mod.EncodedColumn] = []
+    # codec chosen ONCE per (partition, column) — also for every row-block
+    # of a paged partition (single-codec-per-chunk, column_chunk.rs:109-122)
+    t1 = time.time()
     codecs: dict[str, str] = {}
     profiles = []
     for name in group.column_names:
         arr = group[name].combine_chunks()
-        codec = (forced_codecs or {}).get(name) or select_codec(arr)
-        encoded.append(col_mod.encode_array(name, arr, codec))
-        codecs[name] = codec
+        codecs[name] = (forced_codecs or {}).get(name) or select_codec(arr)
         profiles.append(column_profile(name, arr))
+    tm["select_s"] = round(time.time() - t1, 4)
+
+    t1 = time.time()
+    paged = bool(rows_per_block) and group.num_rows > rows_per_block
+    encoded: list[col_mod.EncodedColumn] = []
+    blocks: list[dict] = []
+    if paged:
+        # row-blocked encode + per-block page index (sub-partition
+        # pruning — SURVEY.md T6; reference intervals.rs:62-138)
+        for start in range(0, group.num_rows, rows_per_block):
+            blk = group.slice(start, rows_per_block)
+            cols = []
+            stats = {}
+            for name in group.column_names:
+                arr = blk[name].combine_chunks()
+                cols.append(col_mod.encode_array(name, arr, codecs[name]))
+                p = column_profile(name, arr)
+                if p["min"] is not None:
+                    stats[name] = [p["min"], p["max"]]
+            blocks.append({"columns": cols, "num_rows": blk.num_rows,
+                           "stats": stats})
+    else:
+        for name in group.column_names:
+            encoded.append(col_mod.encode_array(
+                name, group[name].combine_chunks(), codecs[name]))
+    tm["encode_s"] = round(time.time() - t1, 4)
     n_weight = 0
     if weight_col and weight_col in group.column_names:
         n_weight = int(pc.sum(group[weight_col]).as_py() or 0)
@@ -87,14 +126,22 @@ def encode_partition_table(
         h = bloom.hash_values(vals)
         bits = bloom.build(h, bloom.num_blocks_for(group.num_rows))
         bloom_b64 = base64.b64encode(bits).decode()
-    total_bytes = mf.write_partition_file(
-        path,
-        encoded,
-        group.num_rows,
-        extra={"part_id": part_id, "fingerprint": fp},
-        compression=compression,
-        fsync=fsync,
-    )
+    t1 = time.time()
+    if paged:
+        total_bytes = mf.write_partition_file_paged(
+            path, blocks, group.num_rows,
+            extra={"part_id": part_id, "fingerprint": fp},
+            compression=compression, fsync=fsync,
+        )
+    else:
+        total_bytes = mf.write_partition_file(
+            path,
+            encoded,
+            group.num_rows,
+            extra={"part_id": part_id, "fingerprint": fp},
+            compression=compression,
+            fsync=fsync,
+        )
     rec = {
         "part_id": part_id,
         "path": path,
@@ -115,6 +162,8 @@ def encode_partition_table(
         "boundary_order": "ascending" if sort_key else "unordered",
         "bloom_key": bloom_col if bloom_b64 else None,
         "bloom": bloom_b64,
+        "encoding_opts": enc_opts,
+        "timings": {**tm, "write_s": round(time.time() - t1, 4)},
         "wall_s": time.time() - t0,
         "skipped": False,
     }
@@ -141,10 +190,23 @@ def _record_table(rec: dict) -> pa.Table:
     )
 
 
-def decode_partition_path(path: str) -> pa.Table:
-    """Read + decode one container file back to a pyarrow Table."""
-    footer, cols = mf.read_partition_file(path)
-    arrays = [col_mod.decode_array(c) for c in cols]
-    return pa.table(
-        {c.name: a for c, a in zip(cols, arrays)}
-    )
+def decode_partition_path(
+    path: str, key_col: str | None = None, lo=None, hi=None,
+) -> pa.Table:
+    """Read + decode one container file back to a pyarrow Table.
+
+    With ``key_col``/[lo,hi], a paged container decodes ONLY the
+    row-blocks whose page index overlaps the range (sub-partition
+    predicate pushdown — reference indexed_reader.rs:25-209); a
+    single-block container decodes fully (the predicate is re-applied
+    upstream by the caller in either case)."""
+    footer, block_cols, _ = mf.read_partition_blocks(path, key_col, lo, hi)
+    tables = []
+    for cols in block_cols:
+        arrays = [col_mod.decode_array(c) for c in cols]
+        tables.append(pa.table({c.name: a for c, a in zip(cols, arrays)}))
+    if not tables:  # every block pruned — empty table, schema from footer meta
+        proto = footer["blocks"][0]["columns"]
+        return pa.table({m["name"]: pa.nulls(0, col_mod.str_to_type(m["arrow_type"]))
+                         for m in proto})
+    return pa.concat_tables(tables) if len(tables) > 1 else tables[0]

@@ -170,6 +170,139 @@ def write_partition_file(
     return len(blob)
 
 
+def write_partition_file_paged(
+    path: str, blocks: list[dict], num_rows: int,
+    extra: dict | None = None, compression: str | None = None,
+    fsync: bool = True,
+) -> int:
+    """Write a ROW-BLOCKED container: ``blocks`` is a list of
+    ``{"columns": [EncodedColumn...], "num_rows": int, "stats": {col: [min, max]}}``.
+
+    The footer records per-block byte ranges and per-column min/max — the
+    page-index analog (/root/reference/src/indexes/intervals.rs:62-138):
+    a reader selects only the blocks whose stats overlap its predicate
+    and decodes a byte-subrange of the file, not the whole partition.
+    """
+    codec = None
+    if compression:
+        if compression not in _COMPRESSIONS:
+            raise ValueError(f"unknown compression {compression!r}")
+        codec = pa.Codec(compression)
+    body = bytearray()
+    blocks_meta = []
+    row_start = 0
+    for blk in blocks:
+        col_meta = []
+        for c in blk["columns"]:
+            payload = c.payload
+            meta = dict(c.meta)
+            if codec is not None:
+                compressed = codec.compress(payload, asbytes=True)
+                if len(compressed) < len(payload):
+                    meta["compression"] = compression
+                    meta["uncompressed_size"] = len(payload)
+                    payload = compressed
+            col_meta.append(
+                {"name": c.name, "codec": c.codec, "arrow_type": c.arrow_type,
+                 "num_values": c.num_values, "offset": len(body),
+                 "size": len(payload), "meta": meta}
+            )
+            body += payload
+        blocks_meta.append(
+            {"row_start": row_start, "num_rows": blk["num_rows"],
+             "stats": blk.get("stats", {}), "columns": col_meta}
+        )
+        row_start += blk["num_rows"]
+    footer = {
+        "num_rows": num_rows,
+        "paged": True,
+        "blocks": blocks_meta,
+        "created_by": "parquet2_ray",
+        **(extra or {}),
+    }
+    fb = json.dumps(footer, separators=(",", ":")).encode()
+    blob = bytes(body) + fb + len(fb).to_bytes(4, "little") + MAGIC
+    _atomic_write(path, blob, fsync=fsync)
+    return len(blob)
+
+
+def _cols_from_meta(col_meta: list[dict], blob_read) -> list[EncodedColumn]:
+    """Materialize EncodedColumns from footer col_meta via ``blob_read
+    (offset, size) -> bytes`` (whole-buffer slice or file pread)."""
+    cols = []
+    for m in col_meta:
+        payload = blob_read(m["offset"], m["size"])
+        meta = m.get("meta", {})
+        comp = meta.get("compression")
+        if comp:
+            payload = pa.Codec(comp).decompress(
+                payload, meta["uncompressed_size"], asbytes=True)
+            meta = {k: v for k, v in meta.items()
+                    if k not in ("compression", "uncompressed_size")}
+        cols.append(EncodedColumn(
+            name=m["name"], codec=m["codec"], arrow_type=m["arrow_type"],
+            num_values=m["num_values"], payload=payload, meta=meta))
+    return cols
+
+
+def block_overlaps(block_meta: dict, column: str, lo=None, hi=None) -> bool:
+    """Page-index predicate: does this block's [min,max] for ``column``
+    overlap [lo,hi]?  Blocks without stats for the column are kept
+    (same conservative rule as partition-level pruning)."""
+    st = block_meta.get("stats", {}).get(column)
+    if not st or st[0] is None:
+        return True
+    if lo is not None and st[1] < lo:
+        return False
+    if hi is not None and st[0] > hi:
+        return False
+    return True
+
+
+def read_partition_blocks(
+    path: str, column: str | None = None, lo=None, hi=None,
+) -> tuple[dict, list[list[EncodedColumn]], int]:
+    """Read a paged container, decoding ONLY the row-blocks whose page
+    index overlaps [lo,hi] on ``column`` (all blocks when no predicate).
+    Byte-ranges of skipped blocks are never read from disk
+    (/root/reference/src/read/page/indexed_reader.rs:25-209).
+    Returns (footer, per-block column lists, data_bytes_read) —
+    ``data_bytes_read`` counts COLUMN PAYLOAD bytes only (the footer is
+    fixed metadata cost, read once regardless of the predicate)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != MAGIC:
+            raise ValueError(f"{path}: bad magic")
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(size - 8 - flen)
+        footer = json.loads(f.read(flen))
+        bytes_read = 0
+        if not footer.get("paged"):
+            # single-block container: treat as one all-covering block
+            body_len = size - 8 - flen
+            f.seek(0)
+            blob = f.read(body_len)
+            bytes_read += body_len
+            cols = _cols_from_meta(footer["columns"],
+                                   lambda o, s: blob[o : o + s])
+            return footer, [cols], bytes_read
+
+        out = []
+        for bm in footer["blocks"]:
+            if column is not None and not block_overlaps(bm, column, lo, hi):
+                continue
+
+            def pread(o, s):
+                f.seek(o)
+                return f.read(s)
+
+            out.append(_cols_from_meta(bm["columns"], pread))
+            bytes_read += sum(m["size"] for m in bm["columns"])
+    return footer, out, bytes_read
+
+
 def read_partition_footer(path: str) -> dict:
     size = os.path.getsize(path)
     with open(path, "rb") as f:
@@ -189,6 +322,9 @@ def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
         raise ValueError(f"{path}: bad magic")
     flen = int.from_bytes(blob[-8:-4], "little")
     footer = json.loads(blob[-8 - flen : -8])
+    if footer.get("paged"):
+        raise ValueError(
+            f"{path}: paged container — use read_partition_blocks")
     cols = []
     for m in footer["columns"]:
         payload = blob[m["offset"] : m["offset"] + m["size"]]

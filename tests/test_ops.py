@@ -182,7 +182,7 @@ def test_lsh_bucketed_topk_recall(ray_session):
         assert len(set(a["vec_id"]) & e_ids) >= 2  # decent recall at 4 planes
 
 
-def test_multimodal_stubs(ray_session):
+def test_multimodal_fake_plumbing(ray_session):
     rng = np.random.default_rng(0)
     blobs = [rng.bytes(100) for _ in range(20)]
     tbl = pa.table(
@@ -193,17 +193,77 @@ def test_multimodal_stubs(ray_session):
         }
     )
     ds = rd.from_arrow(tbl)
-    dec = ds.map_batches(ImageDecode, batch_size=8, concurrency=2, batch_format="pyarrow")
+    dec = ds.map_batches(ImageDecode, fn_constructor_kwargs={"backend": "fake"},
+                         batch_size=8, concurrency=2, batch_format="pyarrow")
     out = dec.to_pandas()
     assert (out["n_pixels"] == out["width"].astype("int64") * out["height"].astype("int64")).all()
-    feats = ds.map_batches(FeatureExtract, batch_size=8, concurrency=2, batch_format="pyarrow").to_pandas()
+    feats = ds.map_batches(FeatureExtract, fn_constructor_kwargs={"backend": "fake"},
+                           batch_size=8, concurrency=2, batch_format="pyarrow").to_pandas()
     assert all(len(f) == 64 for f in feats["features"])
     frames = ds.select_columns(["video_id", "video"]).map_batches(
-        FrameSample, batch_size=8, concurrency=2, batch_format="pyarrow"
+        FrameSample, fn_constructor_kwargs={"backend": "fake"},
+        batch_size=8, concurrency=2, batch_format="pyarrow"
     ).to_pandas()
     assert (frames["frame_idx"] % 10 == 0).all()
-    with pytest.raises(NotImplementedError):
-        ImageDecode(backend="real")
+
+
+def test_multimodal_real_backend(ray_session):
+    from parquet2_ray.stages.multimodal import (
+        AudioFeatures, ImageResize, decode_image, encode_ppm, encode_rawv,
+        encode_wav)
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 256, (24 + i, 32 + i, 3), dtype=np.uint8)
+            for i in range(8)]
+    vids = [rng.integers(0, 256, (25, 8, 6, 3), dtype=np.uint8)
+            for _ in range(4)]
+    rate = 8000
+    t = np.arange(rate) / rate
+    wavs = [encode_wav((10_000 * np.sin(2 * np.pi * f * t)).astype(np.int16), rate)
+            for f in (440.0, 1000.0)]
+    tbl = pa.table({
+        "video_id": pa.array(range(8), type=pa.int64()),
+        "image": pa.array([encode_ppm(im) for im in imgs], type=pa.binary()),
+        "video": pa.array([encode_rawv(v) for v in vids] * 2, type=pa.binary()),
+    })
+    ds = rd.from_arrow(tbl)
+
+    dec = ds.map_batches(ImageDecode, batch_size=4, concurrency=2,
+                         batch_format="pyarrow").to_pandas().sort_values("video_id")
+    assert list(dec["width"]) == [32 + i for i in range(8)]
+    assert list(dec["height"]) == [24 + i for i in range(8)]
+    for i in range(8):
+        assert abs(dec["mean_lum"].iloc[i] - imgs[i].mean()) < 1e-6
+
+    rs = ds.map_batches(ImageResize, fn_constructor_kwargs={"width": 8, "height": 8},
+                        batch_size=4, concurrency=2, batch_format="pyarrow").to_pandas()
+    shapes = {decode_image(b).shape for b in rs["image"]}
+    assert shapes == {(8, 8, 3)}
+
+    feats = ds.map_batches(FeatureExtract, batch_size=4, concurrency=2,
+                           batch_format="pyarrow").to_pandas()
+    for f in feats["features"]:
+        v = np.asarray(f)
+        assert v.shape == (64,) and abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+    frames = ds.select_columns(["video_id", "video"]).map_batches(
+        FrameSample, fn_constructor_kwargs={"every_n": 10},
+        batch_size=4, concurrency=2, batch_format="pyarrow").to_pandas()
+    assert sorted(set(frames["frame_idx"])) == [0, 10, 20]
+    one = frames[(frames["video_id"] == 0) & (frames["frame_idx"] == 10)]
+    got = decode_image(one["frame"].iloc[0])
+    assert np.array_equal(got, vids[0][10])
+
+    at = pa.table({"audio_id": pa.array([0, 1], type=pa.int64()),
+                   "audio": pa.array(wavs, type=pa.binary())})
+    af = rd.from_arrow(at).map_batches(
+        AudioFeatures, batch_size=2, concurrency=2,
+        batch_format="pyarrow").to_pandas().sort_values("audio_id")
+    assert abs(af["duration_s"].iloc[0] - 1.0) < 1e-9
+    assert abs(af["dom_freq_hz"].iloc[0] - 440.0) < 2.0
+    assert abs(af["dom_freq_hz"].iloc[1] - 1000.0) < 2.0
+    # sine rms = A/sqrt(2) = (10000/32768)/sqrt(2) ≈ 0.2158
+    assert 0.21 < af["rms"].iloc[0] < 0.22
 
 
 def test_embed_neardup_pairs(ray_session):
