@@ -156,6 +156,26 @@ def q_codec_fsst(sf_dir: str):
     return _codec_roundtrip(sf_dir, "documents", "text", "fsst")
 
 
+def q_codec_decimal(sf_dir: str):
+    """Decimal128 logical type (reference parquet_bridge.rs:483-501 /
+    spec.rs:73 invariants): l_orderkey cast to DECIMAL(21,2) — the
+    unscaled int64 fast path sub-encodes with the numeric selector —
+    then decoded bit-identically and returned as DOUBLE for the oracle."""
+    import pyarrow.compute as pc
+
+    from parquet2_ray.codecs import decode_array, encode_array
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def rt(b: pa.Table) -> pa.Table:
+        dec = b["l_orderkey"].combine_chunks().cast(pa.decimal128(21, 2))
+        out = decode_array(encode_array("price", dec, "decimal", logical="decimal"))
+        assert out.equals(dec)
+        return pa.table({"price": out.cast(pa.float64())})
+
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
 def q_roundtrip_structs(sf_dir: str):
     """Struct-column roundtrip through the FULL pipeline (nested group
     tree — reference schema_descriptor.rs:100-144): events columns are
@@ -454,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_codec_delta_length": q_codec_delta_length,
         "q_codec_delta_ba": q_codec_delta_ba,
         "q_codec_fsst": q_codec_fsst,
+        "q_codec_decimal": q_codec_decimal,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
         "q_filter_events": q_filter_events,
@@ -514,6 +535,10 @@ def oracle_sql() -> dict[str, str]:
         "q_codec_delta_length": "SELECT text FROM documents",
         "q_codec_delta_ba": "SELECT event_type FROM events",
         "q_codec_fsst": "SELECT text FROM documents",
+        "q_codec_decimal": (
+            "SELECT CAST(CAST(l_orderkey AS DECIMAL(21,2)) AS DOUBLE) AS price "
+            "FROM lineitem"
+        ),
         "q_stats_lineitem": stats_union,
         "q_group_source_stats": (
             "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

@@ -79,6 +79,8 @@ def type_to_str(t: pa.DataType) -> str:
         return f"list<{type_to_str(t.value_type)}>"
     if pa.types.is_fixed_size_binary(t):
         return f"fixed_size_binary[{t.byte_width}]"
+    if pa.types.is_decimal128(t):
+        return f"decimal128({t.precision},{t.scale})"
     if pa.types.is_struct(t):
         # JSON field list — robust to arbitrary field names
         import json
@@ -96,6 +98,9 @@ def str_to_type(s: str) -> pa.DataType:
         return pa.list_(str_to_type(s[5:-1]))
     if s.startswith("fixed_size_binary[") and s.endswith("]"):
         return pa.binary(int(s[18:-1]))
+    if s.startswith("decimal128(") and s.endswith(")"):
+        p, sc = s[11:-1].split(",")
+        return pa.decimal128(int(p), int(sc))
     if s.startswith("struct<") and s.endswith(">"):
         import json
 
@@ -219,6 +224,8 @@ def codecs_for_type(t: pa.DataType) -> set[str]:
         return {"list"}
     if pa.types.is_struct(t):
         return {"struct"}
+    if pa.types.is_decimal128(t):
+        return {"decimal"}
     raise TypeError(f"no codecs for arrow type {t}")
 
 
@@ -264,10 +271,26 @@ def _ceil8(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode_array(name: str, arr: pa.Array | pa.ChunkedArray, codec: str) -> EncodedColumn:
-    """Encode one column with the named codec. Nulls → validity frame."""
+def encode_array(
+    name: str, arr: pa.Array | pa.ChunkedArray, codec: str, logical: str | None = None
+) -> EncodedColumn:
+    """Encode one column with the named codec. Nulls → validity frame.
+
+    ``logical`` optionally annotates the column with a parquet logical
+    type (``"uuid"`` / ``"json"`` / ``"enum"`` / ``"decimal"``); the
+    (annotation, physical type) pairing is validated exactly as the
+    reference's spec checks do (see codecs/logical.py) and recorded in
+    the column meta for round-trip.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if logical is not None:
+        from .logical import check_logical
+
+        check_logical(logical, arr.type)
+        col = encode_array(name, arr, codec)
+        col.meta["logical"] = logical
+        return col
     t = arr.type
     if codec not in codecs_for_type(t):  # raises TypeError for unsupported t
         raise ValueError(f"codec {codec!r} does not support arrow type {t}")
@@ -335,6 +358,41 @@ def encode_array(name: str, arr: pa.Array | pa.ChunkedArray, codec: str) -> Enco
             num_values=n,
             payload=bytes(head) + bytes(body),
             meta={"fields": fields_meta},
+        )
+
+    if codec == "decimal":
+        # decimal128 (spec invariants per the reference's spec.rs): if
+        # every value's high 64 bits are pure sign extension the column
+        # is a scaled int64 — sub-encode it with the numeric selector
+        # (scaled prices dict/delta/FOR-compress extremely well);
+        # otherwise fall back to raw 16-byte slots.
+        from .logical import check_decimal
+
+        check_decimal(t.precision, t.scale)
+        bufs = dense.buffers()
+        raw = (
+            np.frombuffer(bufs[1], dtype=np.uint8)[dense.offset * 16 : (dense.offset + len(dense)) * 16]
+            if bufs[1] is not None
+            else np.empty(0, np.uint8)
+        )
+        pairs = raw.view("<u8").reshape(-1, 2) if raw.size else np.empty((0, 2), np.uint64)
+        lo, hi = pairs[:, 0], pairs[:, 1]
+        sign_ext = np.where((lo >> np.uint64(63)).astype(bool),
+                            np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+        meta: dict = {}
+        if pairs.shape[0] == 0 or (hi == sign_ext).all():
+            from ..functions.selector import select_codec
+
+            arr64 = pa.array(np.ascontiguousarray(lo).view(np.int64), type=pa.int64())
+            sub = select_codec(arr64)
+            sub_col = encode_array("v", arr64, sub)
+            body = b"\x01" + sub_col.payload
+            meta["dec_sub"] = sub
+        else:
+            body = b"\x00" + raw.tobytes()
+        return EncodedColumn(
+            name=name, codec="decimal", arrow_type=type_to_str(t),
+            num_values=n, payload=bytes(head) + body, meta=meta,
         )
 
     if codec == "bitmap":
@@ -424,6 +482,20 @@ def decode_array(col: EncodedColumn) -> pa.Array:
         else:
             dense = pa.nulls(n_dense, type=t).fill_null({})
         dense = dense.cast(t)
+    elif col.codec == "decimal":
+        if body[:1] == b"\x01":
+            sub = EncodedColumn(
+                name="v", codec=col.meta["dec_sub"], arrow_type="int64",
+                num_values=0, payload=body[1:], meta={},
+            )
+            ints = decode_array(sub).to_numpy(zero_copy_only=False).astype(np.int64)
+            raw = np.empty((len(ints), 2), dtype=np.uint64)
+            raw[:, 0] = ints.view(np.uint64)
+            raw[:, 1] = np.where(ints < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+            data = raw.tobytes()
+        else:
+            data = body[1:]
+        dense = pa.Array.from_buffers(t, n_dense, [None, pa.py_buffer(data)])
     elif col.codec == "bitmap":
         m, q = uleb_decode(body, 0)
         bits = np.frombuffer(body, dtype=np.uint8, count=_ceil8(m), offset=q)

@@ -4,12 +4,15 @@ Structure follows the parquet-format spec and the reference
 implementation exactly (/root/reference/src/bloom_filter/split_block.rs:4-24:
 8 salt constants, 32-byte blocks of 8×u32 lanes, one bit per lane,
 block index = ((hash >> 32) * num_blocks) >> 32).  The element hash is
-pandas' vectorized 64-bit siphash (``functions.hashing.hash_strings``)
-rather than the reference's xxh64
-(/root/reference/src/bloom_filter/hash.rs:8-17) — xxh64 is not available
-in this environment and the hash only matters for cross-engine file
-interop, which our container does not target; the filter is
-self-consistent (built and probed by this module).
+the spec-mandated XXH64(seed=0) over the value's PLAIN encoding,
+matching the reference (/root/reference/src/bloom_filter/hash.rs:8-17)
+bit-for-bit via the from-scratch vectorized implementation in
+``functions.xxh`` — so the persisted sketches are interoperable with
+any engine following the parquet bloom spec.  Canonical PLAIN bytes
+per arrow type: 8/16/32-bit ints and date32 → 4-byte LE (parquet's
+int32 physical), 64-bit ints and timestamps → 8-byte LE, float32 →
+4-byte LE, float64 → 8-byte LE, string/binary → raw bytes,
+fixed_size_binary → raw slot bytes.
 
 Used as the per-partition membership sketch recorded in the lineage
 manifest (SURVEY.md A6) and probed by the manifest-pruning reader
@@ -20,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["build", "might_contain", "num_blocks_for", "hash_values"]
+__all__ = ["build", "might_contain", "num_blocks_for", "hash_values", "hash_arrow"]
 
 # magic numbers from the parquet-format BloomFilter spec
 # (/root/reference/src/bloom_filter/split_block.rs:4-7)
@@ -35,21 +38,68 @@ _SALT = np.array(
 _BLOCK_BYTES = 32  # 8 lanes × u32
 
 
-def hash_values(values) -> np.ndarray:
-    """uint64 element hashes (vectorized).
+def hash_arrow(arr) -> np.ndarray:
+    """Spec xxh64 element hashes of an arrow array (nulls dropped).
 
-    Keys are canonicalized EXPLICITLY to their ``str()`` form before
-    hashing — the persisted sketch format must not depend on pandas
-    ``hash_array``'s undocumented object-dtype fallback for non-string
-    keys (int sort keys, timestamps): if that fallback changed, probes
-    against old manifests would silently false-prune partitions."""
-    import pandas as pd
+    The canonical byte form is the value's parquet PLAIN encoding (see
+    module docstring) — EXPLICIT per type, so the persisted sketch
+    format depends only on the spec, never on library internals
+    (round-1 advisor note): a probe against an old manifest can never
+    silently false-prune because a hash fallback changed."""
+    import pyarrow as pa
 
-    from .hashing import hash_strings
+    from .xxh import xxh64_bytes
 
-    s = pd.Series(np.asarray(values, dtype=object), dtype=object)
-    canon = s.astype(str)  # identity for str keys, explicit for the rest
-    return hash_strings(canon.to_numpy(dtype=object))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_date32(t):
+        if t.bit_width <= 32:
+            v = arr.cast(pa.int32(), safe=False).to_numpy(zero_copy_only=False)
+            w = 4
+        else:
+            v = arr.cast(pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+            w = 8
+        data = np.ascontiguousarray(v).view(np.uint8)
+    elif pa.types.is_temporal(t):
+        v = arr.cast(pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+        w = 8
+        data = np.ascontiguousarray(v).view(np.uint8)
+    elif pa.types.is_floating(t):
+        v = arr.to_numpy(zero_copy_only=False)
+        w = v.dtype.itemsize
+        data = np.ascontiguousarray(v).view(np.uint8)
+    elif pa.types.is_fixed_size_binary(t):
+        w = t.byte_width
+        bufs = arr.buffers()
+        data = (np.frombuffer(bufs[1], dtype=np.uint8)
+                [arr.offset * w : (arr.offset + len(arr)) * w]
+                if bufs[1] is not None else np.empty(0, np.uint8))
+    else:  # string / binary
+        ba = arr.cast(pa.large_binary())
+        bufs = ba.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[ba.offset : ba.offset + len(ba) + 1]
+        data = (np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        return xxh64_bytes(offs - offs[0], data)
+    offsets = np.arange(len(arr) + 1, dtype=np.int64) * w
+    return xxh64_bytes(offsets, data)
+
+
+def hash_values(values, type_str: str | None = None) -> np.ndarray:
+    """uint64 hashes of python values; ``type_str`` (the manifest's
+    recorded ``bloom_type``) pins the arrow type so probe-side
+    canonicalization matches the writer exactly."""
+    import pyarrow as pa
+
+    if type_str is not None:
+        from ..codecs.column import str_to_type
+
+        arr = pa.array(list(values), type=str_to_type(type_str))
+    else:
+        arr = pa.array(list(values))
+    return hash_arrow(arr)
 
 
 def num_blocks_for(ndv: int, bits_per_value: int = 10) -> int:

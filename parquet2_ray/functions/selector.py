@@ -44,6 +44,7 @@ _PRIORITY = [
     "fsst",
     "plain_flba",
     "dict_flba",
+    "decimal",
     "list",
     "struct",
 ]
@@ -70,6 +71,8 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray) -> dict[str, int]:
         return {"list": 0}
     if candidates == {"struct"}:
         return {"struct": 0}
+    if candidates == {"decimal"}:
+        return {"decimal": 0}
     s = _sample(arr)
     sizes: dict[str, int] = {}
     for c in sorted(candidates):
@@ -87,6 +90,8 @@ def select_codec(arr: pa.Array | pa.ChunkedArray) -> str:
         return "list"
     if pa.types.is_struct(t):
         return "struct"
+    if pa.types.is_decimal128(t):
+        return "decimal"
     sizes = candidate_sizes(arr)
     if not sizes:
         raise TypeError(f"no viable codec for type {t}")

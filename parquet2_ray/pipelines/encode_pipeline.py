@@ -422,14 +422,18 @@ def prune_partitions(out_dir: str, key_values) -> list[str]:
     from ..functions import bloom
 
     records = mf.load_manifest(out_dir)
-    h = bloom.hash_values(list(key_values))
+    key_values = list(key_values)
+    hashes_by_type: dict = {}  # writer-recorded bloom_type → probe hashes
     keep = []
     for r in records.values():
         b64 = r.get("bloom")
         if not b64:
             keep.append(r["path"])
             continue
-        if bloom.might_contain(base64.b64decode(b64), h).any():
+        ts = r.get("bloom_type")
+        if ts not in hashes_by_type:
+            hashes_by_type[ts] = bloom.hash_values(key_values, ts)
+        if bloom.might_contain(base64.b64decode(b64), hashes_by_type[ts]).any():
             keep.append(r["path"])
     return keep
 

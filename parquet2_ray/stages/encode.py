@@ -115,17 +115,18 @@ def encode_partition_table(
         n_weight = int(pc.sum(group[weight_col]).as_py() or 0)
     # per-partition membership sketch of the key column (SURVEY.md A6);
     # probed by decode-side pruning (the T1 PageFilter analog)
-    bloom_b64 = None
+    bloom_b64 = bloom_type = None
     bloom_col = sort_key[0] if isinstance(sort_key, list) else sort_key
     if bloom_col and bloom_col in group.column_names and group.num_rows:
         import base64
 
         from ..functions import bloom
 
-        vals = group[bloom_col].to_pylist()
-        h = bloom.hash_values(vals)
+        key_arr = group[bloom_col].combine_chunks()
+        h = bloom.hash_arrow(key_arr)
         bits = bloom.build(h, bloom.num_blocks_for(group.num_rows))
         bloom_b64 = base64.b64encode(bits).decode()
+        bloom_type = col_mod.type_to_str(key_arr.type)
     t1 = time.time()
     if paged:
         total_bytes = mf.write_partition_file_paged(
@@ -162,6 +163,7 @@ def encode_partition_table(
         "boundary_order": "ascending" if sort_key else "unordered",
         "bloom_key": bloom_col if bloom_b64 else None,
         "bloom": bloom_b64,
+        "bloom_type": bloom_type if bloom_b64 else None,
         "encoding_opts": enc_opts,
         "timings": {**tm, "write_s": round(time.time() - t1, 4)},
         "wall_s": time.time() - t0,
