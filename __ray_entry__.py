@@ -425,6 +425,16 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
 
 
+def q_embed_neardup_lsh(sf_dir: str):
+    """Bucketed-LSH near-dup — the corpus×corpus scale path (exact
+    scores, hyperplane-bucketed candidate pruning; approximate recall,
+    so rows-only)."""
+    from parquet2_ray.stages.similarity import neardup_pairs_bucketed
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return neardup_pairs_bucketed(ds, threshold=0.45, n_planes=4, n_tables=16)
+
+
 def q_ann_lsh(sf_dir: str):
     from parquet2_ray.stages.similarity import lsh_bucketed_topk
 
@@ -489,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_dedup": q_ngram_dedup,
         "q_simhash": q_simhash,
         "q_lang_id": q_lang_id,
+        "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_ann_lsh": q_ann_lsh,
         "q_tokens_flagship": q_tokens_flagship,
     }
@@ -569,6 +580,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "q_doc_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "q_lang_id": (
+            "WITH s AS (SELECT doc_id, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN "
+            "('das','der','die','ein','eine','ist','mit','und','zu'))) AS c_de, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN "
+            "('a','and','for','in','is','it','of','that','the','to'))) AS c_en, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN "
+            "('el','en','es','la','los','para','un','una','y'))) AS c_es, "
+            "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN "
+            "('dans','est','et','la','le','les','pour','un','une'))) AS c_fr "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'und' "
+            "WHEN c_fr >= c_es AND c_fr >= c_en AND c_fr >= c_de THEN 'fr' "
+            "WHEN c_es >= c_en AND c_es >= c_de THEN 'es' "
+            "WHEN c_en >= c_de THEN 'en' ELSE 'de' END AS lang_pred FROM s"
+        ),
         "q_ann_topk": ann,
         "q_image_meta": (
             "SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width, "

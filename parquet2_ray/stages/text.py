@@ -65,22 +65,33 @@ class LangId:
     }
 
     def __init__(self):
-        # invert: word → set of languages (built once per actor)
-        self.word_langs: dict[str, list[str]] = {}
-        for lang, words in self.STOPWORDS.items():
-            for w in words:
-                self.word_langs.setdefault(w, []).append(lang)
+        # one compiled alternation per language (built once per actor):
+        # a stopword counts as a hit when delimited by whitespace or the
+        # string boundary — identical token semantics to str.split()
+        import re
+
         self.langs = sorted(self.STOPWORDS)
+        self.patterns = [
+            re.compile(
+                r"(?<!\S)(?:" + "|".join(sorted(self.STOPWORDS[l])) + r")(?!\S)"
+            )
+            for l in self.langs
+        ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for words in batch["text"].str.lower().str.split():
-            scores = dict.fromkeys(self.langs, 0)
-            for w in words or ():
-                for lang in self.word_langs.get(w, ()):
-                    scores[lang] += 1
-            best = max(self.langs, key=lambda l: (scores[l], l))
-            preds.append(best if scores[best] > 0 else "und")
+        lower = batch["text"].str.lower()
+        # (n_docs, n_langs) stopword-hit counts — one vectorized
+        # str.count pass per language, no per-row Python
+        scores = np.column_stack(
+            [lower.str.count(p).fillna(0).to_numpy(dtype=np.int64)
+             for p in self.patterns]
+        )
+        # argmax with ties broken toward the lexicographically LAST
+        # language (matching max(key=(score, lang)) semantics)
+        rev = scores[:, ::-1]
+        best = scores.shape[1] - 1 - np.argmax(rev, axis=1)
+        preds = np.where(scores.max(axis=1) > 0,
+                         np.asarray(self.langs, dtype=object)[best], "und")
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
 
 

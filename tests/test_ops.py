@@ -304,3 +304,24 @@ def test_verified_neardup_pairs(ray_session, tmp_path):
     assert (0, 3) in found  # exact dupes must survive verification
     assert all(a < b for a, b in found)
     assert (got["jaccard"] >= 0.6).all()
+
+
+def test_neardup_pairs_bucketed_matches_exact(ray_session):
+    """Bucketed LSH near-dup (the corpus×corpus scale path): reported
+    pairs are a SUBSET of the exact result (scores are exact, hashing
+    only prunes), and with enough tables recall is total on this
+    corpus (deterministic: fixed seed, fixed data)."""
+    import ray.data as rd
+
+    from parquet2_ray.stages.similarity import neardup_pairs, neardup_pairs_bucketed
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = neardup_pairs(ds, threshold=0.45).to_pandas()
+    ex = set(zip(exact.a_id, exact.b_id))
+    got = neardup_pairs_bucketed(ds, threshold=0.45, n_planes=4,
+                                 n_tables=16).to_pandas()
+    gt = set(zip(got.a_id, got.b_id))
+    assert gt <= ex
+    assert len(gt & ex) / max(len(ex), 1) >= 0.7
+    assert (got["sim"] >= 0.45).all()
