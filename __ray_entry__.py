@@ -250,6 +250,27 @@ def q_roundtrip_flba(sf_dir: str):
     return ds.map_batches(rt, batch_format="pyarrow")
 
 
+def q_parquet_interop(sf_dir: str):
+    """Standard-parquet interchange (VERDICT missing #6; reference
+    write/file.rs:20-41): encode documents into the P2R1 container,
+    export it back to REAL .parquet (one file per partition, codec
+    choices mapped to standard encodings), and return what a plain
+    parquet reader sees — the oracle reads the original table, so the
+    full container→parquet round trip must be value-identical."""
+    from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+    from parquet2_ray.sources.parquet_interop import container_to_parquet
+
+    out = _out_dir(sf_dir, "interop_container")
+    encode_dataset(
+        f"{sf_dir}/documents.parquet", out,
+        EncodeOptions(group_col="source", weight_col="n_chars",
+                      sort_key="doc_id", target_weight=2_000_000),
+    )
+    pq_dir = _out_dir(sf_dir, "interop_parquet")
+    container_to_parquet(out, pq_dir)
+    return rd.read_parquet(pq_dir)
+
+
 def q_stats_lineitem(sf_dir: str):
     """Per-column min/max/null_count via per-batch profile + driver fold
     (the reference's statistics reduce — SURVEY.md A1/A2)."""
@@ -485,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_codec_delta_ba": q_codec_delta_ba,
         "q_codec_fsst": q_codec_fsst,
         "q_codec_decimal": q_codec_decimal,
+        "q_parquet_interop": q_parquet_interop,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
         "q_filter_events": q_filter_events,
@@ -537,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, ts, user_id, value, props FROM events"
         ),
         "q_roundtrip_flba": "SELECT doc_id, md5(text) AS fp, lang FROM documents",
+        "q_parquet_interop": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_codec_dict_int": "SELECT l_suppkey FROM lineitem",
         "q_codec_for_bitpack": "SELECT l_linenumber FROM lineitem",
         "q_codec_delta": "SELECT l_orderkey FROM lineitem",

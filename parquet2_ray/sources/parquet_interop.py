@@ -1,0 +1,127 @@
+"""Standard-Parquet interchange.
+
+The reference's raison d'être is the real parquet format
+(/root/reference/src/write/file.rs:20-41); our engine's native output
+is the P2R1 container (lightweight codecs + lineage manifest).  This
+module closes the interchange gap (VERDICT.md "What's missing" #6):
+
+- READ side: ``encode_dataset`` already consumes standard parquet via
+  ``ray.data.read_parquet`` — any parquet file is an input.
+- WRITE side: ``container_to_parquet`` decodes a P2R1 container and
+  writes real ``.parquet`` files — one file per container partition
+  (resumable, same partitioning discipline as the encode side),
+  distributed as a ``map_batches`` over the manifest records.  Our
+  per-partition codec selections are mapped onto the nearest standard
+  parquet encodings so the interchange artifact keeps (most of) the
+  size win:
+
+    dict_rle / dict_binary / dict_flba  → RLE_DICTIONARY (use_dictionary)
+    delta_binary_packed / for_bitpack / rle → DELTA_BINARY_PACKED
+    delta_length_byte_array             → DELTA_LENGTH_BYTE_ARRAY
+    delta_byte_array                    → DELTA_BYTE_ARRAY
+    fsst / plain*                       → PLAIN  (FSST has no standard
+                                          parquet encoding)
+
+  pyarrow constraint: explicit ``column_encoding`` requires
+  ``use_dictionary=False`` — when any column chose a dict codec we
+  prefer dictionary (parquet's main lightweight codec) and let the
+  rest default to PLAIN; otherwise we emit explicit per-column
+  encodings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..state import manifest as mf
+
+__all__ = ["container_to_parquet", "parquet_write_args_for"]
+
+_TO_PARQUET_ENCODING = {
+    "delta_binary_packed": "DELTA_BINARY_PACKED",
+    "for_bitpack": "DELTA_BINARY_PACKED",
+    "rle": "DELTA_BINARY_PACKED",
+    "delta_length_byte_array": "DELTA_LENGTH_BYTE_ARRAY",
+    "delta_byte_array": "DELTA_BYTE_ARRAY",
+    "plain": "PLAIN",
+    "plain_byte_array": "PLAIN",
+    "plain_flba": "PLAIN",
+    "fsst": "PLAIN",
+}
+
+_DICT_CODECS = {"dict_rle", "dict_binary", "dict_flba"}
+
+
+def parquet_write_args_for(codecs: dict[str, str]) -> dict:
+    """pyarrow ``write_table`` kwargs matching our codec selections."""
+    dict_cols = sorted(c for c, k in codecs.items() if k in _DICT_CODECS)
+    if dict_cols:
+        return {"use_dictionary": dict_cols}
+    enc = {c: _TO_PARQUET_ENCODING[k] for c, k in codecs.items()
+           if k in _TO_PARQUET_ENCODING}
+    if enc:
+        return {"use_dictionary": False, "column_encoding": enc}
+    return {}
+
+
+def container_to_parquet(
+    container_dir: str,
+    out_dir: str,
+    compression: str = "NONE",
+) -> dict:
+    """Decode a P2R1 container into standard ``.parquet`` files.
+
+    One output file per container partition (``part-<id>.parquet``),
+    written by parallel tasks — already-written files are skipped
+    (atomic rename), so a failed export resumes where it stopped.
+    Returns a summary {n_partitions, rows, parquet_bytes}.
+    """
+    import json
+
+    records = sorted(mf.load_manifest(container_dir).values(),
+                     key=lambda r: r["part_id"])
+    if not records:
+        raise ValueError(f"no committed partitions under {container_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    codecs = json.loads(records[0]["codecs"]) if isinstance(
+        records[0].get("codecs"), str) else (records[0].get("codecs") or {})
+    args = parquet_write_args_for(codecs)
+
+    def export(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import decode_partition_path
+
+        out_rows = {"part_id": [], "rows": [], "parquet_bytes": [], "skipped": []}
+        for pid, path in zip(batch["part_id"].to_pylist(),
+                             batch["path"].to_pylist()):
+            dest = os.path.join(out_dir, f"part-{pid}.parquet")
+            if os.path.exists(dest):
+                out_rows["part_id"].append(pid)
+                out_rows["rows"].append(0)
+                out_rows["parquet_bytes"].append(os.path.getsize(dest))
+                out_rows["skipped"].append(True)
+                continue
+            tbl = decode_partition_path(path)
+            tmp = dest + ".tmp"
+            pq.write_table(tbl, tmp, compression=compression, **args)
+            os.replace(tmp, dest)
+            out_rows["part_id"].append(pid)
+            out_rows["rows"].append(tbl.num_rows)
+            out_rows["parquet_bytes"].append(os.path.getsize(dest))
+            out_rows["skipped"].append(False)
+        return pa.table(out_rows)
+
+    items = [{"part_id": r["part_id"], "path": r["path"]} for r in records]
+    stats = rd.from_items(items).map_batches(
+        export, batch_size=1, batch_format="pyarrow").to_pandas()
+    return {
+        "n_partitions": len(stats),
+        "rows": int(stats["rows"].sum()),
+        "parquet_bytes": int(stats["parquet_bytes"].sum()),
+        "skipped": int(stats["skipped"].sum()),
+        "out_dir": out_dir,
+    }

@@ -161,6 +161,11 @@ def encode_partition_table(
         "sort_key": sort_key if isinstance(sort_key, list) else (
             [sort_key] if sort_key else []),
         "boundary_order": "ascending" if sort_key else "unordered",
+        # dict pages are sorted by construction (codecs/dictionary.py:
+        # np.unique / pc.dictionary_encode with sorted remap) — record
+        # the flag per dict column (reference O3 is_sorted)
+        "dict_is_sorted": {c: True for c, k in codecs.items()
+                           if k.startswith("dict")},
         "bloom_key": bloom_col if bloom_b64 else None,
         "bloom": bloom_b64,
         "bloom_type": bloom_type if bloom_b64 else None,
