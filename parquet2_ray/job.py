@@ -1,0 +1,102 @@
+"""``ray job submit`` entry point for the encode pipeline.
+
+The north rule runs the 10^12-sequence job on a fixed-size cluster via
+``ray job submit``; this module is that submission target:
+
+    ray job submit --working-dir . -- \
+        python -m parquet2_ray.job encode \
+            --input  s3://corpus/tokens/*.parquet \
+            --output /mnt/out/tokens_enc \
+            --group-col source --weight-col n_tok --sort-key doc_id
+
+Subcommands:
+
+- ``encode``  — full pipeline (plan → shuffle → per-partition codec
+  auto-select → encode → container write + lineage manifest).  Re-runs
+  resume from the last committed partition (manifest fingerprints).
+- ``decode``  — stream a container back out as standard parquet
+  (sources/parquet_interop).
+- ``verify``  — bit-identity check of a container against its source.
+
+Ray session ownership: inside a Ray Job the cluster is already up, so
+``ray.init`` is guarded — this is one of the three places allowed to
+init (bench.py, CLI entry points, test fixture); library code never
+does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+
+
+def cmd_encode(args) -> dict:
+    from .pipelines.encode_pipeline import EncodeOptions, encode_dataset
+
+    opts = EncodeOptions(
+        group_col=args.group_col,
+        weight_col=args.weight_col,
+        sort_key=args.sort_key,
+        target_weight=args.target_weight,
+        compression=args.compression,
+    )
+    return encode_dataset(args.input, args.output, opts)
+
+
+def cmd_decode(args) -> dict:
+    from .sources.parquet_interop import container_to_parquet
+
+    return container_to_parquet(args.input, args.output)
+
+
+def cmd_verify(args) -> dict:
+    # distributed bit-identity proof: decode every committed partition,
+    # recompute the canonical fingerprint, compare to the manifest
+    from .pipelines.verify_pipeline import verify_manifest
+
+    return verify_manifest(args.container)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="parquet2_ray.job")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local-mode CPU count (omit inside a Ray Job)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--output", required=True)
+    enc.add_argument("--group-col", default="source")
+    enc.add_argument("--weight-col", default="n_tok")
+    enc.add_argument("--sort-key", default="doc_id")
+    enc.add_argument("--target-weight", type=int, default=4_000_000)
+    enc.add_argument("--compression", default=None)
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("--input", required=True, help="container dir")
+    dec.add_argument("--output", required=True, help="parquet output dir")
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("--container", required=True)
+
+    args = ap.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+    out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify}[args.cmd](args)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
