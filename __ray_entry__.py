@@ -358,6 +358,18 @@ def q_char_stats(sf_dir: str):
     return ds.map_batches(char_stats_batch, batch_format="pandas")
 
 
+def q_quality(sf_dir: str):
+    """Quality-signal scoring (length/alpha/word-shape ratios) — the
+    deterministic float arithmetic is reproduced exactly in SQL, so the
+    value-hash compare covers the scoring math (content_hash is
+    engine-internal and excluded)."""
+    from parquet2_ray.stages.text import quality_score_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_chars2", "alpha_ratio", "mean_word_len"])
+
+
 def q_doc_md5(sf_dir: str):
     from parquet2_ray.stages.text import md5_batch
 
@@ -513,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
         "q_char_stats": q_char_stats,
+        "q_quality": q_quality,
         "q_doc_md5": q_doc_md5,
         "q_embed_neardup": q_embed_neardup,
         "q_ann_topk": q_ann_topk,
@@ -603,6 +616,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "q_doc_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "q_quality": (
+            "WITH s AS (SELECT doc_id, length(text) AS n_chars2, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+            "length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+            "AS n_tok FROM documents) "
+            "SELECT doc_id, n_chars2, "
+            "CAST(n_alpha AS DOUBLE) / greatest(n_chars2, 1) AS alpha_ratio, "
+            "CAST(greatest(n_chars2 - n_tok + 1, 0) AS DOUBLE) / greatest(n_tok, 1) "
+            "AS mean_word_len FROM s"
+        ),
         "q_lang_id": (
             "WITH s AS (SELECT doc_id, "
             "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN "

