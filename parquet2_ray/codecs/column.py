@@ -162,6 +162,24 @@ _NUMERIC_ENC = {
     "rle": _enc_rle,
 }
 
+
+def _np_dtype_of(arrow_type: str) -> str:
+    return {
+        "int32": "int32", "int64": "int64", "float": "float32",
+        "double": "float64", "uint32": "uint32", "uint64": "uint64",
+        "date32[day]": "int32",
+    }.get(arrow_type, "int64")  # temporal stored as int64
+
+
+# numeric decoders: (body, arrow_type_str, n_dense) -> np.ndarray
+_NUMERIC_DEC = {
+    "plain": lambda b, at, n: plain.decode(b, _np_dtype_of(at), n),
+    "for_bitpack": lambda b, at, n: for_pack.decode(b),
+    "delta_binary_packed": lambda b, at, n: delta.decode(b)[0],
+    "dict_rle": lambda b, at, n: dictionary.decode_int(b),
+    "rle": lambda b, at, n: _dec_rle(b),
+}
+
 NUMERIC_CODECS = set(_NUMERIC_ENC)
 FLOAT_CODECS = {"plain"}
 
@@ -202,7 +220,49 @@ _BINARY_ENC = {
     "fsst": _enc_fsst,
 }
 
+# binary decoders: (body, n_dense) -> (offsets:int64, data:uint8)
+_BINARY_DEC = {
+    "plain_byte_array": byte_array.plain_decode,
+    "delta_length_byte_array": byte_array.delta_length_decode,
+    "delta_byte_array": byte_array.delta_ba_decode,
+    "dict_binary": lambda b, n: dictionary.decode_binary(b),
+    "fsst": lambda b, n: _dec_fsst(b),
+}
+
 BINARY_CODECS = set(_BINARY_ENC)
+
+
+def register_codec(name: str, kind: str, encode, decode) -> None:
+    """User-extension surface (SURVEY.md §2.9; the analog of the
+    reference's consumer-supplied deserialization — page states are
+    public, /root/reference/README.md:108-119, src/deserialize/*):
+    plug a custom codec into the registry; the auto-selector then
+    competes it against the built-ins on every partition sample.
+
+    kind="numeric": encode(values: np.ndarray) -> bytes,
+                    decode(body: bytes, arrow_type: str, n: int) -> np.ndarray
+    kind="binary":  encode(offsets: np.int64[n+1], data: np.uint8[]) -> bytes,
+                    decode(body: bytes, n: int) -> (offsets, data)
+
+    Registration is per-process: in a distributed pipeline, register at
+    import time of a module your map_batches UDFs import, so every Ray
+    worker sees the codec (same contract as the reference: the consumer
+    links its deserializer into every thread).
+    """
+    from ..functions import selector as _sel
+
+    if kind == "numeric":
+        _NUMERIC_ENC[name] = encode
+        _NUMERIC_DEC[name] = decode
+        NUMERIC_CODECS.add(name)
+    elif kind == "binary":
+        _BINARY_ENC[name] = encode
+        _BINARY_DEC[name] = decode
+        BINARY_CODECS.add(name)
+    else:
+        raise ValueError(f"unknown codec kind {kind!r}")
+    if name not in _sel._PRIO:  # ties break toward built-ins
+        _sel._PRIO[name] = len(_sel._PRIO)
 
 # FLBA codecs: (data:uint8, byte_width) -> bytes
 # (/root/reference/src/deserialize/fixed_len.rs:56-110)
@@ -500,23 +560,8 @@ def decode_array(col: EncodedColumn) -> pa.Array:
         m, q = uleb_decode(body, 0)
         bits = np.frombuffer(body, dtype=np.uint8, count=_ceil8(m), offset=q)
         dense = pa.array(np.unpackbits(bits, bitorder="little", count=m).astype(bool))
-    elif col.codec in _NUMERIC_ENC:
-        if col.codec == "plain":
-            np_dtype = {
-                "int32": "int32", "int64": "int64", "float": "float32",
-                "double": "float64", "uint32": "uint32", "uint64": "uint64",
-            }.get(col.arrow_type)
-            if np_dtype is None:  # temporal stored as int64 (date32 as int32)
-                np_dtype = "int32" if col.arrow_type == "date32[day]" else "int64"
-            v = plain.decode(body, np_dtype, n_dense)
-        elif col.codec == "for_bitpack":
-            v = for_pack.decode(body)
-        elif col.codec == "delta_binary_packed":
-            v, _ = delta.decode(body)
-        elif col.codec == "dict_rle":
-            v = dictionary.decode_int(body)
-        else:
-            v = _dec_rle(body)
+    elif col.codec in _NUMERIC_DEC:
+        v = _NUMERIC_DEC[col.codec](body, col.arrow_type, n_dense)
         storage = _storage_type(t)
         dense = pa.array(np.asarray(v).astype(storage.to_pandas_dtype(), copy=False), type=storage).cast(t)
     elif col.codec in FLBA_CODECS:
@@ -527,17 +572,8 @@ def decode_array(col: EncodedColumn) -> pa.Array:
         dense = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(k), n_dense, [None, pa.py_buffer(data.tobytes())]
         ).cast(t)
-    elif col.codec in _BINARY_ENC:
-        if col.codec == "plain_byte_array":
-            offsets, data = byte_array.plain_decode(body, n_dense)
-        elif col.codec == "delta_length_byte_array":
-            offsets, data = byte_array.delta_length_decode(body, n_dense)
-        elif col.codec == "delta_byte_array":
-            offsets, data = byte_array.delta_ba_decode(body, n_dense)
-        elif col.codec == "dict_binary":
-            offsets, data = dictionary.decode_binary(body)
-        else:
-            offsets, data = _dec_fsst(body)
+    elif col.codec in _BINARY_DEC:
+        offsets, data = _BINARY_DEC[col.codec](body, n_dense)
         dense = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n_dense,
             [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(data.tobytes())],

@@ -280,3 +280,37 @@ def test_arbitrary_nesting_depth_roundtrips():
     for arr in cases:
         col = encode_array("x", arr, select_codec(arr))
         assert decode_array(col).equals(arr), arr.type
+
+
+def test_register_custom_codec():
+    """User-extension surface (SURVEY.md §2.9): a consumer-supplied
+    codec competes in the auto-selector and round-trips."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet2_ray.codecs.column import (
+        decode_array,
+        encode_array,
+        register_codec,
+    )
+    from parquet2_ray.functions.selector import select_codec
+
+    def xor_enc(v: np.ndarray) -> bytes:
+        x = (v.astype(np.int64) ^ 0x55).astype("<i8")
+        return x.tobytes()
+
+    def xor_dec(body: bytes, arrow_type: str, n: int) -> np.ndarray:
+        return np.frombuffer(body, dtype="<i8") ^ 0x55
+
+    register_codec("xor_plain", "numeric", xor_enc, xor_dec)
+    arr = pa.array([1, 2, None, 4], type=pa.int64())
+    col = encode_array("x", arr, "xor_plain")
+    assert col.codec == "xor_plain"
+    assert decode_array(col).equals(arr)
+    # the selector now sees it as a candidate (constant 8B/value loses to
+    # rle here, but it must be priced)
+    from parquet2_ray.functions.selector import candidate_sizes
+
+    sizes = candidate_sizes(pa.array(range(1000), type=pa.int64()))
+    assert "xor_plain" in sizes
+    assert select_codec(pa.array(range(1000), type=pa.int64())) != "xor_plain"
