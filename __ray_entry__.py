@@ -13,10 +13,13 @@ Each ``queries()`` entry maps to operators in SURVEY.md §2:
 - q_group_source_stats   grouped aggregation over documents
 - q_filter_events        predicate pushdown at the read (T1/S6)
 - q_dedup_exact          exact dedup (hash-groupby, training-data op)
-- q_token_count/char/md5 text analysis ops
+- q_token_count/char/md5/quality/lang_id  text analysis ops
 - q_ann_topk             brute-force cosine similarity search
-- rows-only (no oracle): q_minhash_pairs, q_simhash, q_lang_id,
-  q_tokens_flagship, q_ann_lsh — non-SQL-expressible ops
+- q_tokens_flagship      the full flagship (derive tokens → encode →
+  shuffle → container → decode), oracle-checked end-to-end in SQL
+- rows-only (no oracle): q_minhash_pairs, q_ngram_dedup, q_simhash,
+  q_ann_lsh, q_embed_neardup_lsh — sketch/approximate ops whose
+  hashes are not SQL-expressible
 """
 
 from __future__ import annotations
@@ -616,6 +619,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "q_doc_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "q_tokens_flagship": (
+            "SELECT source || '/doc-' || CAST(doc_id AS VARCHAR) AS doc_id, "
+            "list_transform(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> ''), w -> CAST(CAST(('0x' || substr(md5(w), 1, 15)) "
+            "AS BIGINT) % 50257 AS INTEGER)) AS tokens, "
+            "CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS INTEGER) AS n_tok, source FROM documents"
+        ),
         "q_quality": (
             "WITH s AS (SELECT doc_id, length(text) AS n_chars2, "
             "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "

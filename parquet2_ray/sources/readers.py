@@ -3,11 +3,16 @@
 ``tokens_from_documents`` derives a tokens-shaped table
 (doc_id:string, tokens:list<int32>, n_tok:int32, source:string — the
 BASELINE.json input_hint shape) deterministically from the ``documents``
-table: whitespace words hashed into a 50k vocab. Used by the flagship
+table: whitespace words hashed into a 50k vocab.  The vocab hash is the
+first 15 hex digits of md5(word) mod VOCAB — chosen because DuckDB can
+reproduce it exactly (``('0x'||substr(md5(w),1,15))::BIGINT``), which
+gives the flagship pipeline a full SQL oracle.  Used by the flagship
 ``entry()`` pipeline so it runs on real driver testdata.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -15,11 +20,19 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..functions.hashing import hash_strings
-
 __all__ = ["tokens_from_documents", "read_table"]
 
 VOCAB = 50_257
+
+
+def _word_token_ids(flat: list[str]) -> np.ndarray:
+    """md5-based vocab ids (documents tables are small — ≤5k docs — so
+    the per-word hashlib loop is off the hot path by construction; the
+    bench corpus uses the synthetic generator, not this)."""
+    return np.fromiter(
+        (int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % VOCAB for w in flat),
+        dtype=np.int32, count=len(flat),
+    )
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -31,11 +44,7 @@ def _tokenize_batch(batch: pa.Table) -> pa.Table:
     words = texts.str.split()
     lens = words.str.len().fillna(0).astype(np.int32).to_numpy()
     flat = [w for ws in words for w in (ws or ())]
-    ids = (
-        (hash_strings(np.asarray(flat, dtype=object)) % VOCAB).astype(np.int32)
-        if flat
-        else np.empty(0, dtype=np.int32)
-    )
+    ids = _word_token_ids(flat) if flat else np.empty(0, dtype=np.int32)
     offsets = np.zeros(len(batch) + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
     tokens = pa.ListArray.from_arrays(
