@@ -87,3 +87,34 @@ def test_for_pack_roundtrip_int32(vals):
 def test_rle_codec_roundtrip(vals):
     got = _dec_rle(_enc_rle(vals))
     assert np.array_equal(got, vals)
+
+
+@given(
+    unscaled=st.lists(st.integers(-(2**126), 2**126 - 1), min_size=0, max_size=120),
+    scale=st.integers(0, 10),
+    with_nulls=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_decimal_roundtrip_property(unscaled, scale, with_nulls):
+    import decimal
+
+    import pyarrow as pa
+
+    from parquet2_ray.codecs.column import decode_array, encode_array
+
+    t = pa.decimal128(38, scale)
+    vals = [decimal.Decimal(u).scaleb(-scale) for u in unscaled]
+    py = list(vals)
+    if with_nulls and py:
+        py[0] = None
+    arr = pa.array(py, type=t)
+    assert decode_array(encode_array("x", arr, "decimal")).equals(arr)
+
+
+@given(data=st.binary(min_size=0, max_size=200), seed=st.integers(0, 2**64 - 1))
+@settings(**_SETTINGS)
+def test_xxh64_matches_scalar_reference(data, seed):
+    from parquet2_ray.functions.xxh import xxh64
+    from tests.test_xxh import _ref_xxh64
+
+    assert xxh64(data, seed) == _ref_xxh64(data, seed)
