@@ -317,7 +317,10 @@ def main() -> None:
         for cpus in (lo, hi):
             best = None
             for _ in range(repeats):
-                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                # the parent already repeats per level — one headline
+                # run per child, or repeats would multiply
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                           P2R_HEADLINE_REPEATS="1")
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-only",
                      "--cpus", str(cpus)],
