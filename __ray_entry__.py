@@ -478,6 +478,17 @@ def q_ann_lsh(sf_dir: str):
     return lsh_bucketed_topk(ds, _query_matrix(sf_dir), _ANN_QUERIES, k=_ANN_K, n_planes=6)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (nprobe=n_centroids here ⇒ EXACT — the
+    filter keeps every cell, so the SQL top-k oracle applies; recall<1
+    configurations are exercised in tests)."""
+    from parquet2_ray.stages.similarity import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_matrix(sf_dir), _ANN_QUERIES, k=_ANN_K,
+                    n_centroids=8, nprobe=8)
+
+
 def q_tokens_flagship(sf_dir: str):
     """Tokens-shaped flagship: derive (doc_id, tokens, n_tok, source)
     from documents, run the full encode pipeline, return decoded rows."""
@@ -539,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": q_lang_id,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_tokens_flagship": q_tokens_flagship,
     }
 
@@ -654,6 +666,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN c_en >= c_de THEN 'en' ELSE 'de' END AS lang_pred FROM s"
         ),
         "q_ann_topk": ann,
+        "q_ann_ivf": ann,  # nprobe=n_centroids keeps every cell ⇒ exact
         "q_image_meta": (
             "SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width, "
             "CAST(16 + (doc_id * 7) % 32 AS INT) AS height, "

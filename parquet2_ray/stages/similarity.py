@@ -23,6 +23,8 @@ __all__ = [
     "ann_topk",
     "rp_signature_batch",
     "lsh_bucketed_topk",
+    "ivf_topk",
+    "train_ivf_centroids",
     "neardup_pairs",
     "neardup_pairs_bucketed",
 ]
@@ -142,6 +144,79 @@ def lsh_bucketed_topk(
         return batch.filter(pa.array(mask))
 
     pruned = ds.map_batches(filter_buckets, batch_format="pyarrow")
+    return ann_topk(pruned, queries, query_ids, k, emb_col, id_col)
+
+
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 8,
+    seed: int = 17,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded sample
+    (the IVF training step).  Deterministic given the seed; Lloyd
+    iterations are pure numpy matmuls.  At 100 TB the sample is a
+    `ds.limit(sample_rows)` stream — training cost is O(sample), never
+    O(corpus)."""
+    sample = ds.limit(sample_rows).take_all()
+    m = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, m.shape[0])
+    cent = m[rng.choice(m.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 17,
+) -> pa.Table:
+    """IVF approximate top-k — the coarse-quantizer scale path beside
+    :func:`lsh_bucketed_topk`: vectors whose nearest centroid is NOT in
+    any query's ``nprobe`` closest centroids are filtered out inside
+    ``map_batches`` (one matmul against the broadcast centroid matrix),
+    then the survivors go through the exact scorer.  Recall is tuned by
+    ``nprobe``/``n_centroids``; with nprobe == n_centroids this is exact.
+    """
+    cent = train_ivf_centroids(ds, n_centroids, emb_col, seed=seed)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probe = min(nprobe, cent.shape[0])
+    # the centroid lists each query will scan
+    qc = np.argsort(-(qn @ cent.T), axis=1)[:, :probe]
+    wanted = np.unique(qc)
+    cent_ref = ray.put((cent, set(wanted.tolist())))
+
+    def filter_cells(batch: pa.Table) -> pa.Table:
+        C, keep_cells = ray.get(cent_ref)
+        m = _batch_matrix(batch, emb_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((m / norms[:, None]) @ C.T, axis=1)
+        mask = np.isin(cell, list(keep_cells))
+        return batch.filter(pa.array(mask))
+
+    pruned = ds.map_batches(filter_cells, batch_format="pyarrow")
     return ann_topk(pruned, queries, query_ids, k, emb_col, id_col)
 
 

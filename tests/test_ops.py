@@ -325,3 +325,24 @@ def test_neardup_pairs_bucketed_matches_exact(ray_session):
     assert gt <= ex
     assert len(gt & ex) / max(len(ex), 1) >= 0.7
     assert (got["sim"] >= 0.45).all()
+
+
+def test_ivf_topk(ray_session):
+    """IVF coarse quantizer: exact when nprobe==n_centroids; decent
+    recall at nprobe<n_centroids; deterministic given the seed."""
+    from parquet2_ray.stages.similarity import ann_topk, ivf_topk
+
+    tbl, m = _emb_table(n=400)
+    ds = rd.from_arrow(tbl)
+    q = m[:2].astype(np.float64)
+    exact = ann_topk(ds, q, [0, 1], k=5).to_pandas()
+    full = ivf_topk(ds, q, [0, 1], k=5, n_centroids=8, nprobe=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    approx = ivf_topk(ds, q, [0, 1], k=5, n_centroids=8, nprobe=3).to_pandas()
+    for qi in (0, 1):
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        assert qi in a            # the query's own cell is always probed
+        assert len(a & e) >= 3    # recall at 3/8 probes
