@@ -448,10 +448,14 @@ def q_ngram_dedup(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
+    """SimHash with the md5 token hasher — bit-exactly reproducible in
+    SQL (64 per-bit majority votes over token-hash bits), so the
+    fingerprint op is value-hash-checked, not rows-only."""
     from parquet2_ray.stages.dedup import simhash_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(simhash_batch, batch_format="pandas")
+    return ds.map_batches(lambda b: simhash_batch(b, hasher="md5"),
+                          batch_format="pandas")
 
 
 def q_lang_id(sf_dir: str):
@@ -577,7 +581,22 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, rank FROM scored WHERE rank <= {_ANN_K}
     """
+    # 64 per-bit majority votes over md5-derived token-hash bits — the
+    # exact SimHash definition, generated mechanically
+    simhash_bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CAST((h >> {b}) & 1 AS "
+        f"BIGINT)*2 - 1)) > 0 THEN CAST('{1 << b}' AS UBIGINT) "
+        "ELSE CAST(0 AS UBIGINT) END"
+        for b in range(64)
+    )
+    simhash = (
+        "WITH t AS (SELECT doc_id, "
+        "list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), "
+        "w -> CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT)) AS hs "
+        f"FROM documents) SELECT doc_id, ({simhash_bits}) AS simhash FROM t"
+    )
     return {
+        "q_simhash": simhash,
         "q_roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_roundtrip_lineitem": "SELECT * FROM lineitem",
         "q_roundtrip_events": "SELECT * FROM events",

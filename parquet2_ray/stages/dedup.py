@@ -214,17 +214,32 @@ def minhash_lsh_pairs(
 
 
 def simhash_batch(
-    batch: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    batch: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hasher: str = "fast",
 ) -> pd.DataFrame:
     """64-bit SimHash per document over whitespace tokens, vectorized
-    via token-hash bit expansion + per-doc reduceat sums."""
+    via token-hash bit expansion + per-doc reduceat sums.
+
+    ``hasher="fast"`` (default) uses the vectorized siphash — the hot
+    path for real corpora.  ``hasher="md5"`` uses the first 16 hex
+    digits of md5(token), which DuckDB reproduces exactly
+    (``('0x'||substr(md5(w),1,16))::UBIGINT``) — that variant gives the
+    operator a full SQL oracle (q_simhash)."""
+    import hashlib
+
     tokens = batch[text_col].str.split()
     lens = tokens.str.len().fillna(0).astype(int).to_numpy()
     flat = [w for ws in tokens for w in (ws or ())]
     n = len(batch)
     if not flat:
         return pd.DataFrame({id_col: batch[id_col], "simhash": np.zeros(n, dtype=np.uint64)})
-    h = hash_strings(np.asarray(flat, dtype=object))
+    if hasher == "md5":
+        h = np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in flat),
+            dtype=np.uint64, count=len(flat),
+        )
+    else:
+        h = hash_strings(np.asarray(flat, dtype=object))
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     signed = bits.astype(np.int32) * 2 - 1
     bounds = np.concatenate([[0], np.cumsum(lens)])[:-1]
