@@ -35,7 +35,13 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-SCRATCH = "/tmp/p2r_entry"
+# container scratch on tmpfs when available: this VM's virtio disk
+# throttles to ~10 MB/s under load (see bench.py OUT_SCRATCH note);
+# query scratch is throwaway, so keep it off the disk entirely
+SCRATCH = os.environ.get(
+    "P2R_ENTRY_SCRATCH",
+    "/dev/shm/p2r_entry" if os.path.isdir("/dev/shm") else "/tmp/p2r_entry",
+)
 
 LINEITEM_SORT = ["l_orderkey", "l_linenumber"]
 NUMERIC_LINEITEM = [

@@ -33,6 +33,15 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("P2R_BENCH_ROWS", "200000"))
 SCRATCH = "/tmp/p2r_bench"
+# encoded-container output goes to tmpfs: this VM's virtio disk throttles
+# to ~10 MB/s under load (measured: 400 MB buffered write = 56 s), which
+# would make every "encode" measurement a disk benchmark.  The production
+# sink is object storage with its own throughput; tmpfs stands in for it
+# the same way fsync=False does.  Override with P2R_OUT_SCRATCH.
+OUT_SCRATCH = os.environ.get(
+    "P2R_OUT_SCRATCH",
+    "/dev/shm/p2r_bench_out" if os.path.isdir("/dev/shm") else SCRATCH,
+)
 
 # queries from the driver contract worth timing at sf0.1 (coverage across
 # pipeline / codec / agg / dedup / text / ann families)
@@ -208,7 +217,7 @@ def run_headline(tag: str, num_cpus: int) -> dict:
     from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
 
     corpus = ensure_corpus()
-    out = os.path.join(SCRATCH, f"out_{tag}_{os.getpid()}")
+    out = os.path.join(OUT_SCRATCH, f"out_{tag}_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     # warm the Ray worker pool + OS page cache before the clock starts:
     # steady-state throughput is the metric — at 10^12-sequence scale the
