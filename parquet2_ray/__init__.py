@@ -21,3 +21,15 @@ caller (bench.py, tests/conftest.py, or the evaluation driver).
 """
 
 __version__ = "0.1.0"
+
+# Sandbox-VM workaround (no-op elsewhere, remove for real clusters if THP
+# helps there): this VM lazily host-backs memory, and transparent-hugepage
+# faults run ~270× slower than 4K faults (measured 7 MB/s vs 1.9 GB/s on a
+# 100 MB alloc-touch-free loop).  NumPy madvises HUGEPAGE on every large
+# array, so one env var decides whether the whole engine runs at memory
+# speed or at fault speed.  Must be set before numpy's first import —
+# importing parquet2_ray early enough achieves that in our own entry
+# points; bench.py/tests set it before ray.init so workers inherit it.
+import os as _os
+
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")

@@ -26,6 +26,13 @@ does.
 
 from __future__ import annotations
 
+# sandbox-VM THP workaround (see parquet2_ray/__init__.py): must be in
+# the environment BEFORE numpy's first import and before ray.init so
+# every Ray worker inherits it
+import os as _os_env
+
+_os_env.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 import argparse
 import json
 import sys
