@@ -177,6 +177,35 @@ def _hardware_ceiling(lo: int, hi: int) -> float:
     return round(rates[hi] / ((hi / lo) * rates[lo]), 3)
 
 
+def _stream_burn(dur):
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.float64)  # 200 MB stream working set
+    a += 1.0
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < dur:
+        a *= 1.0000001
+        n += 1
+    return n * 0.2 / (time.time() - t0)  # GB/s touched
+
+
+def _stream_ceiling(lo: int, hi: int) -> float:
+    """DRAM-stream scaling lo→hi procs.  The encode job is memory-bound
+    (streams every byte several times), so THIS is the hardware ceiling
+    it can actually reach on one box: all procs share one memory
+    controller, while on a real N→4N-node cluster each node brings its
+    own DRAM channels — the resource whose sharing this number exposes
+    simply does not exist there."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            rates[n] = sum(p.map(_stream_burn, [2.0] * n))
+    return round(rates[hi] / ((hi / lo) * rates[lo]), 3)
+
+
 def _sf_of(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -325,6 +354,7 @@ def main() -> None:
         # Override with P2R_SCALE_CPUS="8,32".
         lo, hi = (int(x) for x in os.environ.get("P2R_SCALE_CPUS", "4,16").split(","))
         hw_eff = _hardware_ceiling(lo, hi)
+        stream_eff = _stream_ceiling(lo, hi)
         # best-of-N per level: this sandbox is a shared host with 2-3×
         # run-to-run variance from neighbors; the best run is the least
         # noise-contaminated estimate of true capability at each level
@@ -365,6 +395,7 @@ def main() -> None:
             f"phases_{lo}": runs[lo].get("phases", {}),
             f"phases_{hi}": runs[hi].get("phases", {}),
             "hardware_cpu_ceiling": hw_eff,
+            "hardware_stream_ceiling": stream_eff,
             # the shared-host VM cannot scale even a pure-CPU spin loop
             # perfectly (see hardware_cpu_ceiling); this is the job's
             # efficiency relative to what the box itself allows

@@ -90,6 +90,15 @@ class EncodeOptions:
     # min/max so point/range reads decode only overlapping blocks
     # (reference intervals.rs:62-138 / indexed_reader.rs:25-209).
     rows_per_block: int | None = None
+    # two-level exchange: when n_parts exceeds the threshold, each split
+    # task emits one coarse shard per GROUP of ``hier_fan`` consecutive
+    # partitions instead of one per partition, and a level-2 task per
+    # group reassembles and encodes its partitions sequentially.  Shard
+    # objects drop from O(blocks × n_parts) to O(blocks × n_parts/fan),
+    # at the cost of fan× coarser encode parallelism — size hier_fan so
+    # n_parts/fan still exceeds cluster cores.
+    hier_parts_threshold: int = 4096
+    hier_fan: int = 16
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -259,6 +268,70 @@ def _split_block(plan: PartitionPlan, group_col, weight_col,
 
 
 @ray.remote
+def _split_block_coarse(plan: PartitionPlan, group_col, weight_col,
+                        n_groups: int, fan: int, *blocks: pa.Table):
+    """Level-1 map of the hierarchical exchange: split read blocks into
+    one coarse IPC shard per group of ``fan`` consecutive partitions.
+    The fine part id rides along as PART_COL so level 2 never recomputes
+    the plan."""
+    blocks = [b for b in blocks if b.num_rows]
+    out: list = [None] * n_groups
+    if blocks:
+        block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks)
+        part = _part_ids(block, plan, group_col, weight_col)
+        tblp = block.append_column(PART_COL, pa.array(part, type=pa.int32()))
+        grp = part // fan
+        order = np.argsort(grp, kind="stable")
+        tbl = tblp.take(pa.array(order))
+        sg = grp[order]
+        uniq, starts = np.unique(sg, return_index=True)
+        bounds = np.append(starts, len(sg))
+        for i, g in enumerate(uniq):
+            sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            out[int(g)] = _ipc_bytes(sl)
+    return tuple(out) if n_groups > 1 else out[0]
+
+
+@ray.remote
+def _encode_group(out_dir: str, sort_key, weight_col,
+                  forced_codecs, resume, compression, fsync,
+                  rows_per_block, *shards) -> list:
+    """Level-2 reduce of the hierarchical exchange: reassemble one group
+    of partitions from its coarse shards and encode each partition.
+    Each partition keeps the flat path's contract — deterministic
+    canonical order, atomic commit, per-partition resume — so retry
+    granularity is unchanged; only shard granularity is coarser."""
+    tables = [
+        pa.ipc.open_stream(s).read_all() for s in shards if s is not None
+    ]
+    if not tables:
+        return []
+    full = pa.concat_tables(tables).combine_chunks()
+    part = full[PART_COL].combine_chunks().to_numpy()
+    order = np.argsort(part, kind="stable")
+    tbl = full.take(pa.array(order))
+    sp = part[order]
+    uniq, starts = np.unique(sp, return_index=True)
+    bounds = np.append(starts, len(sp))
+    recs = []
+    for i in range(len(uniq)):
+        sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        rec = encode_partition_table(
+            sl.combine_chunks(),
+            out_dir,
+            sort_key=sort_key,
+            weight_col=weight_col,
+            forced_codecs=forced_codecs,
+            resume=resume,
+            compression=compression,
+            fsync=fsync,
+            rows_per_block=rows_per_block,
+        )
+        recs.append(rec.to_pylist()[0])
+    return recs
+
+
+@ray.remote
 def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
                  forced_codecs, resume, compression, fsync,
                  rows_per_block, *shards) -> dict:
@@ -334,21 +407,34 @@ def encode_dataset(
     # partition consumes exactly its shards and starts as soon as they
     # exist.  Blocks stream in from the Dataset iterator with
     # backpressure; the object store spills if shards outrun encoders.
-    # SCALE NOTE: the shard-object count is O(blocks × n_parts) — size
-    # target_weight so n_parts stays O(10^3-10^4); beyond that a
-    # hierarchical (two-level) exchange is needed.
+    # The flat exchange's shard-object count is O(blocks × n_parts); past
+    # hier_parts_threshold partitions it switches to the two-level
+    # exchange (coarse shards of hier_fan partitions each, level-2 group
+    # encoders), dropping that to O(blocks × n_parts/fan).
     n_parts = plan.n_parts
-    split_opts = _split_block.options(num_returns=n_parts) if n_parts > 1 else _split_block
-    shard_refs: list = []  # one entry per split task: list of n_parts refs
+    hier = n_parts > max(1, opts.hier_parts_threshold)
+    fan = max(2, opts.hier_fan)
+    n_out = -(-n_parts // fan) if hier else n_parts
+    if hier:
+        split_opts = (_split_block_coarse.options(num_returns=n_out)
+                      if n_out > 1 else _split_block_coarse)
+    else:
+        split_opts = (_split_block.options(num_returns=n_out)
+                      if n_out > 1 else _split_block)
+    shard_refs: list = []  # one entry per split task: list of n_out refs
     t_iter = time.time()
     pending: list = []
 
     def _flush():
         if not pending:
             return
-        refs = split_opts.remote(plan_ref, group_col, weight_col,
-                                 n_parts, *pending)
-        shard_refs.append([refs] if n_parts == 1 else list(refs))
+        if hier:
+            refs = split_opts.remote(plan_ref, group_col, weight_col,
+                                     n_out, fan, *pending)
+        else:
+            refs = split_opts.remote(plan_ref, group_col, weight_col,
+                                     n_out, *pending)
+        shard_refs.append([refs] if n_out == 1 else list(refs))
         pending.clear()
 
     # iter_internal_ref_bundles is Ray-2.49 private API (streams block
@@ -374,16 +460,28 @@ def encode_dataset(
     flat = [r for m in shard_refs for r in m]
     ray.wait(flat, num_returns=len(flat), fetch_local=False)
     t_split_done = time.time()
-    rec_refs = [
-        _encode_part.remote(
-            p, out_dir, sort_key, weight_col, opts.forced_codecs,
-            opts.resume, opts.compression, opts.fsync, opts.rows_per_block,
-            *[m[p] for m in shard_refs],
-        )
-        for p in range(n_parts)
-    ]
-    t_submit = time.time()
-    recs = [r for r in ray.get(rec_refs) if r]  # one small record per partition
+    if hier:
+        rec_refs = [
+            _encode_group.remote(
+                out_dir, sort_key, weight_col, opts.forced_codecs,
+                opts.resume, opts.compression, opts.fsync,
+                opts.rows_per_block, *[m[g] for m in shard_refs],
+            )
+            for g in range(n_out)
+        ]
+        t_submit = time.time()
+        recs = [r for lst in ray.get(rec_refs) for r in lst if r]
+    else:
+        rec_refs = [
+            _encode_part.remote(
+                p, out_dir, sort_key, weight_col, opts.forced_codecs,
+                opts.resume, opts.compression, opts.fsync, opts.rows_per_block,
+                *[m[p] for m in shard_refs],
+            )
+            for p in range(n_parts)
+        ]
+        t_submit = time.time()
+        recs = [r for r in ray.get(rec_refs) if r]  # one small record per partition
     t_done = time.time()
     wall = t_done - t0
     phases = {
@@ -403,7 +501,8 @@ def encode_dataset(
         "wall_s": wall,
         "plan_s": plan_s,
         "phases": phases,
-        "plan": {"n_parts": plan.n_parts},
+        "plan": {"n_parts": plan.n_parts, "hierarchical": hier,
+                 "hier_fan": fan if hier else None},
         "out_dir": out_dir,
     }
     mf.write_global_manifest(out_dir, summary)

@@ -200,3 +200,34 @@ def test_edge_inputs_roundtrip(ray_session, tmp_path):
     out2 = str(tmp_path / "enc2")
     s2 = encode_dataset(str(src2), out2, EncodeOptions())
     assert s2["n_rows"] == 0
+
+
+def test_hierarchical_exchange_bit_identical(ray_session, tokens_table,
+                                             tmp_path):
+    """Two-level exchange (hier_parts_threshold exceeded) must commit the
+    exact same bytes as the flat exchange: same partitions, same
+    fingerprints, same decoded rows."""
+    src = tmp_path / "src.parquet"
+    pq.write_table(tokens_table, src)
+    flat_out, hier_out = str(tmp_path / "flat"), str(tmp_path / "hier")
+    base = dict(target_weight=50_000)  # ~several partitions at 1000 rows
+    s_flat = encode_dataset(str(src), flat_out, EncodeOptions(**base))
+    s_hier = encode_dataset(
+        str(src), hier_out,
+        EncodeOptions(**base, hier_parts_threshold=1, hier_fan=3),
+    )
+    assert s_hier["plan"]["hierarchical"] is True
+    assert s_flat["plan"]["hierarchical"] is False
+    assert s_hier["n_partitions"] == s_flat["n_partitions"]
+    assert s_hier["n_rows"] == s_flat["n_rows"]
+    assert s_hier["encoded_bytes"] == s_flat["encoded_bytes"]
+    rf = mf.load_manifest(flat_out)
+    rh = mf.load_manifest(hier_out)
+    assert sorted(rf) == sorted(rh)
+    for k in rf:
+        assert rf[k]["fingerprint"] == rh[k]["fingerprint"]
+    got = decode_dataset(hier_out).to_arrow_refs()
+    import ray as _ray
+    import pyarrow as _pa
+    tbl = _pa.concat_tables([_ray.get(r) for r in got])
+    assert tbl.num_rows == tokens_table.num_rows
