@@ -17,9 +17,10 @@ Each ``queries()`` entry maps to operators in SURVEY.md §2:
 - q_ann_topk             brute-force cosine similarity search
 - q_tokens_flagship      the full flagship (derive tokens → encode →
   shuffle → container → decode), oracle-checked end-to-end in SQL
-- rows-only (no oracle): q_minhash_pairs, q_ngram_dedup, q_simhash,
-  q_ann_lsh, q_embed_neardup_lsh — sketch/approximate ops whose
-  hashes are not SQL-expressible
+- rows-only (no oracle): q_minhash_pairs, q_ngram_dedup, q_ann_lsh,
+  q_embed_neardup_lsh — sketch/approximate ops whose hashes are not
+  SQL-expressible (q_simhash, q_lang_id and q_minhash_pairs_md5 are
+  the oracle-checked variants of the same plumbing)
 """
 
 from __future__ import annotations
@@ -30,6 +31,9 @@ from __future__ import annotations
 import os as _os_env
 
 _os_env.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+_os_env.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "jemalloc")
+_os_env.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "131072")
+_os_env.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "131072")
 
 import hashlib
 import os
@@ -453,6 +457,18 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def q_minhash_pairs_md5(sf_dir: str):
+    """MinHash+LSH with md5 window hashes — the SQL-oracle variant
+    (same distributed plumbing as q_minhash_pairs: shingle → 64-perm
+    minhash → 16-band FNV bucket groupby → in-bucket pairing; only the
+    window hasher differs, chosen so DuckDB reproduces every signature
+    bit-exactly via HUGEINT (a*h+b) mod 2^64 mod (2^61-1))."""
+    from parquet2_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5, hasher="md5")
+
+
 def q_ngram_dedup(sf_dir: str):
     from parquet2_ray.stages.dedup import verified_neardup_pairs
 
@@ -562,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q_ann_topk,
         "q_image_meta": q_image_meta,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_minhash_pairs_md5": q_minhash_pairs_md5,
         "q_ngram_dedup": q_ngram_dedup,
         "q_simhash": q_simhash,
         "q_lang_id": q_lang_id,
@@ -594,6 +611,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, rank FROM scored WHERE rank <= {_ANN_K}
     """
+    # MinHash/LSH md5 variant: 64 permutation-min columns over md5-derived
+    # 5-byte-window hashes, then 16-band candidate equality + full-signature
+    # estimated Jaccard — generated mechanically from the engine's own
+    # permutation constants so both sides compute identical signatures
+    from parquet2_ray.stages.dedup import _PRIME, _perm_params
+
+    mh_a, mh_b = _perm_params(64, 7)
+    m64 = 1 << 64
+    umax = (1 << 64) - 1
+    # 64 min() aggregates over the unnested shingle rows (an order of
+    # magnitude faster in DuckDB than per-list lambda transforms)
+    sig_aggs = ", ".join(
+        f"min(CAST((CAST({int(mh_a[p])} AS HUGEINT) * CAST(h AS HUGEINT)"
+        f" + {int(mh_b[p])}) % {m64} % {_PRIME} AS UBIGINT)) AS s{p}"
+        for p in range(64)
+    )
+    sig_fill = ", ".join(
+        f"coalesce(s.s{p}, CAST('{umax}' AS UBIGINT)) AS s{p}" for p in range(64)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"x.s{4 * bi + c} = y.s{4 * bi + c}" for c in range(4)) + ")"
+        for bi in range(16)
+    )
+    est = "(" + " + ".join(f"CAST(x.s{p} = y.s{p} AS INT)" for p in range(64)) + ") / 64.0"
+    minhash_md5 = (
+        "WITH sh AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(substr(text, j, 5)), 1, 16)) AS UBIGINT) AS h "
+        "FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS u(j)), "
+        f"sig0 AS (SELECT doc_id, {sig_aggs} FROM sh GROUP BY doc_id), "
+        f"sig AS (SELECT d.doc_id, {sig_fill} "
+        "FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id) "
+        "SELECT id_a, id_b, est_jaccard FROM ("
+        f"SELECT x.doc_id AS id_a, y.doc_id AS id_b, {est} AS est_jaccard "
+        f"FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({band_eq})"
+        ") WHERE est_jaccard >= 0.5"
+    )
     # 64 per-bit majority votes over md5-derived token-hash bits — the
     # exact SimHash definition, generated mechanically
     simhash_bits = " + ".join(
@@ -610,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "q_simhash": simhash,
+        "q_minhash_pairs_md5": minhash_md5,
         "q_roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_roundtrip_lineitem": "SELECT * FROM lineitem",
         "q_roundtrip_events": "SELECT * FROM events",

@@ -27,6 +27,9 @@ from __future__ import annotations
 import os as _os_env
 
 _os_env.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+_os_env.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "jemalloc")
+_os_env.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "131072")
+_os_env.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "131072")
 
 import argparse
 import json

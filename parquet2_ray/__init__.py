@@ -33,3 +33,15 @@ __version__ = "0.1.0"
 import os as _os
 
 _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+# Same pathology, other allocators (empirically A/B-tested at 32 workers
+# on the 80 MTok headline): glibc's DYNAMIC mmap threshold is the killer —
+# after the first large free it serves big blocks from the brk heap, whose
+# grow/trim churn keeps faulting never-host-backed pages (measured 23×
+# dilation concentrated in the gather/sort phase).  Pinning the threshold
+# at its 128 KiB floor keeps large buffers mmap'd and recycled through the
+# guest's warm page cache, and arrow stays on jemalloc (explicit, so a
+# caller's "system" override is still possible): 7.7 s → 2.5-3.1 s wall.
+# Workers inherit these via ray.init.
+_os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "jemalloc")
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "131072")
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "131072")

@@ -74,6 +74,21 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _md5_window_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hash of every k-byte window: first 8 md5 bytes, big-endian
+    — bit-exactly ``('0x'||substr(md5(s),1,16))::UBIGINT`` in DuckDB.
+    Python-loop cost is accepted: this hasher exists only for the
+    SQL-oracle variant (the hot path is the vectorized rolling hash)."""
+    import hashlib
+
+    buf = data.tobytes()
+    n = max(0, len(buf) - (k - 1))
+    return np.fromiter(
+        (int(hashlib.md5(buf[i:i + k]).hexdigest()[:16], 16) for i in range(n)),
+        dtype=np.uint64, count=n,
+    )
+
+
 def minhash_signatures_batch(
     batch: pa.Table,
     text_col: str = "text",
@@ -81,10 +96,17 @@ def minhash_signatures_batch(
     k: int = 5,
     num_perm: int = 64,
     seed: int = 7,
+    hasher: str = "fast",
 ) -> pa.Table:
     """(id, sig: list<uint64>[num_perm]) per row, fully vectorized:
     one rolling-hash pass over the concatenated utf8 buffer, then
-    per-permutation min via ``np.minimum.reduceat`` over doc ranges."""
+    per-permutation min via ``np.minimum.reduceat`` over doc ranges.
+
+    ``hasher="md5"`` swaps the rolling window hash for md5-derived
+    uint64s that DuckDB reproduces exactly (the SQL-oracle variant,
+    same pattern as ``simhash_batch(hasher="md5")``); the permutation
+    arithmetic ``(a*h+b) mod 2^64 mod (2^61-1)`` is HUGEINT-expressible
+    on the SQL side."""
     arr = batch[text_col].combine_chunks().cast(pa.large_binary())
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
@@ -95,7 +117,8 @@ def minhash_signatures_batch(
     )
     offsets = offsets - offsets[0]
     n = len(arr)
-    win = rolling_window_hashes(data, k)  # hash of every k-byte window
+    win = (_md5_window_hashes(data, k) if hasher == "md5"
+           else rolling_window_hashes(data, k))  # hash of every k-byte window
     # windows crossing document boundaries must not contribute: mask
     # window range [offsets[i+1]-(k-1), offsets[i+1]) at each boundary
     a, b = _perm_params(num_perm, seed)
@@ -133,6 +156,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 7,
+    hasher: str = "fast",
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
 
@@ -153,7 +177,8 @@ def minhash_lsh_pairs(
     MAX_BUCKET = 1024
 
     def to_sketch(batch: pa.Table) -> pa.Table:
-        sig_tbl = minhash_signatures_batch(batch, text_col, id_col, k, num_perm, seed)
+        sig_tbl = minhash_signatures_batch(batch, text_col, id_col, k,
+                                           num_perm, seed, hasher)
         sigs = np.asarray(sig_tbl["sig"].combine_chunks().values).reshape(-1, num_perm)
         n = len(sig_tbl)
         band_hashes = np.empty((n, bands), dtype=np.uint64)
