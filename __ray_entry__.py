@@ -469,6 +469,17 @@ def q_minhash_pairs_md5(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5, hasher="md5")
 
 
+def q_ngram_dedup_md5(sf_dir: str):
+    """Two-stage MinHash→exact-Jaccard dedup, md5-hasher variant — the
+    SQL-oracle twin of q_ngram_dedup (candidates from the md5 LSH, exact
+    distinct-5-gram Jaccard reproduced in SQL via a shingle self-join)."""
+    from parquet2_ray.stages.dedup import verified_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return verified_neardup_pairs(ds, candidate_threshold=0.5,
+                                  exact_threshold=0.5, hasher="md5")
+
+
 def q_ngram_dedup(sf_dir: str):
     from parquet2_ray.stages.dedup import verified_neardup_pairs
 
@@ -580,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_minhash_pairs_md5": q_minhash_pairs_md5,
         "q_ngram_dedup": q_ngram_dedup,
+        "q_ngram_dedup_md5": q_ngram_dedup_md5,
         "q_simhash": q_simhash,
         "q_lang_id": q_lang_id,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -635,17 +647,38 @@ def oracle_sql() -> dict[str, str]:
         for bi in range(16)
     )
     est = "(" + " + ".join(f"CAST(x.s{p} = y.s{p} AS INT)" for p in range(64)) + ") / 64.0"
-    minhash_md5 = (
-        "WITH sh AS (SELECT doc_id, "
+    mh_ctes = (
+        "sh AS (SELECT doc_id, "
         "CAST(('0x' || substr(md5(substr(text, j, 5)), 1, 16)) AS UBIGINT) AS h "
         "FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS u(j)), "
         f"sig0 AS (SELECT doc_id, {sig_aggs} FROM sh GROUP BY doc_id), "
         f"sig AS (SELECT d.doc_id, {sig_fill} "
-        "FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id) "
-        "SELECT id_a, id_b, est_jaccard FROM ("
+        "FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id), "
+        "mh_pairs AS (SELECT id_a, id_b, est_jaccard FROM ("
         f"SELECT x.doc_id AS id_a, y.doc_id AS id_b, {est} AS est_jaccard "
         f"FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({band_eq})"
-        ") WHERE est_jaccard >= 0.5"
+        ") WHERE est_jaccard >= 0.5)"
+    )
+    minhash_md5 = f"WITH {mh_ctes} SELECT id_a, id_b, est_jaccard FROM mh_pairs"
+    # exact distinct-5-gram Jaccard over the md5-LSH candidate pairs:
+    # |A∩B| from a shingle self-join, |A∪B| = |A|+|B|-|A∩B|
+    ngram_md5 = (
+        f"WITH {mh_ctes}, "
+        "shd AS (SELECT DISTINCT doc_id, substr(text, j, 5) AS s "
+        "FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS u(j)), "
+        "cnt AS (SELECT d.doc_id, count(s.s) AS n FROM documents d "
+        "LEFT JOIN shd s ON d.doc_id = s.doc_id GROUP BY d.doc_id), "
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS ni "
+        "FROM mh_pairs c JOIN shd x ON x.doc_id = c.id_a "
+        "JOIN shd y ON y.doc_id = c.id_b AND y.s = x.s GROUP BY c.id_a, c.id_b) "
+        "SELECT id_a, id_b, jaccard FROM ("
+        "SELECT c.id_a, c.id_b, CASE WHEN ca.n + cb.n = 0 THEN 1.0 ELSE "
+        "CAST(coalesce(i.ni, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.ni, 0)) "
+        "END AS jaccard "
+        "FROM mh_pairs c JOIN cnt ca ON ca.doc_id = c.id_a "
+        "JOIN cnt cb ON cb.doc_id = c.id_b "
+        "LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b"
+        ") WHERE jaccard >= 0.5"
     )
     # 64 per-bit majority votes over md5-derived token-hash bits — the
     # exact SimHash definition, generated mechanically
@@ -664,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_simhash": simhash,
         "q_minhash_pairs_md5": minhash_md5,
+        "q_ngram_dedup_md5": ngram_md5,
         "q_roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_roundtrip_lineitem": "SELECT * FROM lineitem",
         "q_roundtrip_events": "SELECT * FROM events",

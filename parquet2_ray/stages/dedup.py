@@ -291,6 +291,7 @@ def verified_neardup_pairs(
     k: int = 5,
     candidate_threshold: float = 0.5,
     exact_threshold: float = 0.5,
+    hasher: str = "fast",
 ) -> pa.Table:
     """Two-stage near-dedup: MinHash+LSH candidates → exact k-shingle
     Jaccard verification (the production shape: the cheap sketch prunes
@@ -308,7 +309,8 @@ def verified_neardup_pairs(
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
     cand = minhash_lsh_pairs(
-        ds, text_col=text_col, id_col=id_col, k=k, threshold=candidate_threshold
+        ds, text_col=text_col, id_col=id_col, k=k,
+        threshold=candidate_threshold, hasher=hasher,
     )
     import pyarrow.compute as pc
 
