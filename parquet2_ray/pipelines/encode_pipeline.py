@@ -165,15 +165,8 @@ class PartitionPlan:
         return json.dumps({"base": self.base, "edges": self.edges, "n": self.n_parts})
 
 
-def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
-    cols = [c for c in (opts.group_col, opts.weight_col) if c]
-    if not cols:
-        return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1)
-    light = input_ds.select_columns(cols).map_batches(
-        lambda b: _light_stats(b, opts.group_col, opts.weight_col),
-        batch_format="pyarrow",
-    )
-    partials = light.take_all()  # O(batches × sources) tiny rows
+def _fold_plan(partials: list[dict], opts: EncodeOptions) -> PartitionPlan:
+    """Fold light-stats partial rows into the final PartitionPlan."""
     per_group: dict[str, dict] = {}
     for row in partials:
         g = per_group.setdefault(row["g"], {"rows": 0, "wsum": 0, "sample": []})
@@ -197,6 +190,52 @@ def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
     # route to partition 0 in _part_ids — the plan must always have ≥1
     # partition or an all-null group column would drop every row
     return PartitionPlan(base=base, edges=edges, n_parts=max(1, next_id))
+
+
+@ray.remote
+def _plan_stats_task(files: list, group_col, weight_col) -> list:
+    """Plan fast path map side: light stats over a slice of parquet files
+    — projection pushed to the parquet read, O(files) tasks, no Dataset
+    machinery (its fixed per-pipeline startup is ~1 s, which at bench
+    scale was 40% of the whole encode wall; at 10^12-sequence scale this
+    task count is O(input files), same as any distributed pass)."""
+    import pyarrow.parquet as _pq
+
+    cols = [c for c in (group_col, weight_col) if c]
+    out: list = []
+    for f in files:
+        t = _pq.read_table(f, columns=cols)
+        # one batch per FILE here vs ~dozens per file in the Dataset path:
+        # widen the per-batch sample so the quantile-edge quality matches
+        out.extend(_light_stats(t, group_col, weight_col,
+                                sample_per_batch=4096).to_pylist())
+    return out
+
+
+def plan_partitions_from_files(files: list, opts: EncodeOptions,
+                               files_per_task: int = 4) -> PartitionPlan:
+    """Raw-task planner for path inputs (one task per files_per_task
+    parquet files; driver folds O(tasks × groups) tiny rows)."""
+    if not [c for c in (opts.group_col, opts.weight_col) if c]:
+        return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1)
+    chunks = [files[i:i + files_per_task]
+              for i in range(0, len(files), files_per_task)]
+    refs = [_plan_stats_task.remote(c, opts.group_col, opts.weight_col)
+            for c in chunks]
+    partials = [row for part in ray.get(refs) for row in part]
+    return _fold_plan(partials, opts)
+
+
+def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
+    cols = [c for c in (opts.group_col, opts.weight_col) if c]
+    if not cols:
+        return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1)
+    light = input_ds.select_columns(cols).map_batches(
+        lambda b: _light_stats(b, opts.group_col, opts.weight_col),
+        batch_format="pyarrow",
+    )
+    partials = light.take_all()  # O(batches × sources) tiny rows
+    return _fold_plan(partials, opts)
 
 
 def _part_ids(batch: pa.Table, plan: PartitionPlan, group_col: str | None,
@@ -373,13 +412,24 @@ def encode_dataset(
     opts = opts or EncodeOptions()
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
+    plan_files: list | None = None
     if isinstance(input_path, rd.Dataset):
         ds = input_path
-    elif opts.read_num_blocks:
-        ds = rd.read_parquet(input_path, columns=columns,
-                             override_num_blocks=opts.read_num_blocks)
     else:
-        ds = rd.read_parquet(input_path, columns=columns)
+        paths = input_path if isinstance(input_path, list) else [input_path]
+        plan_files = []
+        for p in paths:
+            if os.path.isdir(p):
+                plan_files.extend(sorted(
+                    os.path.join(p, f) for f in os.listdir(p)
+                    if f.endswith((".parquet", ".pq"))))
+            else:
+                plan_files.append(p)
+        if opts.read_num_blocks:
+            ds = rd.read_parquet(input_path, columns=columns,
+                                 override_num_blocks=opts.read_num_blocks)
+        else:
+            ds = rd.read_parquet(input_path, columns=columns)
     schema_names = ds.schema().names
     group_col = opts.group_col if opts.group_col in schema_names else None
     weight_col = opts.weight_col if opts.weight_col in schema_names else None
@@ -389,9 +439,12 @@ def encode_dataset(
     elif isinstance(sort_key, list):
         sort_key = [k for k in sort_key if k in schema_names] or None
 
-    plan = plan_partitions(ds, EncodeOptions(**{**opts.__dict__,
-                                                "group_col": group_col,
-                                                "weight_col": weight_col}))
+    plan_opts = EncodeOptions(**{**opts.__dict__, "group_col": group_col,
+                                 "weight_col": weight_col})
+    if plan_files is not None:
+        plan = plan_partitions_from_files(plan_files, plan_opts)
+    else:
+        plan = plan_partitions(ds, plan_opts)
     plan_s = time.time() - t0
     plan_ref = ray.put(plan)  # broadcast once; tasks read it zero-copy
 
