@@ -99,6 +99,11 @@ class EncodeOptions:
     # n_parts/fan still exceeds cluster cores.
     hier_parts_threshold: int = 4096
     hier_fan: int = 16
+    # fused read+split for path inputs: exchange map tasks read their own
+    # row-group slices straight from parquet (no Dataset machinery, no
+    # intermediate block materialization in the object store).  Disable
+    # to force the Dataset-read → split-task path.
+    fuse_read_split: bool = True
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -193,37 +198,51 @@ def _fold_plan(partials: list[dict], opts: EncodeOptions) -> PartitionPlan:
 
 
 @ray.remote
-def _plan_stats_task(files: list, group_col, weight_col) -> list:
+def _plan_stats_task(files: list, group_col, weight_col) -> tuple:
     """Plan fast path map side: light stats over a slice of parquet files
     — projection pushed to the parquet read, O(files) tasks, no Dataset
     machinery (its fixed per-pipeline startup is ~1 s, which at bench
     scale was 40% of the whole encode wall; at 10^12-sequence scale this
-    task count is O(input files), same as any distributed pass)."""
+    task count is O(input files), same as any distributed pass).
+
+    Also returns per-file row-group row counts (footer metadata, free —
+    the footer is already read for the column fetch) so the fused
+    read+split stage can assign row-group slices without another
+    metadata pass."""
     import pyarrow.parquet as _pq
 
     cols = [c for c in (group_col, weight_col) if c]
     out: list = []
+    meta: list = []
     for f in files:
-        t = _pq.read_table(f, columns=cols)
+        pf = _pq.ParquetFile(f)
+        md = pf.metadata
+        meta.append((f, [md.row_group(i).num_rows
+                         for i in range(md.num_row_groups)]))
+        t = pf.read(columns=cols)
         # one batch per FILE here vs ~dozens per file in the Dataset path:
         # widen the per-batch sample so the quantile-edge quality matches
         out.extend(_light_stats(t, group_col, weight_col,
                                 sample_per_batch=4096).to_pylist())
-    return out
+    return out, meta
 
 
 def plan_partitions_from_files(files: list, opts: EncodeOptions,
-                               files_per_task: int = 4) -> PartitionPlan:
+                               files_per_task: int = 4) -> tuple:
     """Raw-task planner for path inputs (one task per files_per_task
-    parquet files; driver folds O(tasks × groups) tiny rows)."""
-    if not [c for c in (opts.group_col, opts.weight_col) if c]:
-        return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1)
+    parquet files; driver folds O(tasks × groups) tiny rows).  Returns
+    ``(plan, file_meta)`` where file_meta is ``[(path, [rg_rows...])]``
+    for the fused read+split stage."""
     chunks = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     refs = [_plan_stats_task.remote(c, opts.group_col, opts.weight_col)
             for c in chunks]
-    partials = [row for part in ray.get(refs) for row in part]
-    return _fold_plan(partials, opts)
+    parts = ray.get(refs)
+    meta = [fm for _, m in parts for fm in m]
+    if not [c for c in (opts.group_col, opts.weight_col) if c]:
+        return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1), meta
+    partials = [row for rows, _ in parts for row in rows]
+    return _fold_plan(partials, opts), meta
 
 
 def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
@@ -285,6 +304,43 @@ def _ipc_bytes(tbl: pa.Table) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
+def _split_core(block: pa.Table, plan: PartitionPlan, group_col, weight_col,
+                n_parts: int) -> list:
+    """Split one coalesced block by part id into n_parts IPC shard
+    payloads (None where there are no rows)."""
+    out: list = [None] * n_parts
+    part = _part_ids(block, plan, group_col, weight_col)
+    order = np.argsort(part, kind="stable")
+    tbl = block.take(pa.array(order))
+    sorted_part = part[order]
+    uniq, starts = np.unique(sorted_part, return_index=True)
+    bounds = np.append(starts, len(sorted_part))
+    for i, p in enumerate(uniq):
+        sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        out[int(p)] = _ipc_bytes(sl)
+    return out
+
+
+def _split_core_coarse(block: pa.Table, plan: PartitionPlan, group_col,
+                       weight_col, n_groups: int, fan: int) -> list:
+    """Split one coalesced block into one coarse IPC shard per group of
+    ``fan`` consecutive partitions.  The fine part id rides along as
+    PART_COL so level 2 never recomputes the plan."""
+    out: list = [None] * n_groups
+    part = _part_ids(block, plan, group_col, weight_col)
+    tblp = block.append_column(PART_COL, pa.array(part, type=pa.int32()))
+    grp = part // fan
+    order = np.argsort(grp, kind="stable")
+    tbl = tblp.take(pa.array(order))
+    sg = grp[order]
+    uniq, starts = np.unique(sg, return_index=True)
+    bounds = np.append(starts, len(sg))
+    for i, g in enumerate(uniq):
+        sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        out[int(g)] = _ipc_bytes(sl)
+    return out
+
+
 @ray.remote
 def _split_block(plan: PartitionPlan, group_col, weight_col,
                  n_parts: int, *blocks: pa.Table):
@@ -294,41 +350,78 @@ def _split_block(plan: PartitionPlan, group_col, weight_col,
     out: list = [None] * n_parts
     if blocks:
         block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks)
-        part = _part_ids(block, plan, group_col, weight_col)
-        order = np.argsort(part, kind="stable")
-        tbl = block.take(pa.array(order))
-        sorted_part = part[order]
-        uniq, starts = np.unique(sorted_part, return_index=True)
-        bounds = np.append(starts, len(sorted_part))
-        for i, p in enumerate(uniq):
-            sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-            out[int(p)] = _ipc_bytes(sl)
+        out = _split_core(block, plan, group_col, weight_col, n_parts)
     return tuple(out) if n_parts > 1 else out[0]
 
 
 @ray.remote
 def _split_block_coarse(plan: PartitionPlan, group_col, weight_col,
                         n_groups: int, fan: int, *blocks: pa.Table):
-    """Level-1 map of the hierarchical exchange: split read blocks into
-    one coarse IPC shard per group of ``fan`` consecutive partitions.
-    The fine part id rides along as PART_COL so level 2 never recomputes
-    the plan."""
+    """Level-1 map of the hierarchical exchange over read blocks."""
     blocks = [b for b in blocks if b.num_rows]
     out: list = [None] * n_groups
     if blocks:
         block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks)
-        part = _part_ids(block, plan, group_col, weight_col)
-        tblp = block.append_column(PART_COL, pa.array(part, type=pa.int32()))
-        grp = part // fan
-        order = np.argsort(grp, kind="stable")
-        tbl = tblp.take(pa.array(order))
-        sg = grp[order]
-        uniq, starts = np.unique(sg, return_index=True)
-        bounds = np.append(starts, len(sg))
-        for i, g in enumerate(uniq):
-            sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-            out[int(g)] = _ipc_bytes(sl)
+        out = _split_core_coarse(block, plan, group_col, weight_col,
+                                 n_groups, fan)
     return tuple(out) if n_groups > 1 else out[0]
+
+
+@ray.remote
+def _read_split_task(plan: PartitionPlan, group_col, weight_col,
+                     n_out: int, fan, columns, items: list):
+    """Fused exchange map for path inputs: read the assigned row-group
+    slices straight from parquet and split them — the classic shuffle-map
+    shape where the map task reads its own input split.  Versus the
+    Dataset read feeding ``_split_block``, this removes one full
+    materialization of the input in the object store and the Dataset
+    pipeline's fixed startup (~1 s, 40%+ of bench wall).  ``items`` is
+    ``[(path, [rg_idx...])]``; ``fan=None`` → flat exchange, else the
+    coarse level-1 shards of the hierarchical exchange."""
+    import pyarrow.parquet as _pq
+
+    tables = []
+    for path, rgs in items:
+        pf = _pq.ParquetFile(path)
+        t = pf.read_row_groups(list(rgs), columns=columns)
+        if t.num_rows:
+            tables.append(t)
+    out: list = [None] * n_out
+    if tables:
+        block = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        if fan is None:
+            out = _split_core(block, plan, group_col, weight_col, n_out)
+        else:
+            out = _split_core_coarse(block, plan, group_col, weight_col,
+                                     n_out, fan)
+    return tuple(out) if n_out > 1 else out[0]
+
+
+def _pack_rg_items(file_meta: list, target_tasks: int) -> list:
+    """Pack per-file row groups into ≈target_tasks contiguous work items
+    of ≈equal row mass. Returns ``[[(path, [rg...]), ...], ...]``."""
+    units = [(path, rg, n) for path, rg_rows in file_meta
+             for rg, n in enumerate(rg_rows)]
+    total = sum(n for _, _, n in units)
+    if not units or total == 0:
+        return [[(path, list(range(len(rg_rows))))]
+                for path, rg_rows in file_meta] or []
+    per_task = max(1, -(-total // max(1, target_tasks)))
+    tasks: list = []
+    cur: list = []
+    cur_rows = 0
+    for path, rg, n in units:
+        if cur and cur[-1][0] == path:
+            cur[-1][1].append(rg)
+        else:
+            cur.append((path, [rg]))
+        cur_rows += n
+        if cur_rows >= per_task:
+            tasks.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        tasks.append(cur)
+    return tasks
 
 
 @ray.remote
@@ -413,8 +506,10 @@ def encode_dataset(
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     plan_files: list | None = None
+    ds: rd.Dataset | None = None
     if isinstance(input_path, rd.Dataset):
         ds = input_path
+        schema_names = ds.schema().names
     else:
         paths = input_path if isinstance(input_path, list) else [input_path]
         plan_files = []
@@ -425,12 +520,19 @@ def encode_dataset(
                     if f.endswith((".parquet", ".pq"))))
             else:
                 plan_files.append(p)
-        if opts.read_num_blocks:
-            ds = rd.read_parquet(input_path, columns=columns,
-                                 override_num_blocks=opts.read_num_blocks)
-        else:
-            ds = rd.read_parquet(input_path, columns=columns)
-    schema_names = ds.schema().names
+        if not plan_files:
+            raise ValueError(f"no parquet files found under {paths!r}")
+        import pyarrow.parquet as _pq
+
+        schema_names = _pq.read_schema(plan_files[0]).names
+        if columns is not None:
+            schema_names = [c for c in schema_names if c in columns]
+        if not opts.fuse_read_split:
+            if opts.read_num_blocks:
+                ds = rd.read_parquet(input_path, columns=columns,
+                                     override_num_blocks=opts.read_num_blocks)
+            else:
+                ds = rd.read_parquet(input_path, columns=columns)
     group_col = opts.group_col if opts.group_col in schema_names else None
     weight_col = opts.weight_col if opts.weight_col in schema_names else None
     sort_key: str | list[str] | None = opts.sort_key
@@ -441,8 +543,9 @@ def encode_dataset(
 
     plan_opts = EncodeOptions(**{**opts.__dict__, "group_col": group_col,
                                  "weight_col": weight_col})
+    file_meta: list = []
     if plan_files is not None:
-        plan = plan_partitions_from_files(plan_files, plan_opts)
+        plan, file_meta = plan_partitions_from_files(plan_files, plan_opts)
     else:
         plan = plan_partitions(ds, plan_opts)
     plan_s = time.time() - t0
@@ -476,35 +579,50 @@ def encode_dataset(
                       if n_out > 1 else _split_block)
     shard_refs: list = []  # one entry per split task: list of n_out refs
     t_iter = time.time()
-    pending: list = []
+    if ds is None:
+        # fused read+split over row-group slices (path inputs): shards/
+        # partition == task count, and per-shard overhead in the encode
+        # task grows with it, so target ≈2 tasks per CPU bounded by the
+        # row-group count (read_num_blocks overrides).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_rgs = sum(len(rg_rows) for _, rg_rows in file_meta)
+        target_tasks = opts.read_num_blocks or min(max(1, n_rgs), 2 * cpus)
+        rst = (_read_split_task.options(num_returns=n_out)
+               if n_out > 1 else _read_split_task)
+        for items in _pack_rg_items(file_meta, target_tasks):
+            refs = rst.remote(plan_ref, group_col, weight_col, n_out,
+                              fan if hier else None, columns, items)
+            shard_refs.append([refs] if n_out == 1 else list(refs))
+    else:
+        pending: list = []
 
-    def _flush():
-        if not pending:
-            return
-        if hier:
-            refs = split_opts.remote(plan_ref, group_col, weight_col,
-                                     n_out, fan, *pending)
-        else:
-            refs = split_opts.remote(plan_ref, group_col, weight_col,
-                                     n_out, *pending)
-        shard_refs.append([refs] if n_out == 1 else list(refs))
-        pending.clear()
+        def _flush():
+            if not pending:
+                return
+            if hier:
+                refs = split_opts.remote(plan_ref, group_col, weight_col,
+                                         n_out, fan, *pending)
+            else:
+                refs = split_opts.remote(plan_ref, group_col, weight_col,
+                                         n_out, *pending)
+            shard_refs.append([refs] if n_out == 1 else list(refs))
+            pending.clear()
 
-    # iter_internal_ref_bundles is Ray-2.49 private API (streams block
-    # refs with backpressure, no driver materialization).  Guarded: on a
-    # Ray without it, fall back to the public to_arrow_refs() — same
-    # object-store residency, but the full block list is produced before
-    # splitting starts (acceptable degraded mode, loudly documented).
-    if hasattr(ds, "iter_internal_ref_bundles"):
-        block_iter = (br for bundle in ds.iter_internal_ref_bundles()
-                      for br in bundle.block_refs)
-    else:  # pragma: no cover — exercised only on other Ray versions
-        block_iter = iter(ds.to_arrow_refs())
-    for block_ref in block_iter:
-        pending.append(block_ref)
-        if len(pending) >= max(1, opts.blocks_per_split):
-            _flush()
-    _flush()
+        # iter_internal_ref_bundles is Ray-2.49 private API (streams block
+        # refs with backpressure, no driver materialization).  Guarded: on
+        # a Ray without it, fall back to the public to_arrow_refs() — same
+        # object-store residency, but the full block list is produced
+        # before splitting starts (acceptable degraded mode, documented).
+        if hasattr(ds, "iter_internal_ref_bundles"):
+            block_iter = (br for bundle in ds.iter_internal_ref_bundles()
+                          for br in bundle.block_refs)
+        else:  # pragma: no cover — exercised only on other Ray versions
+            block_iter = iter(ds.to_arrow_refs())
+        for block_ref in block_iter:
+            pending.append(block_ref)
+            if len(pending) >= max(1, opts.blocks_per_split):
+                _flush()
+        _flush()
     t_launch = time.time()
     # barrier: every encode task consumes shards from EVERY split task, so
     # no encode can start before the last split finishes — waiting here is
