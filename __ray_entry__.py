@@ -176,6 +176,14 @@ def q_codec_fsst(sf_dir: str):
     return _codec_roundtrip(sf_dir, "documents", "text", "fsst")
 
 
+def q_codec_bss(sf_dir: str):
+    """BYTE_STREAM_SPLIT roundtrip on a double column (beyond-reference:
+    the reference declares the encoding but never implements it,
+    parquet_bridge.rs:329; the auto-selector picks it for float columns
+    only when block compression is on — see functions/selector.py)."""
+    return _codec_roundtrip(sf_dir, "events", "value", "byte_stream_split")
+
+
 def q_codec_decimal(sf_dir: str):
     """Decimal128 logical type (reference parquet_bridge.rs:483-501 /
     spec.rs:73 invariants): l_orderkey cast to DECIMAL(21,2) — the
@@ -575,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_codec_delta_length": q_codec_delta_length,
         "q_codec_delta_ba": q_codec_delta_ba,
         "q_codec_fsst": q_codec_fsst,
+        "q_codec_bss": q_codec_bss,
         "q_codec_decimal": q_codec_decimal,
         "q_parquet_interop": q_parquet_interop,
         "q_stats_lineitem": q_stats_lineitem,
@@ -717,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "q_codec_delta_length": "SELECT text FROM documents",
         "q_codec_delta_ba": "SELECT event_type FROM events",
         "q_codec_fsst": "SELECT text FROM documents",
+        "q_codec_bss": "SELECT value FROM events",
         "q_codec_decimal": (
             "SELECT CAST(CAST(l_orderkey AS DECIMAL(21,2)) AS DOUBLE) AS price "
             "FROM lineitem"

@@ -30,7 +30,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import byte_array, delta, dictionary, fixed_len, for_pack, fsst, hybrid_rle, plain
+from . import (
+    byte_array,
+    byte_stream_split,
+    delta,
+    dictionary,
+    fixed_len,
+    for_pack,
+    fsst,
+    hybrid_rle,
+    plain,
+)
 from .bitpack import bits_needed
 from .uleb import uleb_decode, uleb_encode, zz_uleb_decode, zz_uleb_encode
 
@@ -160,6 +170,7 @@ _NUMERIC_ENC = {
     "delta_binary_packed": lambda v: delta.encode(v, miniblocks=4),
     "dict_rle": lambda v: dictionary.encode_int(v),
     "rle": _enc_rle,
+    "byte_stream_split": byte_stream_split.encode,
 }
 
 
@@ -178,10 +189,12 @@ _NUMERIC_DEC = {
     "delta_binary_packed": lambda b, at, n: delta.decode(b)[0],
     "dict_rle": lambda b, at, n: dictionary.decode_int(b),
     "rle": lambda b, at, n: _dec_rle(b),
+    "byte_stream_split": lambda b, at, n: byte_stream_split.decode(
+        b, _np_dtype_of(at), n),
 }
 
 NUMERIC_CODECS = set(_NUMERIC_ENC)
-FLOAT_CODECS = {"plain"}
+FLOAT_CODECS = {"plain", "byte_stream_split"}
 
 # binary value codecs: (offsets:int64, data:uint8) -> bytes
 # 16 KB train sample — the FSST paper's own sampling scale; measured
@@ -332,7 +345,8 @@ def _ceil8(v: int) -> int:
 
 
 def encode_array(
-    name: str, arr: pa.Array | pa.ChunkedArray, codec: str, logical: str | None = None
+    name: str, arr: pa.Array | pa.ChunkedArray, codec: str,
+    logical: str | None = None, compression: str | None = None,
 ) -> EncodedColumn:
     """Encode one column with the named codec. Nulls → validity frame.
 
@@ -341,6 +355,12 @@ def encode_array(
     (annotation, physical type) pairing is validated exactly as the
     reference's spec checks do (see codecs/logical.py) and recorded in
     the column meta for round-trip.
+
+    ``compression`` does not compress anything here (that's the
+    writer's job, state/manifest.py) — it informs the CHILD codec
+    selection of composite codecs (list/struct/decimal sub-encode), so
+    e.g. a list<float> child picks BYTE_STREAM_SPLIT exactly when the
+    pipeline will block-compress the payload.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -348,7 +368,7 @@ def encode_array(
         from .logical import check_logical
 
         check_logical(logical, arr.type)
-        col = encode_array(name, arr, codec)
+        col = encode_array(name, arr, codec, compression=compression)
         col.meta["logical"] = logical
         return col
     t = arr.type
@@ -375,8 +395,9 @@ def encode_array(
         child = la.values[offs[0] : offs[-1]] if len(offs) else la.values[:0]
         from ..functions.selector import select_codec  # late import, no cycle at module load
 
-        child_codec_name = select_codec(child)
-        child_col = encode_array("values", child, child_codec_name)
+        child_codec_name = select_codec(child, compression=compression)
+        child_col = encode_array("values", child, child_codec_name,
+                                 compression=compression)
         lens_enc = delta.encode(lens, miniblocks=4)
         body = bytearray(uleb_encode(len(lens_enc)))
         body += lens_enc
@@ -406,8 +427,9 @@ def encode_array(
         for i in range(t.num_fields):
             f = t.field(i)
             child = dense.field(i) if len(dense) else pa.nulls(0, f.type)
-            ccodec = select_codec(child)
-            ccol = encode_array(f.name, child, ccodec)
+            ccodec = select_codec(child, compression=compression)
+            ccol = encode_array(f.name, child, ccodec,
+                                compression=compression)
             fields_meta.append([f.name, ccol.arrow_type, ccodec, ccol.meta])
             body += uleb_encode(len(ccol.payload))
             body += ccol.payload
@@ -444,8 +466,8 @@ def encode_array(
             from ..functions.selector import select_codec
 
             arr64 = pa.array(np.ascontiguousarray(lo).view(np.int64), type=pa.int64())
-            sub = select_codec(arr64)
-            sub_col = encode_array("v", arr64, sub)
+            sub = select_codec(arr64, compression=compression)
+            sub_col = encode_array("v", arr64, sub, compression=compression)
             body = b"\x01" + sub_col.payload
             meta["dec_sub"] = sub
         else:

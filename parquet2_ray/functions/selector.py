@@ -32,6 +32,7 @@ SAMPLE_VALUES = 8192
 # fixed tie-break priority: cheaper/simpler decode first
 _PRIORITY = [
     "plain",
+    "byte_stream_split",
     "bitmap",
     "for_bitpack",
     "rle",
@@ -61,8 +62,16 @@ def _sample(arr: pa.Array) -> pa.Array:
     return pa.concat_arrays(parts)
 
 
-def candidate_sizes(arr: pa.Array | pa.ChunkedArray) -> dict[str, int]:
-    """Encoded size of a deterministic sample under each candidate codec."""
+def candidate_sizes(arr: pa.Array | pa.ChunkedArray,
+                    compression: str | None = None) -> dict[str, int]:
+    """Encoded size of a deterministic sample under each candidate codec.
+
+    With ``compression`` set, sizes are of the block-compressed payload
+    (the same compressor the writer applies, state/manifest.py C1) —
+    what actually lands on disk.  This is what lets size-neutral
+    transforms like BYTE_STREAM_SPLIT win where they should: BSS ties
+    with PLAIN uncompressed, but its byte-plane grouping compresses far
+    better, so it's only ever selected when the pipeline compresses."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -77,13 +86,17 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray) -> dict[str, int]:
     sizes: dict[str, int] = {}
     for c in sorted(candidates):
         try:
-            sizes[c] = len(col_mod.encode_array("s", s, c).payload)
+            payload = col_mod.encode_array("s", s, c).payload
         except (ValueError, TypeError, OverflowError):
             continue
+        if compression:
+            payload = pa.compress(payload, codec=compression, asbytes=True)
+        sizes[c] = len(payload)
     return sizes
 
 
-def select_codec(arr: pa.Array | pa.ChunkedArray) -> str:
+def select_codec(arr: pa.Array | pa.ChunkedArray,
+                 compression: str | None = None) -> str:
     """Pick the codec with the smallest sampled encoded size."""
     t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -92,7 +105,7 @@ def select_codec(arr: pa.Array | pa.ChunkedArray) -> str:
         return "struct"
     if pa.types.is_decimal128(t):
         return "decimal"
-    sizes = candidate_sizes(arr)
+    sizes = candidate_sizes(arr, compression=compression)
     if not sizes:
         raise TypeError(f"no viable codec for type {t}")
     return min(sizes.items(), key=lambda kv: (kv[1], _PRIO.get(kv[0], 99)))[0]

@@ -52,6 +52,7 @@ _TO_PARQUET_ENCODING = {
     "plain_byte_array": "PLAIN",
     "plain_flba": "PLAIN",
     "fsst": "PLAIN",
+    "byte_stream_split": "BYTE_STREAM_SPLIT",
 }
 
 _DICT_CODECS = {"dict_rle", "dict_binary", "dict_flba"}

@@ -82,7 +82,8 @@ def encode_partition_table(
     profiles = []
     for name in group.column_names:
         arr = group[name].combine_chunks()
-        codecs[name] = (forced_codecs or {}).get(name) or select_codec(arr)
+        codecs[name] = ((forced_codecs or {}).get(name)
+                        or select_codec(arr, compression=compression))
         profiles.append(column_profile(name, arr))
     tm["select_s"] = round(time.time() - t1, 4)
 
@@ -99,7 +100,8 @@ def encode_partition_table(
             stats = {}
             for name in group.column_names:
                 arr = blk[name].combine_chunks()
-                cols.append(col_mod.encode_array(name, arr, codecs[name]))
+                cols.append(col_mod.encode_array(name, arr, codecs[name],
+                                                 compression=compression))
                 p = column_profile(name, arr)
                 if p["min"] is not None:
                     stats[name] = [p["min"], p["max"]]
@@ -108,7 +110,8 @@ def encode_partition_table(
     else:
         for name in group.column_names:
             encoded.append(col_mod.encode_array(
-                name, group[name].combine_chunks(), codecs[name]))
+                name, group[name].combine_chunks(), codecs[name],
+                compression=compression))
     tm["encode_s"] = round(time.time() - t1, 4)
     n_weight = 0
     if weight_col and weight_col in group.column_names:

@@ -310,3 +310,52 @@ def test_fsst_empty_and_incompressible(rng):
     noise = rng.integers(0, 256, 2000).astype(np.uint8).tobytes()
     table = fsst.train(noise)
     assert fsst.decode(fsst.encode(table, noise)) == noise
+
+
+# ------------------------------------------------------- byte_stream_split
+def test_bss_roundtrip_dtypes(rng):
+    from parquet2_ray.codecs import byte_stream_split as bss
+
+    for dt in ["float32", "float64", "int32", "int64", "uint32"]:
+        v = rng.integers(-1000, 1000, 1000).astype(dt)
+        assert bss.decode(bss.encode(v), dt, 1000).tolist() == v.tolist()
+
+
+def test_bss_plane_layout():
+    from parquet2_ray.codecs import byte_stream_split as bss
+
+    # spec layout: all byte-0s, then all byte-1s, ... (format spec
+    # Encodings.md BYTE_STREAM_SPLIT worked example)
+    v = np.array([0x03020100, 0x07060504], dtype=np.uint32)
+    assert bss.encode(v) == bytes([0x00, 0x04, 0x01, 0x05,
+                                   0x02, 0x06, 0x03, 0x07])
+
+
+def test_bss_empty_and_length_check(rng):
+    from parquet2_ray.codecs import byte_stream_split as bss
+
+    assert bss.decode(bss.encode(np.empty(0, np.float64)), "float64", 0).size == 0
+    with pytest.raises(ValueError):
+        bss.decode(b"\x00" * 7, "float64", 1)
+
+
+def test_bss_arrow_roundtrip_with_nulls():
+    import pyarrow as pa
+
+    from parquet2_ray.codecs import decode_array, encode_array
+
+    a = pa.array([1.5, None, 2.25, -0.5, None, 3.5], type=pa.float32())
+    col = encode_array("x", a, "byte_stream_split")
+    assert decode_array(col).equals(a)
+
+
+def test_selector_bss_only_under_compression(rng):
+    import pyarrow as pa
+
+    from parquet2_ray.functions.selector import select_codec
+
+    # smooth floats: exponent bytes near-constant → BSS wins under zstd,
+    # but ties with PLAIN uncompressed where PLAIN wins the priority tie
+    f = pa.array(rng.normal(1.0, 0.01, 8192).astype(np.float32))
+    assert select_codec(f) == "plain"
+    assert select_codec(f, compression="zstd") == "byte_stream_split"
