@@ -83,10 +83,12 @@ def _md5_window_hashes(data: np.ndarray, k: int) -> np.ndarray:
 
     buf = data.tobytes()
     n = max(0, len(buf) - (k - 1))
-    return np.fromiter(
-        (int(hashlib.md5(buf[i:i + k]).hexdigest()[:16], 16) for i in range(n)),
-        dtype=np.uint64, count=n,
-    )
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        out[i] = from_bytes(md5(buf[i:i + k]).digest()[:8], "big")
+    return out
 
 
 def minhash_signatures_batch(
@@ -259,8 +261,10 @@ def simhash_batch(
     if not flat:
         return pd.DataFrame({id_col: batch[id_col], "simhash": np.zeros(n, dtype=np.uint64)})
     if hasher == "md5":
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
         h = np.fromiter(
-            (int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in flat),
+            (from_bytes(md5(w.encode()).digest()[:8], "big") for w in flat),
             dtype=np.uint64, count=len(flat),
         )
     else:
