@@ -266,3 +266,21 @@ def test_compressed_float_pipeline_picks_bss(ray_session, tmp_path):
     assert codecs["price"] == "byte_stream_split"
     got = decode_dataset(out).to_pandas().sort_values("k", ignore_index=True)
     assert got["price"].tolist() == tbl["price"].to_pylist()
+
+
+def test_pack_rg_items():
+    from parquet2_ray.pipelines.encode_pipeline import _pack_rg_items
+
+    meta = [("a", [100, 100, 100]), ("b", [50]), ("c", [300, 10])]
+    # all row groups exactly once, contiguous per file, in order
+    for target in (1, 2, 3, 6, 100):
+        tasks = _pack_rg_items(meta, target)
+        seen = [(p, rg) for t in tasks for p, rgs in t for rg in rgs]
+        assert seen == [("a", 0), ("a", 1), ("a", 2), ("b", 0),
+                        ("c", 0), ("c", 1)], target
+    assert len(_pack_rg_items(meta, 100)) <= 6
+    assert len(_pack_rg_items(meta, 1)) == 1
+    # degenerate: zero-row files still covered
+    z = _pack_rg_items([("a", [0, 0])], 4)
+    assert [(p, rg) for t in z for p, rgs in t for rg in rgs] == [("a", 0), ("a", 1)]
+    assert _pack_rg_items([], 4) == []
