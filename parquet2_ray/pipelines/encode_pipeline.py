@@ -1,12 +1,12 @@
 """The flagship pipeline: read → plan → shuffle → encode → manifest.
 
-Ray-Data-first lifecycle (SURVEY.md §3 "Ray lifecycle equivalent"):
+Lifecycle (SURVEY.md §3 "Ray lifecycle equivalent"):
 
-    read_parquet(input, columns=needed)
-      → light stats pass over (group_col, weight_col) only   # prune at the read
-      → map_batches(assign `_part` + split + IPC-serialize)  # broadcast plan, no shuffle
-      → groupby("_part").map_groups(reassemble + encode)     # THE one all-to-all
-      → small manifest-record dataset → global manifest fold # driver-side, tiny
+    plan: light stats tasks over (group_col, weight_col) only  # prune at the read
+      → fused read+split map tasks (path inputs read their own
+        row-group slices; Dataset inputs stream block refs)    # broadcast plan, no shuffle
+      → one encode task per partition (reassemble + encode)    # THE one all-to-all
+      → small per-partition records → global manifest fold     # driver-side, tiny
 
 The exchange ships PRE-SERIALIZED SHARDS: each input block is split by
 part id (one vectorized argsort + zero-copy slices) and every shard is
