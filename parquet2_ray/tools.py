@@ -51,6 +51,50 @@ def meta(out_dir: str) -> dict:
     }
 
 
+def metrics(out_dir: str) -> dict:
+    """Aggregate the per-partition metrics ledger (north rule: job
+    throughput is 'reported from the per-partition metrics ledger').
+
+    Sums rows/weight/bytes and per-phase core-seconds across committed
+    partitions and derives aggregate throughput + compression ratio —
+    the numbers a cluster-size comparison (N vs 4N) is judged on,
+    computed from durable state rather than a driver stopwatch, so a
+    resumed or multiply-driven job still reports correctly."""
+    records = mf.load_manifest(out_dir)
+    total: dict = {
+        "n_partitions": len(records),
+        "n_rows": 0,
+        "n_weight": 0,
+        "raw_bytes": 0,
+        "encoded_bytes": 0,
+        "skipped_partitions": 0,
+        "encode_core_s": 0.0,
+        "phase_core_s": {},
+    }
+    walls = []
+    for r in records.values():
+        total["n_rows"] += r["n_rows"]
+        total["n_weight"] += r.get("n_weight") or 0
+        total["raw_bytes"] += r["raw_bytes"]
+        total["encoded_bytes"] += r["encoded_bytes"]
+        total["skipped_partitions"] += bool(r.get("skipped"))
+        w = float(r.get("wall_s") or 0.0)
+        walls.append(w)
+        total["encode_core_s"] += w
+        for ph, s in (r.get("timings") or {}).items():
+            total["phase_core_s"][ph] = round(
+                total["phase_core_s"].get(ph, 0.0) + float(s), 4)
+    total["encode_core_s"] = round(total["encode_core_s"], 4)
+    total["max_partition_wall_s"] = round(max(walls), 4) if walls else 0.0
+    total["compression_ratio"] = (
+        round(total["raw_bytes"] / total["encoded_bytes"], 4)
+        if total["encoded_bytes"] else None)
+    total["weight_per_core_s"] = (
+        round(total["n_weight"] / total["encode_core_s"])
+        if total["encode_core_s"] else None)
+    return total
+
+
 def dump(out_dir: str, limit: int = 10) -> list[dict]:
     from .stages.encode import decode_partition_path
 
@@ -68,7 +112,7 @@ def dump(out_dir: str, limit: int = 10) -> list[dict]:
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="parquet2_ray.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("rowcount", "meta", "dump"):
+    for name in ("rowcount", "meta", "metrics", "dump"):
         p = sub.add_parser(name)
         p.add_argument("out_dir")
         if name == "dump":
@@ -78,6 +122,8 @@ def main(argv: list[str] | None = None) -> None:
         print(rowcount(args.out_dir))
     elif args.cmd == "meta":
         print(json.dumps(meta(args.out_dir), indent=2, default=str))
+    elif args.cmd == "metrics":
+        print(json.dumps(metrics(args.out_dir), indent=2, default=str))
     else:
         for row in dump(args.out_dir, args.limit):
             print(json.dumps(row, default=str))

@@ -74,3 +74,26 @@ def test_tools_cli(tmp_path, capsys):
 
     tools.main(["rowcount", out])
     assert capsys.readouterr().out.strip() == "1000"
+
+
+def test_tools_metrics(ray_session, tokens_table, tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from parquet2_ray import tools
+    from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(tokens_table, src)
+    out = str(tmp_path / "enc")
+    encode_dataset(str(src), out, EncodeOptions(target_weight=100_000))
+    m = tools.metrics(out)
+    assert m["n_partitions"] > 0
+    assert m["n_rows"] > 0
+    assert m["encoded_bytes"] > 0
+    assert m["compression_ratio"] > 1.0
+    assert m["encode_core_s"] > 0
+    assert set(m["phase_core_s"]) >= {"encode_s", "select_s", "write_s"}
+    tools.main(["metrics", out])
+    out = capsys.readouterr().out
+    import json
+    assert json.loads(out)["n_rows"] == m["n_rows"]
