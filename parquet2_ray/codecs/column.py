@@ -178,6 +178,8 @@ def _np_dtype_of(arrow_type: str) -> str:
     return {
         "int32": "int32", "int64": "int64", "float": "float32",
         "double": "float64", "uint32": "uint32", "uint64": "uint64",
+        "int8": "int8", "int16": "int16",
+        "uint8": "uint8", "uint16": "uint16",
         "date32[day]": "int32",
     }.get(arrow_type, "int64")  # temporal stored as int64
 

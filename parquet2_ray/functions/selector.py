@@ -90,8 +90,12 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray,
         except (ValueError, TypeError, OverflowError):
             continue
         if compression:
-            payload = pa.compress(payload, codec=compression, asbytes=True)
-        sizes[c] = len(payload)
+            # writer keeps the compressed payload only when smaller
+            # (state/manifest.py) — price exactly what lands on disk
+            comp = pa.compress(payload, codec=compression, asbytes=True)
+            sizes[c] = min(len(payload), len(comp))
+        else:
+            sizes[c] = len(payload)
     return sizes
 
 

@@ -68,10 +68,11 @@ class EncodeOptions:
     forced_codecs: dict[str, str] = field(default_factory=dict)
     resume: bool = True
     max_partitions: int = 100_000
-    # block-count override for path inputs; None → Ray's heuristic.  At
-    # bench scale Ray over-splits (DEFAULT_MIN_PARALLELISM=200 → ~1.6 MB
-    # blocks) which multiplies per-block exchange overhead; at real scale
-    # the 128 MB-target default is right.
+    # parallelism override for path inputs; None → auto.  On the default
+    # fused path this is the target number of fused read+split tasks
+    # (auto: ≈2/CPU bounded by row-group count); on the Dataset path
+    # (fuse_read_split=False) it is Ray's override_num_blocks, whose
+    # blocks are then coalesced blocks_per_split per split task.
     read_num_blocks: int | None = None
     # how many read blocks one split task coalesces before splitting.
     # Read parallelism and shard granularity pull opposite ways: many
@@ -102,8 +103,14 @@ class EncodeOptions:
     # fused read+split for path inputs: exchange map tasks read their own
     # row-group slices straight from parquet (no Dataset machinery, no
     # intermediate block materialization in the object store).  Disable
-    # to force the Dataset-read → split-task path.
+    # to force the Dataset-read → split-task path.  On the fused path,
+    # read_num_blocks (above) means the target NUMBER OF FUSED TASKS.
     fuse_read_split: bool = True
+    # cap on one fused task's input mass (parquet on-disk bytes of its
+    # row groups) — bounds worker memory the way the Dataset path's
+    # ~128 MB target blocks × blocks_per_split did, independent of how
+    # few CPUs the cluster has relative to the input size.
+    max_split_task_bytes: int = 256 << 20
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -217,12 +224,18 @@ def _plan_stats_task(files: list, group_col, weight_col) -> tuple:
     for f in files:
         pf = _pq.ParquetFile(f)
         md = pf.metadata
-        meta.append((f, [md.row_group(i).num_rows
-                         for i in range(md.num_row_groups)]))
-        t = pf.read(columns=cols)
+        rgs = [md.row_group(i) for i in range(md.num_row_groups)]
+        meta.append({
+            "path": f,
+            "rg_rows": [g.num_rows for g in rgs],
+            "rg_bytes": [g.total_byte_size for g in rgs],
+            "names": list(pf.schema_arrow.names),
+        })
+        t = pf.read(columns=[c for c in cols if c in pf.schema_arrow.names])
         # one batch per FILE here vs ~dozens per file in the Dataset path:
         # widen the per-batch sample so the quantile-edge quality matches
-        out.extend(_light_stats(t, group_col, weight_col,
+        out.extend(_light_stats(t, group_col if group_col in t.column_names else None,
+                                weight_col if weight_col in t.column_names else None,
                                 sample_per_batch=4096).to_pylist())
     return out, meta
 
@@ -397,28 +410,40 @@ def _read_split_task(plan: PartitionPlan, group_col, weight_col,
     return tuple(out) if n_out > 1 else out[0]
 
 
-def _pack_rg_items(file_meta: list, target_tasks: int) -> list:
+def _pack_rg_items(file_meta: list, target_tasks: int,
+                   max_task_mass: int | None = None) -> list:
     """Pack per-file row groups into ≈target_tasks contiguous work items
-    of ≈equal row mass. Returns ``[[(path, [rg...]), ...], ...]``."""
-    units = [(path, rg, n) for path, rg_rows in file_meta
-             for rg, n in enumerate(rg_rows)]
+    of ≈equal mass (``file_meta`` is ``[(path, [mass per rg...])]`` —
+    mass is bytes when the caller has them, rows otherwise).
+    ``max_task_mass`` caps any one task's mass regardless of task count,
+    so a huge input cannot concentrate into few oversized in-memory
+    reads; a single row group larger than the cap still forms its own
+    task (row groups are the read atom).
+    Returns ``[[(path, [rg...]), ...], ...]``."""
+    units = [(path, rg, n) for path, masses in file_meta
+             for rg, n in enumerate(masses)]
     total = sum(n for _, _, n in units)
     if not units or total == 0:
-        return [[(path, list(range(len(rg_rows))))]
-                for path, rg_rows in file_meta] or []
+        return [[(path, list(range(len(masses))))]
+                for path, masses in file_meta] or []
     per_task = max(1, -(-total // max(1, target_tasks)))
+    if max_task_mass:
+        per_task = min(per_task, max_task_mass)
     tasks: list = []
     cur: list = []
-    cur_rows = 0
+    cur_mass = 0
     for path, rg, n in units:
+        if cur and cur_mass + n > per_task:
+            tasks.append(cur)
+            cur, cur_mass = [], 0
         if cur and cur[-1][0] == path:
             cur[-1][1].append(rg)
         else:
             cur.append((path, [rg]))
-        cur_rows += n
-        if cur_rows >= per_task:
+        cur_mass += n
+        if cur_mass >= per_task:
             tasks.append(cur)
-            cur, cur_rows = [], 0
+            cur, cur_mass = [], 0
     if cur:
         tasks.append(cur)
     return tasks
@@ -515,9 +540,13 @@ def encode_dataset(
         plan_files = []
         for p in paths:
             if os.path.isdir(p):
-                plan_files.extend(sorted(
-                    os.path.join(p, f) for f in os.listdir(p)
-                    if f.endswith((".parquet", ".pq"))))
+                # recursive, like ray.data.read_parquet (hive-style and
+                # nested layouts must not silently drop files)
+                found = []
+                for root, _dirs, names in os.walk(p):
+                    found.extend(os.path.join(root, f) for f in names
+                                 if f.endswith((".parquet", ".pq")))
+                plan_files.extend(sorted(found))
             else:
                 plan_files.append(p)
         if not plan_files:
@@ -546,6 +575,16 @@ def encode_dataset(
     file_meta: list = []
     if plan_files is not None:
         plan, file_meta = plan_partitions_from_files(plan_files, plan_opts)
+        # heterogeneous schemas would otherwise fail deep inside a read
+        # task (or silently skew the plan) — reject them up front, like
+        # the Dataset read's unification error but with the file named
+        ref_names = file_meta[0]["names"]
+        for m in file_meta[1:]:
+            if m["names"] != ref_names:
+                raise ValueError(
+                    f"schema mismatch across input files: {m['path']!r} has "
+                    f"columns {m['names']}, expected {ref_names} "
+                    f"(from {file_meta[0]['path']!r})")
     else:
         plan = plan_partitions(ds, plan_opts)
     plan_s = time.time() - t0
@@ -583,13 +622,16 @@ def encode_dataset(
         # fused read+split over row-group slices (path inputs): shards/
         # partition == task count, and per-shard overhead in the encode
         # task grows with it, so target ≈2 tasks per CPU bounded by the
-        # row-group count (read_num_blocks overrides).
+        # row-group count (read_num_blocks overrides the task count);
+        # max_split_task_bytes bounds any one task's read regardless.
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        n_rgs = sum(len(rg_rows) for _, rg_rows in file_meta)
+        n_rgs = sum(len(m["rg_rows"]) for m in file_meta)
         target_tasks = opts.read_num_blocks or min(max(1, n_rgs), 2 * cpus)
+        pack_meta = [(m["path"], m["rg_bytes"]) for m in file_meta]
         rst = (_read_split_task.options(num_returns=n_out)
                if n_out > 1 else _read_split_task)
-        for items in _pack_rg_items(file_meta, target_tasks):
+        for items in _pack_rg_items(pack_meta, target_tasks,
+                                    max_task_mass=opts.max_split_task_bytes):
             refs = rst.remote(plan_ref, group_col, weight_col, n_out,
                               fan if hier else None, columns, items)
             shard_refs.append([refs] if n_out == 1 else list(refs))

@@ -67,7 +67,6 @@ def metrics(out_dir: str) -> dict:
         "n_weight": 0,
         "raw_bytes": 0,
         "encoded_bytes": 0,
-        "skipped_partitions": 0,
         "encode_core_s": 0.0,
         "phase_core_s": {},
     }
@@ -77,7 +76,10 @@ def metrics(out_dir: str) -> dict:
         total["n_weight"] += r.get("n_weight") or 0
         total["raw_bytes"] += r["raw_bytes"]
         total["encoded_bytes"] += r["encoded_bytes"]
-        total["skipped_partitions"] += bool(r.get("skipped"))
+        # note: the ledger records each partition's ORIGINAL encode
+        # (a resumed run returns skipped=True to its driver but never
+        # rewrites the committed record), so there is no skipped count
+        # here — by design the ledger describes the data, not one run
         w = float(r.get("wall_s") or 0.0)
         walls.append(w)
         total["encode_core_s"] += w

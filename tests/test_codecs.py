@@ -316,7 +316,8 @@ def test_fsst_empty_and_incompressible(rng):
 def test_bss_roundtrip_dtypes(rng):
     from parquet2_ray.codecs import byte_stream_split as bss
 
-    for dt in ["float32", "float64", "int32", "int64", "uint32"]:
+    for dt in ["float32", "float64", "int32", "int64", "uint32",
+               "int8", "int16", "uint8", "uint16"]:
         v = rng.integers(-1000, 1000, 1000).astype(dt)
         assert bss.decode(bss.encode(v), dt, 1000).tolist() == v.tolist()
 
@@ -359,3 +360,21 @@ def test_selector_bss_only_under_compression(rng):
     f = pa.array(rng.normal(1.0, 0.01, 8192).astype(np.float32))
     assert select_codec(f) == "plain"
     assert select_codec(f, compression="zstd") == "byte_stream_split"
+
+
+def test_bss_small_int_arrow_roundtrip(rng):
+    """Regression: high-entropy small-int columns auto-select BSS (it is
+    the only header-free fixed-width codec); decode must reassemble with
+    the TRUE byte width, not a default int64."""
+    import pyarrow as pa
+
+    from parquet2_ray.codecs import decode_array, encode_array
+    from parquet2_ray.functions.selector import select_codec
+
+    for t in (pa.int8(), pa.int16(), pa.uint8(), pa.uint16()):
+        info = np.iinfo(t.to_pandas_dtype())
+        a = pa.array(rng.integers(info.min, info.max, 8192, endpoint=True)
+                     .astype(t.to_pandas_dtype()), type=t)
+        c = select_codec(a)
+        assert decode_array(encode_array("x", a, c)).equals(a), (t, c)
+        assert decode_array(encode_array("x", a, "byte_stream_split")).equals(a), t

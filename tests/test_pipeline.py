@@ -284,3 +284,43 @@ def test_pack_rg_items():
     z = _pack_rg_items([("a", [0, 0])], 4)
     assert [(p, rg) for t in z for p, rgs in t for rg in rgs] == [("a", 0), ("a", 1)]
     assert _pack_rg_items([], 4) == []
+
+
+def test_nested_dir_discovery_and_schema_mismatch(ray_session, tokens_table,
+                                                 tmp_path):
+    """Fused path must find parquet files recursively (hive-style
+    layouts) and reject heterogeneous schemas up front with the file
+    named."""
+    import pytest
+
+    from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+
+    root = tmp_path / "data"
+    (root / "sub").mkdir(parents=True)
+    half = tokens_table.num_rows // 2
+    pq.write_table(tokens_table.slice(0, half), root / "top.parquet")
+    pq.write_table(tokens_table.slice(half), root / "sub" / "nested.parquet")
+    out = str(tmp_path / "enc")
+    s = encode_dataset(str(root), out, EncodeOptions(target_weight=200_000))
+    assert s["n_rows"] == tokens_table.num_rows  # nested file not dropped
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(tokens_table, bad / "a.parquet")
+    pq.write_table(tokens_table.drop_columns(["n_tok"]), bad / "b.parquet")
+    with pytest.raises(ValueError, match="schema mismatch.*b.parquet"):
+        encode_dataset(str(bad), str(tmp_path / "enc2"), EncodeOptions())
+
+
+def test_pack_rg_items_mass_cap():
+    from parquet2_ray.pipelines.encode_pipeline import _pack_rg_items
+
+    meta = [("a", [100] * 10)]
+    tasks = _pack_rg_items(meta, 2, max_task_mass=250)
+    # cap beats task-count target: no task above 250 mass
+    assert all(sum(100 for _, rgs in t for _ in rgs) <= 250 for t in tasks)
+    seen = [(p, rg) for t in tasks for p, rgs in t for rg in rgs]
+    assert seen == [("a", i) for i in range(10)]
+    # an oversized single row group still forms its own task
+    t2 = _pack_rg_items([("a", [1000, 10])], 1, max_task_mass=100)
+    assert [(p, rg) for t in t2 for p, rgs in t for rg in rgs] == [("a", 0), ("a", 1)]

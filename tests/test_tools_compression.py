@@ -91,6 +91,7 @@ def test_tools_metrics(ray_session, tokens_table, tmp_path, capsys):
     assert m["n_rows"] > 0
     assert m["encoded_bytes"] > 0
     assert m["compression_ratio"] > 1.0
+    assert "skipped_partitions" not in m
     assert m["encode_core_s"] > 0
     assert set(m["phase_core_s"]) >= {"encode_s", "select_s", "write_s"}
     tools.main(["metrics", out])
