@@ -474,7 +474,9 @@ def q_minhash_pairs_md5(sf_dir: str):
     from parquet2_ray.stages.dedup import minhash_lsh_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5, hasher="md5")
+    # max_bucket=None: the oracle's band-equality self-join has no
+    # bucket-truncation guard, so the engine must not truncate either
+    return minhash_lsh_pairs(ds, threshold=0.5, hasher="md5", max_bucket=None)
 
 
 def q_ngram_dedup_md5(sf_dir: str):
@@ -485,7 +487,8 @@ def q_ngram_dedup_md5(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return verified_neardup_pairs(ds, candidate_threshold=0.5,
-                                  exact_threshold=0.5, hasher="md5")
+                                  exact_threshold=0.5, hasher="md5",
+                                  max_bucket=None)
 
 
 def q_ngram_dedup(sf_dir: str):

@@ -26,16 +26,9 @@ does.
 
 from __future__ import annotations
 
-# sandbox-VM THP workaround (see parquet2_ray/__init__.py): must be in
-# the environment BEFORE numpy's first import and before ray.init so
-# every Ray worker inherits it
-import os as _os_env
-
-_os_env.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
-_os_env.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "jemalloc")
-_os_env.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "131072")
-_os_env.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "131072")
-
+# sandbox-VM THP/malloc env pins: `python -m parquet2_ray.job` runs the
+# package __init__ (which sets them) before this module body, so no
+# duplicate block is needed here
 import argparse
 import json
 import sys

@@ -472,9 +472,12 @@ def _encode_group(out_dir: str, sort_key, weight_col,
     bounds = np.append(starts, len(sp))
     recs = []
     for i in range(len(uniq)):
+        # zero-copy slice: encode_partition_table combine_chunks()es
+        # internally, so copying here would double-materialize every
+        # partition in the group
         sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
         rec = encode_partition_table(
-            sl.combine_chunks(),
+            sl,
             out_dir,
             sort_key=sort_key,
             weight_col=weight_col,

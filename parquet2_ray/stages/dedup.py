@@ -74,21 +74,32 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _md5_window_hashes(data: np.ndarray, k: int) -> np.ndarray:
-    """uint64 hash of every k-byte window: first 8 md5 bytes, big-endian
-    — bit-exactly ``('0x'||substr(md5(s),1,16))::UBIGINT`` in DuckDB.
-    Python-loop cost is accepted: this hasher exists only for the
-    SQL-oracle variant (the hot path is the vectorized rolling hash)."""
+def _md5_minhash_rows(texts: list, k: int, num_perm: int, seed: int) -> np.ndarray:
+    """Per-doc minhash signatures from md5 CHARACTER-window hashes —
+    bit-exactly ``('0x'||substr(md5(substr(t,j,k)),1,16))::UBIGINT`` in
+    DuckDB.  Character (not byte) windows: SQL ``substr`` and the exact
+    k-gram verify stage (``ngram_jaccard``) both slice characters, so
+    byte windows would diverge on any non-ASCII text.  Python-loop cost
+    is accepted: this hasher exists only for the SQL-oracle variant
+    (the hot path is the vectorized rolling hash)."""
     import hashlib
 
-    buf = data.tobytes()
-    n = max(0, len(buf) - (k - 1))
     md5 = hashlib.md5
     from_bytes = int.from_bytes
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        out[i] = from_bytes(md5(buf[i:i + k]).digest()[:8], "big")
-    return out
+    a, b = _perm_params(num_perm, seed)
+    umax = np.iinfo(np.uint64).max
+    sigs = np.full((len(texts), num_perm), umax, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        nw = len(t) - k + 1
+        if nw <= 0:
+            continue
+        win = np.fromiter(
+            (from_bytes(md5(t[j:j + k].encode()).digest()[:8], "big")
+             for j in range(nw)), dtype=np.uint64, count=nw)
+        sigs[i] = ((a[:, None] * win[None, :] + b[:, None])
+                   % np.uint64(_PRIME)).min(axis=1)
+    return sigs
 
 
 def minhash_signatures_batch(
@@ -105,10 +116,16 @@ def minhash_signatures_batch(
     per-permutation min via ``np.minimum.reduceat`` over doc ranges.
 
     ``hasher="md5"`` swaps the rolling window hash for md5-derived
-    uint64s that DuckDB reproduces exactly (the SQL-oracle variant,
-    same pattern as ``simhash_batch(hasher="md5")``); the permutation
-    arithmetic ``(a*h+b) mod 2^64 mod (2^61-1)`` is HUGEINT-expressible
-    on the SQL side."""
+    uint64s over CHARACTER windows that DuckDB reproduces exactly (the
+    SQL-oracle variant, same pattern as ``simhash_batch(hasher="md5")``);
+    the permutation arithmetic ``(a*h+b) mod 2^64 mod (2^61-1)`` is
+    HUGEINT-expressible on the SQL side."""
+    if hasher == "md5":
+        sigs = _md5_minhash_rows(batch[text_col].to_pylist(), k, num_perm, seed)
+        return pa.table({
+            id_col: batch[id_col],
+            "sig": pa.array(list(sigs), type=pa.list_(pa.uint64())),
+        })
     arr = batch[text_col].combine_chunks().cast(pa.large_binary())
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
@@ -119,8 +136,7 @@ def minhash_signatures_batch(
     )
     offsets = offsets - offsets[0]
     n = len(arr)
-    win = (_md5_window_hashes(data, k) if hasher == "md5"
-           else rolling_window_hashes(data, k))  # hash of every k-byte window
+    win = rolling_window_hashes(data, k)  # hash of every k-byte window
     # windows crossing document boundaries must not contribute: mask
     # window range [offsets[i+1]-(k-1), offsets[i+1]) at each boundary
     a, b = _perm_params(num_perm, seed)
@@ -159,6 +175,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 7,
     hasher: str = "fast",
+    max_bucket: int | None = 1024,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
 
@@ -171,12 +188,14 @@ def minhash_lsh_pairs(
     groupby over (id_a, id_b) dedups pairs found in multiple bands.
     Only O(rows × bands) sketch rows cross the exchange — never texts.
 
-    Buckets larger than ``MAX_BUCKET`` are truncated to their
-    MAX_BUCKET smallest doc_ids (a heavy-duplicate bucket is quadratic
-    in members; real pipelines exact-dedup first).
+    Buckets larger than ``max_bucket`` are truncated to their
+    max_bucket smallest doc_ids (a heavy-duplicate bucket is quadratic
+    in members; real pipelines exact-dedup first).  The SQL-oracle twin
+    queries pass ``max_bucket=None`` so the pair set is exactly the
+    band-equality self-join DuckDB computes — the default guard stays
+    on for production paths.
     """
     rows_per_band = num_perm // bands
-    MAX_BUCKET = 1024
 
     def to_sketch(batch: pa.Table) -> pa.Table:
         sig_tbl = minhash_signatures_batch(batch, text_col, id_col, k,
@@ -213,7 +232,9 @@ def minhash_lsh_pairs(
         if m < 2:
             return empty
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")[:MAX_BUCKET]
+        order = np.argsort(ids, kind="stable")
+        if max_bucket:
+            order = order[:max_bucket]
         ids = ids[order]
         m = ids.size
         sigs = np.asarray(group["sig"].combine_chunks().values).reshape(
@@ -296,6 +317,7 @@ def verified_neardup_pairs(
     candidate_threshold: float = 0.5,
     exact_threshold: float = 0.5,
     hasher: str = "fast",
+    max_bucket: int | None = 1024,
 ) -> pa.Table:
     """Two-stage near-dedup: MinHash+LSH candidates → exact k-shingle
     Jaccard verification (the production shape: the cheap sketch prunes
@@ -314,7 +336,7 @@ def verified_neardup_pairs(
                       "jaccard": pa.array([], pa.float64())})
     cand = minhash_lsh_pairs(
         ds, text_col=text_col, id_col=id_col, k=k,
-        threshold=candidate_threshold, hasher=hasher,
+        threshold=candidate_threshold, hasher=hasher, max_bucket=max_bucket,
     )
     import pyarrow.compute as pc
 

@@ -161,6 +161,10 @@ def train_ivf_centroids(
     `ds.limit(sample_rows)` stream — training cost is O(sample), never
     O(corpus)."""
     sample = ds.limit(sample_rows).take_all()
+    if not sample:
+        # empty corpus → no centroids; callers skip cell filtering (the
+        # sibling ANN paths return empty results gracefully, match them)
+        return np.zeros((0, 0), dtype=np.float64)
     m = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in sample])
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
@@ -199,13 +203,14 @@ def ivf_topk(
     ``nprobe``/``n_centroids``; with nprobe == n_centroids this is exact.
     """
     cent = train_ivf_centroids(ds, n_centroids, emb_col, seed=seed)
+    if cent.size == 0:  # empty corpus: nothing to prune, exact path is empty too
+        return ann_topk(ds, queries, query_ids, k, emb_col, id_col)
     q = np.asarray(queries, dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     probe = min(nprobe, cent.shape[0])
     # the centroid lists each query will scan
     qc = np.argsort(-(qn @ cent.T), axis=1)[:, :probe]
-    wanted = np.unique(qc)
-    cent_ref = ray.put((cent, set(wanted.tolist())))
+    cent_ref = ray.put((cent, np.unique(qc)))  # sorted cell-id array
 
     def filter_cells(batch: pa.Table) -> pa.Table:
         C, keep_cells = ray.get(cent_ref)
@@ -213,7 +218,7 @@ def ivf_topk(
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         cell = np.argmax((m / norms[:, None]) @ C.T, axis=1)
-        mask = np.isin(cell, list(keep_cells))
+        mask = np.isin(cell, keep_cells)
         return batch.filter(pa.array(mask))
 
     pruned = ds.map_batches(filter_cells, batch_format="pyarrow")

@@ -346,3 +346,35 @@ def test_ivf_topk(ray_session):
         e = set(exact[exact["query_id"] == qi]["vec_id"])
         assert qi in a            # the query's own cell is always probed
         assert len(a & e) >= 3    # recall at 3/8 probes
+
+
+def test_md5_minhash_char_windows_match_duckdb_non_ascii():
+    """Regression: md5 minhash shingles are CHARACTER windows (SQL
+    substr semantics), not byte windows — they must match DuckDB
+    bit-exactly on multibyte text."""
+    import duckdb
+    import numpy as np
+
+    from parquet2_ray.stages.dedup import _PRIME, _md5_minhash_rows, _perm_params
+
+    texts = ["café au lait, s'il vous plaît ☕", "plain ascii text here",
+             "héllo wörld ünïcode", "ab"]
+    k, num_perm, seed = 5, 64, 7
+    sigs = _md5_minhash_rows(texts, k, num_perm, seed)
+    a, b = _perm_params(num_perm, seed)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES " +
+                ",".join(f"({i}, ?)" for i in range(len(texts))) +
+                ") t(id, text)", texts)
+    cols = ", ".join(
+        f"min(CAST((CAST({a[p]} AS HUGEINT)*h + {b[p]}) % 18446744073709551616 "
+        f"AS UBIGINT) % {_PRIME}) AS s{p}" for p in range(num_perm))
+    rows = con.execute(
+        f"WITH sh AS (SELECT id, CAST(('0x' || substr(md5(substr(text, j, {k})), "
+        f"1, 16)) AS UBIGINT) AS h FROM d, "
+        f"unnest(range(1, greatest(length(text) - {k - 1}, 0) + 1)) AS u(j)) "
+        f"SELECT id, {cols} FROM sh GROUP BY id ORDER BY id").fetchall()
+    for row in rows:
+        assert np.array_equal(np.array(row[1:], dtype=np.uint64), sigs[row[0]])
+    # sub-k-char doc: engine fills umax (no shingles)
+    assert (sigs[3] == np.iinfo(np.uint64).max).all()
