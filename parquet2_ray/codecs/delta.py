@@ -181,6 +181,7 @@ def decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     mini_pos: list[int] = []
     filled = 0
     slot = 0
+    required_end = 0
     while filled < n_deltas:
         min_delta, pos = zz_uleb_decode(buf, pos)
         widths = buf[pos : pos + miniblocks]
@@ -189,17 +190,26 @@ def decode(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
         for bw in widths:
             if filled >= n_deltas:
                 break  # trailing miniblocks of the last block may be absent
+            take = min(vpm, n_deltas - filled)
             if bw:
                 mini_slot.append(slot)
                 mini_w.append(bw)
                 mini_pos.append(pos)
+                # bytes that must exist: the VALID deltas of this mini
+                # (a legitimately short final miniblock may omit its
+                # padding bytes; anything less is corruption)
+                required_end = pos + (bw * take + 7) // 8
                 pos += (vpm * bw + 7) // 8
-            filled += min(vpm, n_deltas - filled)
+            filled += take
             slot += 1
     # Phase 2 — vectorized unpack, grouped by width (vpm % 8 == 0 ⇒
     # concatenated unpack == per-miniblock unpack, same trick as encode)
     n_slots = len(mins) * miniblocks
     dmat = np.zeros((n_slots, vpm), dtype=np.uint64)
+    if required_end > len(buf):
+        raise ValueError(
+            f"delta payload truncated: need {required_end} bytes, "
+            f"have {len(buf)}")
     if mini_w:
         src = np.frombuffer(buf, dtype=np.uint8)
         # zero-pad so a final short miniblock gathers zeros, not garbage

@@ -70,6 +70,21 @@ def hash_arrow(arr) -> np.ndarray:
         v = arr.to_numpy(zero_copy_only=False)
         w = v.dtype.itemsize
         data = np.ascontiguousarray(v).view(np.uint8)
+    elif pa.types.is_boolean(t):
+        # canonical form: one byte per value, 0x00/0x01 (PLAIN-adjacent;
+        # arrow's bitmap layout would make hashes offset-dependent)
+        v = arr.cast(pa.uint8(), safe=False).to_numpy(zero_copy_only=False)
+        w = 1
+        data = np.ascontiguousarray(v)
+    elif pa.types.is_decimal128(t):
+        # canonical form: the 16-byte little-endian two's-complement
+        # slots (the arrow buffer layout, stable across probe/writer
+        # since both sides build the same decimal128 array type)
+        w = 16
+        bufs = arr.buffers()
+        data = (np.frombuffer(bufs[1], dtype=np.uint8)
+                [arr.offset * w : (arr.offset + len(arr)) * w]
+                if bufs[1] is not None else np.empty(0, np.uint8))
     elif pa.types.is_fixed_size_binary(t):
         w = t.byte_width
         bufs = arr.buffers()

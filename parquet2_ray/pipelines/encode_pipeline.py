@@ -746,6 +746,12 @@ def prune_partitions(out_dir: str, key_values) -> list[str]:
             keep.append(r["path"])
             continue
         ts = r.get("bloom_type")
+        if ts is None:
+            # record predates the bloom_type field: its sketch was built
+            # by an unknown hasher — keep unpruned rather than probing
+            # with today's hashes and false-pruning ~99% of the time
+            keep.append(r["path"])
+            continue
         if ts not in hashes_by_type:
             hashes_by_type[ts] = bloom.hash_values(key_values, ts)
         if bloom.might_contain(base64.b64decode(b64), hashes_by_type[ts]).any():

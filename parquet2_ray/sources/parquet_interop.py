@@ -89,25 +89,28 @@ def container_to_parquet(
     if not records:
         raise ValueError(f"no committed partitions under {container_dir}")
     os.makedirs(out_dir, exist_ok=True)
-    codecs = json.loads(records[0]["codecs"]) if isinstance(
-        records[0].get("codecs"), str) else (records[0].get("codecs") or {})
-    args = parquet_write_args_for(codecs)
 
     def export(batch: pa.Table) -> pa.Table:
         from ..stages.encode import decode_partition_path
 
         out_rows = {"part_id": [], "rows": [], "parquet_bytes": [], "skipped": []}
-        for pid, path in zip(batch["part_id"].to_pylist(),
-                             batch["path"].to_pylist()):
+        for pid, path, n_rows, codecs_json in zip(
+                batch["part_id"].to_pylist(), batch["path"].to_pylist(),
+                batch["n_rows"].to_pylist(), batch["codecs"].to_pylist()):
             dest = os.path.join(out_dir, f"part-{pid}.parquet")
             if os.path.exists(dest):
                 out_rows["part_id"].append(pid)
-                out_rows["rows"].append(0)
+                # ledger row count, so a resumed export still reports
+                # the dataset total instead of undercounting skips
+                out_rows["rows"].append(n_rows)
                 out_rows["parquet_bytes"].append(os.path.getsize(dest))
                 out_rows["skipped"].append(True)
                 continue
             tbl = decode_partition_path(path)
             tmp = dest + ".tmp"
+            # encodings follow THIS partition's auto-selected codecs
+            # (selections can differ per partition)
+            args = parquet_write_args_for(json.loads(codecs_json))
             pq.write_table(tbl, tmp, compression=compression, **args)
             os.replace(tmp, dest)
             out_rows["part_id"].append(pid)
@@ -116,7 +119,11 @@ def container_to_parquet(
             out_rows["skipped"].append(False)
         return pa.table(out_rows)
 
-    items = [{"part_id": r["part_id"], "path": r["path"]} for r in records]
+    items = [{"part_id": r["part_id"], "path": r["path"],
+              "n_rows": r["n_rows"],
+              "codecs": (r["codecs"] if isinstance(r.get("codecs"), str)
+                         else json.dumps(r.get("codecs") or {}))}
+             for r in records]
     stats = rd.from_items(items).map_batches(
         export, batch_size=1, batch_format="pyarrow").to_pandas()
     return {

@@ -300,13 +300,20 @@ def simhash_batch(
     return pd.DataFrame({id_col: batch[id_col], "simhash": sig})
 
 
+def char_shingles(t: str, k: int = 5) -> set:
+    """Distinct character-k-gram set — THE shingle definition, shared by
+    ngram_jaccard and the distributed verification stage (one place to
+    change if shingling ever changes)."""
+    return {t[i : i + k] for i in range(max(len(t) - k + 1, 0))}
+
+
+def _set_jaccard(sa: set, sb: set) -> float:
+    return 1.0 if not sa and not sb else len(sa & sb) / len(sa | sb)
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     """Exact character-k-gram Jaccard (verification helper for tests)."""
-    sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 0))}
-    sb = {b[i : i + k] for i in range(max(len(b) - k + 1, 0))}
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+    return _set_jaccard(char_shingles(a, k), char_shingles(b, k))
 
 
 def verified_neardup_pairs(
@@ -366,12 +373,10 @@ def verified_neardup_pairs(
         # shingle sets computed once per doc in this slice, not per pair
         shingles: dict = {}
         for i in set(batch["id_a"].to_pylist()) | set(batch["id_b"].to_pylist()):
-            t = texts[i]
-            shingles[i] = {t[j : j + k] for j in range(max(len(t) - k + 1, 0))}
+            shingles[i] = char_shingles(texts[i], k)
         out_a, out_b, out_j = [], [], []
         for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            sa, sb = shingles[a], shingles[b]
-            j = 1.0 if not sa and not sb else len(sa & sb) / len(sa | sb)
+            j = _set_jaccard(shingles[a], shingles[b])
             if j >= exact_threshold:
                 out_a.append(int(a)); out_b.append(int(b)); out_j.append(j)
         return pa.table({"id_a": pa.array(out_a, pa.int64()),

@@ -175,6 +175,11 @@ class ImageDecode:
                 widths.append(16 + _det_u32(data, b"w") % 4080)
                 heights.append(16 + _det_u32(data, b"h") % 4080)
                 lums.append(float(_det_u32(data, b"l") % 256))
+            elif not data:
+                # null/empty payload → null metadata, never a task crash
+                widths.append(None)
+                heights.append(None)
+                lums.append(None)
             else:
                 img = decode_image(data)
                 heights.append(img.shape[0])
@@ -201,7 +206,11 @@ class ImageResize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for v in batch[self.col]:
-            img = decode_image(v.as_py() or b"")
+            data = v.as_py()
+            if not data:
+                out.append(None)  # null/empty stays null
+                continue
+            img = decode_image(data)
             ys = (np.arange(self.h) * img.shape[0] // self.h)
             xs = (np.arange(self.w) * img.shape[1] // self.w)
             out.append(encode_ppm(img[np.ix_(ys, xs)]))
@@ -248,11 +257,14 @@ class FeatureExtract:
             if self.backend == "fake":
                 rng = np.random.default_rng(_det_u32(data))
                 feats.append(rng.normal(size=self.dim).astype(np.float32))
+            elif not data:
+                feats.append(None)  # null/empty payload → null feature
             else:
                 feats.append(self._real_feature(data))
         return batch.append_column(
             "features",
-            pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
+            pa.array([f.tolist() if f is not None else None for f in feats],
+                     type=pa.list_(pa.float32())),
         )
 
 
@@ -278,6 +290,8 @@ class FrameSample:
                     out_id.append(vid)
                     out_frame.append(i)
                     out_bytes.append(b"")
+            elif not data:
+                continue  # null/empty video → no frames
             else:
                 w, h, c, n, off = _decode_rawv_header(data)
                 fsz = w * h * c
@@ -312,7 +326,12 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         dur, rms, zcr, dom = [], [], [], []
         for v in batch[self.col]:
-            pcm, rate = _decode_wav(v.as_py() or b"")
+            data = v.as_py()
+            if not data:  # null/empty payload → null features
+                dur.append(None); rms.append(None)
+                zcr.append(None); dom.append(None)
+                continue
+            pcm, rate = _decode_wav(data)
             x = pcm.astype(np.float64) / 32768.0
             n = max(len(x), 1)
             dur.append(len(x) / rate)

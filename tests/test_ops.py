@@ -378,3 +378,50 @@ def test_md5_minhash_char_windows_match_duckdb_non_ascii():
         assert np.array_equal(np.array(row[1:], dtype=np.uint64), sigs[row[0]])
     # sub-k-char doc: engine fills umax (no shingles)
     assert (sigs[3] == np.iinfo(np.uint64).max).all()
+
+
+def test_multimodal_null_payloads_real_backend(ray_session):
+    """Regression: null/empty media payloads must yield null outputs in
+    the real backend, never crash the actor task."""
+    import pyarrow as pa
+
+    from parquet2_ray.stages.multimodal import (
+        AudioFeatures,
+        FeatureExtract,
+        FrameSample,
+        ImageDecode,
+        ImageResize,
+        encode_ppm,
+        encode_rawv,
+    )
+
+    img = encode_ppm(np.full((4, 4, 3), 128, dtype=np.uint8))
+    t = pa.table({"image": pa.array([img, None, b""], type=pa.binary())})
+    dec = ImageDecode()(t)
+    assert dec["width"].null_count == 2 and dec["width"][0].as_py() == 4
+    rz = ImageResize(2, 2)(t)
+    assert rz["image"].null_count == 2
+    fe = FeatureExtract(dim=4)(t)
+    assert fe["features"].null_count == 2
+    at = pa.table({"audio": pa.array([None, b""], type=pa.binary())})
+    au = AudioFeatures()(at)
+    assert au["duration_s"].null_count == 2
+    vid = encode_rawv(np.zeros((2, 2, 2, 3), dtype=np.uint8))
+    vt = pa.table({"video_id": pa.array([1, 2], pa.int64()),
+                   "video": pa.array([vid, None], type=pa.binary())})
+    fr = FrameSample(every_n=1)(vt)
+    assert set(fr["video_id"].to_pylist()) == {1}  # null video → no frames
+
+
+def test_delta_truncation_raises():
+    """Regression: a payload cut into the valid-delta region must raise,
+    not silently decode zeros (codec-level corruption check)."""
+    import pytest
+
+    from parquet2_ray.codecs import delta
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(-10**6, 10**6, 1000)
+    enc = delta.encode(v)
+    with pytest.raises((ValueError, IndexError)):
+        delta.decode(enc[:-100])

@@ -51,3 +51,5 @@ def test_container_roundtrip_through_real_parquet(tmp_path):
     # resumable: re-export skips every already-written partition
     summary2 = container_to_parquet(cont, out)
     assert summary2["skipped"] == s["n_partitions"]
+    # resumed export still reports the dataset total (ledger counts)
+    assert summary2["rows"] == tbl.num_rows
