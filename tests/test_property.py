@@ -118,3 +118,61 @@ def test_xxh64_matches_scalar_reference(data, seed):
     from tests.test_xxh import _ref_xxh64
 
     assert xxh64(data, seed) == _ref_xxh64(data, seed)
+
+
+@given(
+    groups=st.lists(st.sampled_from(["a", "b", "c", ""]), min_size=0, max_size=300),
+    weights=st.data(),
+    target=st.integers(min_value=1, max_value=500),
+)
+@settings(**_SETTINGS)
+def test_plan_split_partition_invariants(groups, weights, target):
+    """Exchange core invariant: for ANY (group, weight) distribution the
+    plan assigns every row exactly one partition id in range, and the
+    split cores emit shards that partition the block losslessly."""
+    import pyarrow as pa
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        _fold_plan,
+        _light_stats,
+        _part_ids,
+        _split_core,
+        _split_core_coarse,
+    )
+
+    n = len(groups)
+    w = weights.draw(
+        st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=n, max_size=n))
+    tbl = pa.table({
+        "source": pa.array(groups, type=pa.string()),
+        "n_tok": pa.array(w, type=pa.int64()),
+        "row_id": pa.array(list(range(n)), type=pa.int64()),
+    })
+    opts = EncodeOptions(group_col="source", weight_col="n_tok",
+                         target_weight=target, target_rows=max(1, target))
+    partials = _light_stats(tbl, "source", "n_tok").to_pylist()
+    plan = _fold_plan(partials, opts)
+    part = _part_ids(tbl, plan, "source", "n_tok")
+    assert part.shape == (n,)
+    assert (part >= 0).all() and (part < plan.n_parts).all()
+    # flat split: every row lands in exactly one shard, ids preserved
+    shards = _split_core(tbl, plan, "source", "n_tok", plan.n_parts)
+    seen = []
+    for s in shards:
+        if s is not None:
+            seen.extend(pa.ipc.open_stream(s).read_all()["row_id"].to_pylist())
+    assert sorted(seen) == list(range(n))
+    # coarse split: same invariant at group granularity
+    fan = 3
+    n_groups = -(-plan.n_parts // fan)
+    coarse = _split_core_coarse(tbl, plan, "source", "n_tok", n_groups, fan)
+    seen2 = []
+    for s in coarse:
+        if s is not None:
+            t2 = pa.ipc.open_stream(s).read_all()
+            seen2.extend(t2["row_id"].to_pylist())
+            # fine part ids ride along and agree with the plan
+            assert (np.asarray(t2["_part"]) // fan < n_groups).all()
+    assert sorted(seen2) == list(range(n))
