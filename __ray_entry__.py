@@ -379,6 +379,17 @@ def q_token_count(sf_dir: str):
     return ds.map_batches(token_count_batch, batch_format="pandas")
 
 
+def q_bpe_token_count(sf_dir: str):
+    """GPT-2-style regex pre-tokenizer count — actor-pool stage (regex
+    compiled once per actor in __init__); pattern restricted to
+    constructs Python re and DuckDB RE2 interpret identically."""
+    from parquet2_ray.stages.text import BpeTokenCount
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(BpeTokenCount, batch_format="pandas",
+                          concurrency=(1, 4))
+
+
 def q_char_stats(sf_dir: str):
     from parquet2_ray.stages.text import char_stats_batch
 
@@ -594,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_events": q_filter_events,
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
+        "q_bpe_token_count": q_bpe_token_count,
         "q_char_stats": q_char_stats,
         "q_quality": q_quality,
         "q_doc_md5": q_doc_md5,
@@ -614,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from parquet2_ray.stages.text import BPE_PATTERN
+
     stats_union = " UNION ALL ".join(
         f"SELECT '{c}' AS \"column\", CAST(min({c}) AS DOUBLE) AS min_v, "
         f"CAST(max({c}) AS DOUBLE) AS max_v, "
@@ -756,6 +770,11 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count": (
             "SELECT doc_id, length(list_filter(string_split_regex(text, '\\s+'), "
             "x -> x <> '')) AS n_ws_tok FROM documents"
+        ),
+        "q_bpe_token_count": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+            + BPE_PATTERN.replace("'", "''")
+            + "')) AS BIGINT) AS n_bpe_tok FROM documents"
         ),
         "q_char_stats": (
             "SELECT doc_id, length(text) AS n_chars2, "

@@ -19,6 +19,8 @@ __all__ = [
     "md5_batch",
     "LangId",
     "quality_score_batch",
+    "BpeTokenCount",
+    "BPE_PATTERN",
 ]
 
 
@@ -32,6 +34,34 @@ def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
             "n_ws_tok": batch["text"].str.split().str.len().fillna(0).astype("int64"),
         }
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs Python re
+# and DuckDB's RE2 interpret IDENTICALLY (no \p classes, no lookahead,
+# explicit ASCII whitespace class so unicode \s semantics can't diverge):
+# contractions | space?+letters | space?+digits | space?+other | whitespace
+BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^A-Za-z0-9 \t\n\r\f\v]+|[ \t\n\r\f\v]+")
+
+
+class BpeTokenCount:
+    """BPE-ish token count — actor-pool stage: the pattern is compiled
+    ONCE per actor here in ``__init__`` (map_batches(BpeTokenCount,
+    concurrency=N)), the per-batch body is one vectorized
+    ``str.count`` pass.  Oracle:
+    ``length(regexp_extract_all(text, BPE_PATTERN))`` in DuckDB."""
+
+    def __init__(self, pattern: str = BPE_PATTERN):
+        import re
+
+        self.pat = re.compile(pattern)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tok": batch["text"].str.count(self.pat)
+            .fillna(0).astype("int64"),
+        })
 
 
 def char_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:

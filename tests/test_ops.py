@@ -425,3 +425,25 @@ def test_delta_truncation_raises():
     enc = delta.encode(v)
     with pytest.raises((ValueError, IndexError)):
         delta.decode(enc[:-100])
+
+
+def test_bpe_token_count_matches_duckdb(ray_session):
+    """BPE-ish regex token count: engine (compiled-once actor regex)
+    vs DuckDB regexp_extract_all, exact parity including edge texts."""
+    import duckdb
+    import pandas as pd
+
+    from parquet2_ray.stages.text import BPE_PATTERN, BpeTokenCount
+
+    texts = ["Hello world, it's 2026! I'll re-check  x42.", "",
+             "don't-stop; cost=$1,234.56...", "ünïcode straße 999",
+             "nbsp\xa0sep", "tabs\tand\nnewlines"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = BpeTokenCount()(df)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+        + BPE_PATTERN.replace("'", "''")
+        + "')) AS BIGINT) AS n_bpe_tok FROM documents ORDER BY doc_id").df()
+    assert got.sort_values("doc_id", ignore_index=True).equals(want)
