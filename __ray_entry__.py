@@ -372,6 +372,16 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(ds)
 
 
+def q_dup_tiles(sf_dir: str):
+    """Substring-level duplicate detection: md5-hashed 64-char tiles,
+    one groupby, tiles shared by ≥2 docs (the suffix-array
+    exact-substring-dedup scale path; see stages/dedup.duplicate_tiles)."""
+    from parquet2_ray.stages.dedup import duplicate_tiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicate_tiles(ds, tile=64)
+
+
 def q_token_count(sf_dir: str):
     from parquet2_ray.stages.text import token_count_batch
 
@@ -604,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_source_stats": q_group_source_stats,
         "q_filter_events": q_filter_events,
         "q_dedup_exact": q_dedup_exact,
+        "q_dup_tiles": q_dup_tiles,
         "q_token_count": q_token_count,
         "q_bpe_token_count": q_bpe_token_count,
         "q_char_stats": q_char_stats,
@@ -770,6 +781,15 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count": (
             "SELECT doc_id, length(list_filter(string_split_regex(text, '\\s+'), "
             "x -> x <> '')) AS n_ws_tok FROM documents"
+        ),
+        "q_dup_tiles": (
+            "WITH tiles AS (SELECT DISTINCT doc_id, "
+            "CAST(('0x' || substr(md5(substr(text, j, 64)), 1, 15)) AS BIGINT) "
+            "AS tile_hash FROM documents, "
+            "unnest(range(1, greatest(length(text) - 63, 0) + 1, 64)) AS u(j) "
+            "WHERE j + 63 <= length(text)) "
+            "SELECT tile_hash, count(*) AS n_docs FROM tiles "
+            "GROUP BY tile_hash HAVING count(*) >= 2"
         ),
         "q_bpe_token_count": (
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '"

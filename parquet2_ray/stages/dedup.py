@@ -30,6 +30,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_batch",
     "ngram_jaccard",
+    "char_shingles",
+    "verified_neardup_pairs",
+    "duplicate_tiles",
 ]
 
 
@@ -390,3 +393,55 @@ def verified_neardup_pairs(
     if out.num_rows == 0:
         return empty
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def duplicate_tiles(
+    ds: rd.Dataset,
+    tile: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Substring-level duplicate detection via non-overlapping tile
+    hashes — the scale-path stand-in for suffix-array exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): any shared substring of length ≥ 2·tile-1 implies
+    a shared aligned tile in at least one document, so tile collisions
+    across documents surface long verbatim overlaps at O(n/tile) rows
+    instead of O(n) suffixes.
+
+    Stages: map_batches explodes each doc into md5-hashed CHARACTER
+    tiles (full tiles only, de-duplicated within the doc), one
+    ``groupby(tile_hash)`` counts distinct documents, and tiles seen in
+    ≥2 documents are returned as (tile_hash, n_docs).  Only 16 B/tile
+    crosses the shuffle.  DuckDB-reproducible:
+    md5(substr(...)) over the same tiling.
+    """
+    import hashlib
+
+    def to_tiles(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        out_h: list = []
+        out_id: list = []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            t = t or ""
+            hs = {
+                # 60-bit hash (first 15 md5 hex digits): always fits a
+                # SIGNED int64, so pandas/SQL conversions can't overflow
+                from_bytes(md5(t[j:j + tile].encode()).digest()[:8], "big") >> 4
+                for j in range(0, len(t) - tile + 1, tile)
+            }  # set: a tile repeated WITHIN a doc counts once
+            out_h.extend(hs)
+            out_id.extend([i] * len(hs))
+        return pa.table({
+            "tile_hash": pa.array(out_h, type=pa.int64()),
+            id_col: pa.array(out_id),
+        })
+
+    from ray.data.aggregate import Count
+
+    counts = (ds.map_batches(to_tiles, batch_format="pyarrow")
+              .groupby("tile_hash")
+              .aggregate(Count(alias_name="n_docs")))
+    return counts.filter(expr="n_docs >= 2")

@@ -447,3 +447,23 @@ def test_bpe_token_count_matches_duckdb(ray_session):
         + BPE_PATTERN.replace("'", "''")
         + "')) AS BIGINT) AS n_bpe_tok FROM documents ORDER BY doc_id").df()
     assert got.sort_values("doc_id", ignore_index=True).equals(want)
+
+
+def test_duplicate_tiles(ray_session):
+    """Tile-hash substring dedup: docs sharing an aligned 8-char tile
+    collide; within-doc repeats count once; short docs contribute none."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.stages.dedup import duplicate_tiles
+
+    shared = "ABCDEFGH"  # one full tile at position 0
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [shared + "tailone!", shared + "tailtwo!",
+                 "unique#1" + "unique#1",  # same tile twice WITHIN one doc
+                 "short"],                  # < tile chars → no tiles
+    })
+    out = duplicate_tiles(rd.from_pandas(df), tile=8).to_pandas()
+    assert len(out) == 1          # only the cross-doc shared tile
+    assert out["n_docs"].tolist() == [2]
