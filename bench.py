@@ -65,7 +65,10 @@ TIMED_QUERIES = [
     "q_group_source_stats",
     "q_dedup_exact",
     "q_minhash_pairs",
+    "q_dup_tiles",
     "q_token_count",
+    "q_bpe_token_count",
+    "q_codec_bss",
     "q_ann_topk",
 ]
 
