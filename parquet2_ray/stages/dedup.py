@@ -179,17 +179,25 @@ def minhash_lsh_pairs(
     seed: int = 7,
     hasher: str = "fast",
     max_bucket: int | None = 1024,
+    nshards: int = 1024,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
 
     shingle→minhash→band→bucket (ray_guide.md near-dup recipe).
     Fully distributed (the round-1 version gathered the sketch table to
     the driver — VERDICT.md "What's wrong" #3): sketches explode to one
-    (bucket_key, doc_id, sig) row per band, a ``groupby(bucket_key)``
-    shuffle co-locates each bucket, pairs are generated and
-    signature-verified *inside* the group task, and a final tiny
-    groupby over (id_a, id_b) dedups pairs found in multiple bands.
-    Only O(rows × bands) sketch rows cross the exchange — never texts.
+    (bucket_key, doc_id, sig) row per band, ONE ``groupby`` shuffle
+    co-locates buckets, pairs are generated and signature-verified
+    *inside* the group task, and a final tiny groupby over
+    (id_a, id_b) dedups pairs found in multiple bands.  Only
+    O(rows × bands) sketch rows cross the exchange — never texts.
+
+    The shuffle groups by ``bkey % nshards`` rather than per bucket —
+    nearly every LSH bucket is a singleton, so per-bucket ``map_groups``
+    dies of Python-call overhead; the shard task pairs all its buckets
+    vectorized (see ``bucket_pairs.sharded_bucket_pairs``).  At
+    10^12-row scale raise ``nshards`` so one shard (~rows × bands /
+    nshards sketch rows) fits a worker heap.
 
     Buckets larger than ``max_bucket`` are truncated to their
     max_bucket smallest doc_ids (a heavy-duplicate bucket is quadratic
@@ -198,6 +206,8 @@ def minhash_lsh_pairs(
     band-equality self-join DuckDB computes — the default guard stays
     on for production paths.
     """
+    from .bucket_pairs import sharded_bucket_pairs
+
     rows_per_band = num_perm // bands
 
     def to_sketch(batch: pa.Table) -> pa.Table:
@@ -230,32 +240,38 @@ def minhash_lsh_pairs(
                       "id_b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
 
-    def pair_bucket(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m < 2:
-            return empty
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        if max_bucket:
-            order = order[:max_bucket]
-        ids = ids[order]
-        m = ids.size
-        sigs = np.asarray(group["sig"].combine_chunks().values).reshape(
-            group.num_rows, num_perm
-        )[order]
-        ii, jj = np.triu_indices(m, k=1)
-        est = (sigs[ii] == sigs[jj]).mean(axis=1)
-        keep = est >= threshold
-        if not keep.any():
+    def score_pairs(st: pa.Table, starts: np.ndarray, counts: np.ndarray) -> pa.Table:
+        ids = st[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.asarray(st["sig"].combine_chunks().values).reshape(
+            st.num_rows, num_perm
+        )
+        out_a: list = []
+        out_b: list = []
+        out_e: list = []
+        # per multi-member bucket (singletons never reach here): the
+        # c×c×num_perm equality tensor is bounded by max_bucket
+        for s, c in zip(starts.tolist(), counts.tolist()):
+            S = sigs[s : s + c]
+            est = (S[:, None, :] == S[None, :, :]).mean(axis=-1)
+            iu, ju = np.triu_indices(c, k=1)
+            e = est[iu, ju]
+            keep = e >= threshold
+            if keep.any():
+                bi = ids[s : s + c]
+                out_a.append(np.minimum(bi[iu[keep]], bi[ju[keep]]))
+                out_b.append(np.maximum(bi[iu[keep]], bi[ju[keep]]))
+                out_e.append(e[keep])
+        if not out_a:
             return empty
         return pa.table({
-            "id_a": pa.array(np.minimum(ids[ii[keep]], ids[jj[keep]]), type=pa.int64()),
-            "id_b": pa.array(np.maximum(ids[ii[keep]], ids[jj[keep]]), type=pa.int64()),
-            "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(out_e), type=pa.float64()),
         })
 
     exploded = ds.map_batches(to_sketch, batch_format="pyarrow")
-    pairs = exploded.groupby("bkey").map_groups(pair_bucket, batch_format="pyarrow")
+    pairs = sharded_bucket_pairs(exploded, score_pairs, empty, id_col=id_col,
+                                 nshards=nshards, max_bucket=max_bucket)
     # a pair found in several bands has identical est — keep one copy
     from ray.data.aggregate import Max
 

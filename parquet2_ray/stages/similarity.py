@@ -281,6 +281,7 @@ def neardup_pairs_bucketed(
     id_col: str = "vec_id",
     seed: int = 13,
     max_bucket: int = 4096,
+    nshards: int = 1024,
 ) -> rd.Dataset:
     """Corpus×corpus near-dup at scale — the distributed path VERDICT.md
     asked for (round-1 `neardup_pairs` broadcasts the full matrix and
@@ -288,8 +289,10 @@ def neardup_pairs_bucketed(
 
     Random-hyperplane LSH with ``n_tables`` independent tables: each
     vector explodes to one (bucket_key, id, normalized emb) row per
-    table, a single ``groupby(bucket_key)`` shuffle co-locates each
-    bucket, exact cosine runs pairwise *inside* the bucket task, and a
+    table, a single ``groupby(bkey % nshards)`` shuffle co-locates
+    buckets (shard-level grouping — per-bucket ``map_groups`` is
+    Python-call-bound, see ``bucket_pairs``), exact cosine runs
+    vectorized over within-bucket pairs *inside* the shard task, and a
     final tiny groupby dedups pairs found by several tables.  Shuffle
     volume is O(n_tables · N · d); compute is Σ bucket² ≪ N².  All
     reported similarities are EXACT (the hashing only decides which
@@ -345,31 +348,40 @@ def neardup_pairs_bucketed(
         "sim": pa.array([], pa.float64()),
     })
 
-    def pair_bucket(group: pa.Table) -> pa.Table:
-        m = group.num_rows
-        if m < 2:
-            return empty
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")[:max_bucket]
-        ids = ids[order]
-        m = ids.size
-        emb = np.asarray(
-            group["emb_n"].combine_chunks().values
-        ).reshape(group.num_rows, dim)[order]
-        sims = emb @ emb.T
-        ii, jj = np.triu_indices(m, k=1)
-        s = sims[ii, jj]
-        keep = s >= threshold
-        if not keep.any():
+    def score_pairs(st: pa.Table, starts: np.ndarray, counts: np.ndarray) -> pa.Table:
+        ids = st[id_col].to_numpy(zero_copy_only=False)
+        emb = np.asarray(st["emb_n"].combine_chunks().values).reshape(
+            st.num_rows, dim
+        )
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        # per-bucket BLAS gemm on a contiguous slice — ~100× faster
+        # than gathering per-pair rows (see bucket_pairs module doc)
+        for s, c in zip(starts.tolist(), counts.tolist()):
+            E = emb[s : s + c]
+            sims = E @ E.T
+            iu, ju = np.triu_indices(c, k=1)
+            sv = sims[iu, ju]
+            keep = sv >= threshold
+            if keep.any():
+                bi = ids[s : s + c]
+                out_a.append(np.minimum(bi[iu[keep]], bi[ju[keep]]))
+                out_b.append(np.maximum(bi[iu[keep]], bi[ju[keep]]))
+                out_s.append(sv[keep])
+        if not out_a:
             return empty
         return pa.table({
-            "a_id": pa.array(np.minimum(ids[ii[keep]], ids[jj[keep]]), type=pa.int64()),
-            "b_id": pa.array(np.maximum(ids[ii[keep]], ids[jj[keep]]), type=pa.int64()),
-            "sim": pa.array(s[keep], type=pa.float64()),
+            "a_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b_id": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
         })
 
+    from .bucket_pairs import sharded_bucket_pairs
+
     exploded = ds.map_batches(to_buckets, batch_format="pyarrow")
-    pairs = exploded.groupby("bkey").map_groups(pair_bucket, batch_format="pyarrow")
+    pairs = sharded_bucket_pairs(exploded, score_pairs, empty, id_col=id_col,
+                                 nshards=nshards, max_bucket=max_bucket)
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a_id", "b_id"]).aggregate(Max("sim", alias_name="sim"))

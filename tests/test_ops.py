@@ -467,3 +467,46 @@ def test_duplicate_tiles(ray_session):
     out = duplicate_tiles(rd.from_pandas(df), tile=8).to_pandas()
     assert len(out) == 1          # only the cross-doc shared tile
     assert out["n_docs"].tolist() == [2]
+
+
+def test_bucket_runs_truncation_and_edges():
+    import numpy as np
+
+    from parquet2_ray.stages.bucket_pairs import bucket_runs
+
+    # runs: [0,0,0], [1], [2,2], [3,3,3,3]
+    keys = np.array([0, 0, 0, 1, 2, 2, 3, 3, 3, 3], dtype=np.uint64)
+    starts, counts = bucket_runs(keys)
+    assert starts.tolist() == [0, 4, 6]
+    assert counts.tolist() == [3, 2, 4]
+    # max_bucket clips counts but keeps starts (sorted input => smallest ids)
+    starts, counts = bucket_runs(keys, max_bucket=2)
+    assert starts.tolist() == [0, 4, 6]
+    assert counts.tolist() == [2, 2, 2]
+    # singleton-only and tiny inputs
+    s, c = bucket_runs(np.array([7], dtype=np.uint64))
+    assert s.size == 0 and c.size == 0
+    s, c = bucket_runs(np.arange(5, dtype=np.uint64))
+    assert s.size == 0
+    s, c = bucket_runs(np.empty(0, dtype=np.uint64))
+    assert s.size == 0
+
+
+def test_minhash_pairs_invariant_to_nshards(ray_session):
+    import ray.data as rd
+
+    from parquet2_ray.stages.dedup import minhash_lsh_pairs
+
+    tbl = _docs_table()
+    for nshards in (1, 7, 4096):
+        ds = rd.from_arrow(tbl)
+        got = (
+            minhash_lsh_pairs(ds, threshold=0.9, nshards=nshards)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        if nshards == 1:
+            ref = got
+        else:
+            assert got.equals(ref)
