@@ -379,7 +379,7 @@ def q_dup_tiles(sf_dir: str):
     from parquet2_ray.stages.dedup import duplicate_tiles
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return duplicate_tiles(ds, tile=64)
+    return duplicate_tiles(ds, tile=64, hasher="md5")
 
 
 def q_token_count(sf_dir: str):

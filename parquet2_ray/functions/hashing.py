@@ -15,7 +15,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["hash_strings", "rolling_window_hashes", "md5_hex", "MERSENNE_P"]
+__all__ = ["hash_strings", "rolling_window_hashes", "window_hashes_at",
+           "md5_hex", "MERSENNE_P"]
 
 MERSENNE_P = (1 << 61) - 1
 _BASE = np.uint64(1099511628211)
@@ -41,9 +42,35 @@ def rolling_window_hashes(data: np.ndarray, k: int) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.uint64)
     w = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    with np.errstate(over="ignore"):  # wrap mod 2^64 is the ring
+        return w @ _powers(k)
+
+
+def _powers(k: int) -> np.ndarray:
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
-    with np.errstate(over="ignore"):  # wrap mod 2^64 is the ring
+    with np.errstate(over="ignore"):
         for i in range(1, k):
             powers[i] = powers[i - 1] * _BASE
-        return w @ powers
+    return powers
+
+
+def window_hashes_at(data: np.ndarray, pos: np.ndarray, k: int) -> np.ndarray:
+    """Hash of the k-byte window starting at each position in ``pos``
+    (same polynomial ring as ``rolling_window_hashes``), without
+    computing every sliding window — k× less work when windows are
+    sparse (e.g. non-overlapping tiles).  Positions must satisfy
+    ``pos + k <= len(data)``."""
+    if pos.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    powers = _powers(k)
+    out = np.empty(pos.size, dtype=np.uint64)
+    # chunked: the k-wide uint64 gather is 8k bytes per window — one
+    # bounded transient reused across chunks instead of an O(n·k) spike
+    step = 1 << 16
+    with np.errstate(over="ignore"):
+        for lo in range(0, pos.size, step):
+            p = pos[lo : lo + step]
+            w = data[p[:, None] + np.arange(k)].astype(np.uint64)
+            out[lo : lo + step] = w @ powers
+    return out

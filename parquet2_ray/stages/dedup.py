@@ -416,6 +416,7 @@ def duplicate_tiles(
     tile: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "fast",
 ) -> rd.Dataset:
     """Substring-level duplicate detection via non-overlapping tile
     hashes — the scale-path stand-in for suffix-array exact-substring
@@ -429,10 +430,56 @@ def duplicate_tiles(
     tiles (full tiles only, de-duplicated within the doc), one
     ``groupby(tile_hash)`` counts distinct documents, and tiles seen in
     ≥2 documents are returned as (tile_hash, n_docs).  Only 16 B/tile
-    crosses the shuffle.  DuckDB-reproducible:
-    md5(substr(...)) over the same tiling.
+    crosses the shuffle.
+
+    ``hasher="fast"`` (default, the production path) hashes BYTE tiles
+    with the vectorized polynomial ring — one gather + matmul per
+    batch, no per-row Python.  ``hasher="md5"`` hashes CHARACTER tiles
+    via per-tile md5, which DuckDB reproduces exactly
+    (md5(substr(...)) over the same tiling) — the SQL-oracle twin, same
+    pattern as minhash/simhash.  On pure-ASCII text the two tilings
+    coincide and both report the identical duplicated-tile structure.
     """
     import hashlib
+
+    from ..functions.hashing import window_hashes_at
+
+    def to_tiles_fast(batch: pa.Table) -> pa.Table:
+        arr = batch[text_col].combine_chunks().cast(pa.large_binary())
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+            if bufs[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        offsets = offsets - offsets[0]
+        lens = offsets[1:] - offsets[:-1]
+        ntiles = np.where(lens >= tile, (lens - tile) // tile + 1, 0)
+        total = int(ntiles.sum())
+        if total == 0:
+            return pa.table({
+                "tile_hash": pa.array([], pa.int64()),
+                id_col: batch[id_col].slice(0, 0),
+            })
+        doc_rep = np.repeat(np.arange(len(arr), dtype=np.int64), ntiles)
+        cum = np.concatenate([[0], np.cumsum(ntiles)[:-1]])
+        local = np.arange(total, dtype=np.int64) - cum[doc_rep]
+        pos = offsets[:-1][doc_rep] + local * tile
+        th = window_hashes_at(data, pos, tile)
+        # within-doc dedup: sort by (doc, hash), keep run heads
+        order = np.lexsort((th, doc_rep))
+        d, h = doc_rep[order], th[order]
+        keep = np.empty(total, dtype=bool)
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        # >>4 keeps the int64 non-negative, mirroring the md5 variant
+        return pa.table({
+            "tile_hash": pa.array((h[keep] >> np.uint64(4)).astype(np.int64)),
+            id_col: batch[id_col].combine_chunks().take(pa.array(d[keep])),
+        })
 
     def to_tiles(batch: pa.Table) -> pa.Table:
         md5 = hashlib.md5
@@ -457,7 +504,8 @@ def duplicate_tiles(
 
     from ray.data.aggregate import Count
 
-    counts = (ds.map_batches(to_tiles, batch_format="pyarrow")
+    tiler = to_tiles_fast if hasher == "fast" else to_tiles
+    counts = (ds.map_batches(tiler, batch_format="pyarrow")
               .groupby("tile_hash")
               .aggregate(Count(alias_name="n_docs")))
     return counts.filter(expr="n_docs >= 2")

@@ -510,3 +510,34 @@ def test_minhash_pairs_invariant_to_nshards(ray_session):
             ref = got
         else:
             assert got.equals(ref)
+
+
+def test_duplicate_tiles_fast_matches_md5_on_ascii(ray_session):
+    """On pure-ASCII text byte tiles == char tiles, so the fast
+    (rolling-ring) and md5 hashers must report the identical
+    duplicated-tile structure: same number of dup tiles, same n_docs
+    multiset, same doc coverage."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.stages.dedup import duplicate_tiles
+
+    rng = __import__("numpy").random.default_rng(3)
+    base = "".join(chr(rng.integers(32, 127)) for _ in range(400))
+    df = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [
+            base + "A" * 100,
+            base + "B" * 100,          # shares base's tiles with doc 0
+            "C" * 999,                  # self-repeating, unique to doc 2
+            "C" * 999,                  # exact dup of doc 2
+            base[13:][:64] * 3,         # UNaligned slice of base: no collision
+            "tiny",
+        ],
+    })
+    outs = {}
+    for h in ("fast", "md5"):
+        out = duplicate_tiles(rd.from_pandas(df), tile=64, hasher=h).to_pandas()
+        outs[h] = sorted(out["n_docs"].tolist())
+    assert outs["fast"] == outs["md5"]
+    assert len(outs["fast"]) > 0
