@@ -547,6 +547,17 @@ def q_embed_neardup_lsh(sf_dir: str):
     return neardup_pairs_bucketed(ds, threshold=0.45, n_planes=4, n_tables=16)
 
 
+def q_embed_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization of the embedding column
+    (4× storage cut for ANN at scale; see stages/quantize).  Bit-exact
+    SQL twin: scale = list_max(|x|)/127 and round-half-away in float64
+    on both sides."""
+    from parquet2_ray.stages.quantize import quantize_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
 def q_ann_lsh(sf_dir: str):
     from parquet2_ray.stages.similarity import lsh_bucketed_topk
 
@@ -621,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality": q_quality,
         "q_doc_md5": q_doc_md5,
         "q_embed_neardup": q_embed_neardup,
+        "q_embed_quantize": q_embed_quantize,
         "q_ann_topk": q_ann_topk,
         "q_image_meta": q_image_meta,
         "q_minhash_pairs": q_minhash_pairs,
@@ -769,6 +781,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        "q_embed_quantize": (
+            "SELECT vec_id, "
+            "CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127 END AS scale, "
+            "CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS TINYINT)) "
+            "ELSE list_transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) / (amax / 127)) AS TINYINT)) END AS q "
+            "FROM (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax "
+            "FROM embeddings)"
         ),
         "q_filter_events": (
             "SELECT event_id, event_type, value FROM events "

@@ -541,3 +541,43 @@ def test_duplicate_tiles_fast_matches_md5_on_ascii(ray_session):
         outs[h] = sorted(out["n_docs"].tolist())
     assert outs["fast"] == outs["md5"]
     assert len(outs["fast"]) > 0
+
+
+def test_quantize_embeddings_roundtrip_bound(ray_session):
+    from parquet2_ray.stages.quantize import (
+        dequantize_embeddings_batch,
+        quantize_embeddings,
+        quantize_embeddings_batch,
+    )
+
+    tbl, m = _emb_table(n=300, dim=24, seed=11)
+    q = quantize_embeddings(rd.from_arrow(tbl)).to_pandas().sort_values("vec_id")
+    assert len(q) == 300
+    scales = q["scale"].to_numpy()
+    qm = np.stack(q["q"].to_numpy())
+    # max element of every vector maps to ±127 exactly
+    assert (np.abs(qm).max(axis=1) == 127).all()
+    # reconstruction error bound: |x - q*s| <= s/2
+    recon = qm * scales[:, None]
+    err = np.abs(recon - m.astype(np.float64))
+    assert (err <= scales[:, None] / 2 + 1e-12).all()
+    # dequantize stage inverts to the same values
+    deq = dequantize_embeddings_batch(quantize_embeddings_batch(tbl))
+    back = np.stack(deq["embedding"].to_pandas().to_numpy())
+    # _emb_table ids are already 0..n-1, so row order matches recon
+    assert np.array_equal(back, recon)
+
+
+def test_quantize_zero_and_empty_vectors():
+    import pyarrow as pa
+
+    from parquet2_ray.stages.quantize import quantize_embeddings_batch
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([[0.0, 0.0], [], [1.0, -2.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    out = quantize_embeddings_batch(tbl)
+    assert out["scale"].to_pylist() == [0.0, 0.0, 2.0 / 127]
+    assert out["q"].to_pylist() == [[0, 0], [], [64, -127]]
