@@ -519,6 +519,17 @@ def q_ngram_dedup(sf_dir: str):
     return verified_neardup_pairs(ds, candidate_threshold=0.5, exact_threshold=0.5)
 
 
+def q_dedup_corpus(sf_dir: str):
+    """End-to-end dedup pipeline: exact content dedup (min-id keeper)
+    + verified near-dup anti-join, returning the surviving corpus —
+    run in the SQL-oracle configuration (md5 hasher, no bucket cap;
+    see pipelines/dedup_pipeline.dedup_corpus)."""
+    from parquet2_ray.pipelines.dedup_pipeline import dedup_corpus
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return dedup_corpus(ds, hasher="md5", max_bucket=None)
+
+
 def q_simhash(sf_dir: str):
     """SimHash with the md5 token hasher — bit-exactly reproducible in
     SQL (64 per-bit majority votes over token-hash bits), so the
@@ -639,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs_md5": q_minhash_pairs_md5,
         "q_ngram_dedup": q_ngram_dedup,
         "q_ngram_dedup_md5": q_ngram_dedup_md5,
+        "q_dedup_corpus": q_dedup_corpus,
         "q_simhash": q_simhash,
         "q_lang_id": q_lang_id,
         "q_embed_neardup_lsh": q_embed_neardup_lsh,
@@ -711,23 +723,39 @@ def oracle_sql() -> dict[str, str]:
     minhash_md5 = f"WITH {mh_ctes} SELECT id_a, id_b, est_jaccard FROM mh_pairs"
     # exact distinct-5-gram Jaccard over the md5-LSH candidate pairs:
     # |A∩B| from a shingle self-join, |A∪B| = |A|+|B|-|A∩B|
-    ngram_md5 = (
-        f"WITH {mh_ctes}, "
+    # verified near-dup pairs (exact distinct-5-gram Jaccard over the
+    # md5-LSH candidates: |A∩B| from a shingle self-join,
+    # |A∪B| = |A|+|B|-|A∩B|) as a reusable CTE chain — consumed by
+    # q_ngram_dedup_md5 directly and by q_dedup_corpus's anti-join
+    vp_ctes = (
+        f"{mh_ctes}, "
         "shd AS (SELECT DISTINCT doc_id, substr(text, j, 5) AS s "
         "FROM documents, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS u(j)), "
         "cnt AS (SELECT d.doc_id, count(s.s) AS n FROM documents d "
         "LEFT JOIN shd s ON d.doc_id = s.doc_id GROUP BY d.doc_id), "
         "inter AS (SELECT c.id_a, c.id_b, count(*) AS ni "
         "FROM mh_pairs c JOIN shd x ON x.doc_id = c.id_a "
-        "JOIN shd y ON y.doc_id = c.id_b AND y.s = x.s GROUP BY c.id_a, c.id_b) "
-        "SELECT id_a, id_b, jaccard FROM ("
+        "JOIN shd y ON y.doc_id = c.id_b AND y.s = x.s GROUP BY c.id_a, c.id_b), "
+        "vp AS (SELECT id_a, id_b, jaccard FROM ("
         "SELECT c.id_a, c.id_b, CASE WHEN ca.n + cb.n = 0 THEN 1.0 ELSE "
         "CAST(coalesce(i.ni, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.ni, 0)) "
         "END AS jaccard "
         "FROM mh_pairs c JOIN cnt ca ON ca.doc_id = c.id_a "
         "JOIN cnt cb ON cb.doc_id = c.id_b "
         "LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b"
-        ") WHERE jaccard >= 0.5"
+        ") WHERE jaccard >= 0.5)"
+    )
+    ngram_md5 = f"WITH {vp_ctes} SELECT id_a, id_b, jaccard FROM vp"
+    # end-to-end dedup: exact keepers (min id per text) minus the larger
+    # id of every verified near-dup pair — the full dedup_corpus pipeline
+    dedup_corpus_sql = (
+        f"WITH {vp_ctes}, "
+        "exact_rm AS (SELECT doc_id FROM ("
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper "
+        "FROM documents) WHERE doc_id <> keeper), "
+        "rm AS (SELECT doc_id FROM exact_rm UNION SELECT id_b AS doc_id FROM vp) "
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM rm)"
     )
     # 64 per-bit majority votes over md5-derived token-hash bits — the
     # exact SimHash definition, generated mechanically
@@ -747,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": simhash,
         "q_minhash_pairs_md5": minhash_md5,
         "q_ngram_dedup_md5": ngram_md5,
+        "q_dedup_corpus": dedup_corpus_sql,
         "q_roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_roundtrip_lineitem": "SELECT * FROM lineitem",
         "q_roundtrip_events": "SELECT * FROM events",

@@ -324,3 +324,56 @@ def test_pack_rg_items_mass_cap():
     # an oversized single row group still forms its own task
     t2 = _pack_rg_items([("a", [1000, 10])], 1, max_task_mass=100)
     assert [(p, rg) for t in t2 for p, rgs in t for rg in rgs] == [("a", 0), ("a", 1)]
+
+
+def test_exact_removal_ids(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.pipelines.dedup_pipeline import exact_removal_ids
+
+    df = pd.DataFrame({
+        "doc_id": [5, 1, 2, 3, 4],
+        "text": ["same", "same", "other", "same", "other"],
+    })
+    out = exact_removal_ids(rd.from_pandas(df)).to_pandas()
+    # keepers: 1 ("same"), 2 ("other") → removals 3, 5 ("same"), 4 ("other")
+    assert sorted(out["doc_id"].tolist()) == [3, 4, 5]
+
+
+def test_dedup_corpus_end_to_end(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.pipelines.dedup_pipeline import dedup_corpus
+
+    # disjoint per-doc vocabularies so unrelated docs share no shingles
+    texts = [" ".join(f"w{d:02d}x{w:02d}" for w in range(40)) for d in range(30)]
+    texts[20] = texts[0]                       # exact dup of 0
+    texts[21] = texts[1]                       # exact dup of 1
+    texts[22] = texts[2][:-7] + "ZZZZZZZ"      # near dup of 2
+    df = pd.DataFrame({"doc_id": list(range(30)), "text": texts})
+    for hasher, max_bucket in (("fast", 1024), ("md5", None)):
+        out = dedup_corpus(rd.from_pandas(df), hasher=hasher,
+                           max_bucket=max_bucket).to_pandas()
+        kept = set(out["doc_id"])
+        assert 20 not in kept and 21 not in kept      # exact dups removed
+        assert 22 not in kept                         # near dup removed
+        assert {0, 1, 2} <= kept                      # min-id keepers survive
+        # no survivor pair shares identical text
+        assert out["text"].nunique() == len(out)
+
+
+def test_dedup_corpus_near_false_keeps_near_dups(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.pipelines.dedup_pipeline import dedup_corpus
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d e f g h" * 4, "a b c d e f g h" * 4, "x y z w" * 8],
+    })
+    out = dedup_corpus(rd.from_pandas(df), near=False).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 2]
