@@ -390,14 +390,15 @@ def q_token_count(sf_dir: str):
 
 
 def q_bpe_token_count(sf_dir: str):
-    """GPT-2-style regex pre-tokenizer count — actor-pool stage (regex
-    compiled once per actor in __init__); pattern restricted to
-    constructs Python re and DuckDB RE2 interpret identically."""
-    from parquet2_ray.stages.text import BpeTokenCount
+    """GPT-2-style regex pre-tokenizer count — task-pool stage with the
+    pattern compiled once per worker process (regex compile is ~ms, so
+    the actor-pool twin BpeTokenCount is reserved for heavy state);
+    pattern restricted to constructs Python re and DuckDB RE2
+    interpret identically."""
+    from parquet2_ray.stages.text import bpe_token_count_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(BpeTokenCount, batch_format="pandas",
-                          concurrency=(1, 4))
+    return ds.map_batches(bpe_token_count_batch, batch_format="pandas")
 
 
 def q_char_stats(sf_dir: str):

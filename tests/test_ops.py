@@ -433,13 +433,15 @@ def test_bpe_token_count_matches_duckdb(ray_session):
     import duckdb
     import pandas as pd
 
-    from parquet2_ray.stages.text import BPE_PATTERN, BpeTokenCount
+    from parquet2_ray.stages.text import (BPE_PATTERN, BpeTokenCount,
+                                          bpe_token_count_batch)
 
     texts = ["Hello world, it's 2026! I'll re-check  x42.", "",
              "don't-stop; cost=$1,234.56...", "ünïcode straße 999",
              "nbsp\xa0sep", "tabs\tand\nnewlines"]
     df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     got = BpeTokenCount()(df)
+    assert bpe_token_count_batch(df).equals(got)  # task twin identical
     con = duckdb.connect()
     con.register("documents", df)
     want = con.execute(
