@@ -299,6 +299,48 @@ def q_parquet_interop(sf_dir: str):
     return rd.read_parquet(pq_dir)
 
 
+def q_decode_projection(sf_dir: str):
+    """Column projection at container decode (reference S7 /
+    ColumnIterator, src/read/column/mod.rs:22-205): only the named
+    column chunks are pread from disk and decoded — a 2-column consumer
+    never pays IO/decode for the text column."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+
+    out = _out_dir(sf_dir, "documents")
+    encode_dataset(
+        f"{sf_dir}/documents.parquet", out,
+        EncodeOptions(group_col="source", weight_col="n_chars",
+                      sort_key="doc_id", target_weight=2_000_000,
+                      target_rows=100_000),
+    )
+    return decode_dataset(out, columns=["doc_id", "lang", "n_chars"])
+
+
+def q_decode_projected_range(sf_dir: str):
+    """Projection composed with range pushdown: the range key (doc_id)
+    is decoded only for the exact filter and dropped from the result —
+    page-index pruning + S7 projection in one read."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+
+    out = _out_dir(sf_dir, "documents")
+    encode_dataset(
+        f"{sf_dir}/documents.parquet", out,
+        EncodeOptions(group_col="source", weight_col="n_chars",
+                      sort_key="doc_id", target_weight=2_000_000,
+                      target_rows=100_000),
+    )
+    return decode_dataset(out, key_range=("doc_id", 100, 300),
+                          columns=["lang", "source", "n_chars"])
+
+
 def q_stats_lineitem(sf_dir: str):
     """Per-column min/max/null_count via per-batch profile + driver fold
     (the reference's statistics reduce — SURVEY.md A1/A2)."""
@@ -633,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_codec_bss": q_codec_bss,
         "q_codec_decimal": q_codec_decimal,
         "q_parquet_interop": q_parquet_interop,
+        "q_decode_projection": q_decode_projection,
+        "q_decode_projected_range": q_decode_projected_range,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
         "q_filter_events": q_filter_events,
@@ -787,6 +831,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_roundtrip_flba": "SELECT doc_id, md5(text) AS fp, lang FROM documents",
         "q_parquet_interop": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "q_decode_projection": "SELECT doc_id, lang, n_chars FROM documents",
+        "q_decode_projected_range": (
+            "SELECT lang, source, n_chars FROM documents "
+            "WHERE doc_id BETWEEN 100 AND 300"),
         "q_codec_dict_int": "SELECT l_suppkey FROM lineitem",
         "q_codec_for_bitpack": "SELECT l_linenumber FROM lineitem",
         "q_codec_delta": "SELECT l_orderkey FROM lineitem",

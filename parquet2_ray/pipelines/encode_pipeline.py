@@ -783,7 +783,8 @@ def prune_partitions_by_range(out_dir: str, column: str,
 
 
 def decode_dataset(out_dir: str, key_values=None,
-                   key_range: tuple | None = None) -> rd.Dataset:
+                   key_range: tuple | None = None,
+                   columns: list[str] | None = None) -> rd.Dataset:
     """Stream decoded partitions back as a Ray Dataset.
 
     ``key_values``: optional iterable of key-column values — partitions
@@ -794,7 +795,12 @@ def decode_dataset(out_dir: str, key_values=None,
     by their recorded min/max, and inside each surviving PAGED partition
     only the row-blocks whose page index overlaps [lo,hi] are read and
     decoded (rows are then exactly filtered to the range).  Either bound
-    may be None (open interval)."""
+    may be None (open interval).
+
+    ``columns``: optional projection — only the named column chunks are
+    read from disk and decoded (reference S7 / ColumnIterator,
+    src/read/column/mod.rs:22-205).  At 100 TB a 2-column consumer of a
+    20-column table must not pay for 18 columns of IO + decode."""
     if key_values is not None:
         paths = prune_partitions(out_dir, key_values)
     elif key_range is not None:
@@ -807,10 +813,16 @@ def decode_dataset(out_dir: str, key_values=None,
 
     if key_range is not None:
         kcol, lo, hi = key_range
+        # the exact row filter needs the key column decoded even when
+        # the projection omits it — decode the union, drop it after
+        read_cols = columns
+        if columns is not None and kcol not in columns:
+            read_cols = list(columns) + [kcol]
 
         def _decode_range(batch: pa.Table):
             for p in batch["path"]:
-                t = decode_partition_path(p.as_py(), kcol, lo, hi)
+                t = decode_partition_path(p.as_py(), kcol, lo, hi,
+                                          columns=read_cols)
                 # exact filter on top of block-granular pruning
                 m = None
                 if lo is not None:
@@ -818,7 +830,11 @@ def decode_dataset(out_dir: str, key_values=None,
                 if hi is not None:
                     m2 = pc.less_equal(t[kcol], hi)
                     m = m2 if m is None else pc.and_(m, m2)
-                yield t.filter(m) if m is not None else t
+                if m is not None:
+                    t = t.filter(m)
+                if columns is not None and kcol not in columns:
+                    t = t.drop_columns([kcol])
+                yield t
 
         return rd.from_items([{"path": p} for p in paths]).map_batches(
             _decode_range, batch_format="pyarrow", batch_size=1
@@ -826,7 +842,7 @@ def decode_dataset(out_dir: str, key_values=None,
 
     def _decode_gen(batch: pa.Table):
         for p in batch["path"]:
-            yield decode_partition_path(p.as_py())
+            yield decode_partition_path(p.as_py(), columns=columns)
 
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         _decode_gen, batch_format="pyarrow", batch_size=1

@@ -202,6 +202,7 @@ def _record_table(rec: dict) -> pa.Table:
 
 def decode_partition_path(
     path: str, key_col: str | None = None, lo=None, hi=None,
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Read + decode one container file back to a pyarrow Table.
 
@@ -209,14 +210,22 @@ def decode_partition_path(
     row-blocks whose page index overlaps the range (sub-partition
     predicate pushdown — reference indexed_reader.rs:25-209); a
     single-block container decodes fully (the predicate is re-applied
-    upstream by the caller in either case)."""
-    footer, block_cols, _ = mf.read_partition_blocks(path, key_col, lo, hi)
+    upstream by the caller in either case).
+
+    With ``columns``, only those column chunks are read from disk and
+    decoded (column projection — reference ColumnIterator,
+    src/read/column/mod.rs:22-205)."""
+    footer, block_cols, _ = mf.read_partition_blocks(
+        path, key_col, lo, hi, columns=columns)
     tables = []
     for cols in block_cols:
         arrays = [col_mod.decode_array(c) for c in cols]
         tables.append(pa.table({c.name: a for c, a in zip(cols, arrays)}))
     if not tables:  # every block pruned — empty table, schema from footer meta
         proto = footer["blocks"][0]["columns"]
+        if columns is not None:
+            want = set(columns)
+            proto = [m for m in proto if m["name"] in want]
         return pa.table({m["name"]: pa.nulls(0, col_mod.str_to_type(m["arrow_type"]))
                          for m in proto})
     return pa.concat_tables(tables) if len(tables) > 1 else tables[0]

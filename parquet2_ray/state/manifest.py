@@ -259,12 +259,31 @@ def block_overlaps(block_meta: dict, column: str, lo=None, hi=None) -> bool:
     return True
 
 
+def _project_meta(col_meta: list[dict], columns) -> list[dict]:
+    """Column projection over a block's footer entries (reference S7,
+    /root/reference/src/read/column/mod.rs:22-205 — column-chunk-at-a-
+    time iteration).  Preserves footer order; unknown names raise so a
+    typo can't silently return fewer columns."""
+    if columns is None:
+        return col_meta
+    names = {m["name"] for m in col_meta}
+    missing = [c for c in columns if c not in names]
+    if missing:
+        raise KeyError(f"container has no column(s) {missing}; "
+                       f"available: {sorted(names)}")
+    want = set(columns)
+    return [m for m in col_meta if m["name"] in want]
+
+
 def read_partition_blocks(
     path: str, column: str | None = None, lo=None, hi=None,
+    columns: list[str] | None = None,
 ) -> tuple[dict, list[list[EncodedColumn]], int]:
     """Read a paged container, decoding ONLY the row-blocks whose page
-    index overlaps [lo,hi] on ``column`` (all blocks when no predicate).
-    Byte-ranges of skipped blocks are never read from disk
+    index overlaps [lo,hi] on ``column`` (all blocks when no predicate)
+    and ONLY the chunks named in ``columns`` (all when None).
+    Byte-ranges of skipped blocks and non-projected columns are never
+    read from disk
     (/root/reference/src/read/page/indexed_reader.rs:25-209).
     Returns (footer, per-block column lists, data_bytes_read) —
     ``data_bytes_read`` counts COLUMN PAYLOAD bytes only (the footer is
@@ -279,27 +298,25 @@ def read_partition_blocks(
         f.seek(size - 8 - flen)
         footer = json.loads(f.read(flen))
         bytes_read = 0
+
+        def pread(o, s):
+            f.seek(o)
+            return f.read(s)
+
         if not footer.get("paged"):
             # single-block container: treat as one all-covering block
-            body_len = size - 8 - flen
-            f.seek(0)
-            blob = f.read(body_len)
-            bytes_read += body_len
-            cols = _cols_from_meta(footer["columns"],
-                                   lambda o, s: blob[o : o + s])
+            meta = _project_meta(footer["columns"], columns)
+            cols = _cols_from_meta(meta, pread)
+            bytes_read += sum(m["size"] for m in meta)
             return footer, [cols], bytes_read
 
         out = []
         for bm in footer["blocks"]:
             if column is not None and not block_overlaps(bm, column, lo, hi):
                 continue
-
-            def pread(o, s):
-                f.seek(o)
-                return f.read(s)
-
-            out.append(_cols_from_meta(bm["columns"], pread))
-            bytes_read += sum(m["size"] for m in bm["columns"])
+            meta = _project_meta(bm["columns"], columns)
+            out.append(_cols_from_meta(meta, pread))
+            bytes_read += sum(m["size"] for m in meta)
     return footer, out, bytes_read
 
 

@@ -124,3 +124,69 @@ def test_decode_dataset_key_range(ray_session, tmp_path):
     got = got.sort_values("doc_id").reset_index(drop=True)
     assert list(got["doc_id"]) == list(range(777, 800))
     assert set(got.columns) == {"doc_id", "n_tok", "source"}
+
+
+# ---- column projection at decode (reference S7 / ColumnIterator,
+# /root/reference/src/read/column/mod.rs:22-205) ----
+
+def test_projection_reads_only_selected_bytes(paged_dir):
+    out, tbl = paged_dir
+    path = os.path.join(out, "part-p0.bin")
+    _, _, full_bytes = mf.read_partition_blocks(path)
+    _, blocks, proj_bytes = mf.read_partition_blocks(path, columns=["doc_id"])
+    assert proj_bytes < 0.5 * full_bytes  # tag strings dominate the file
+    dec = decode_partition_path(path, columns=["doc_id"])
+    assert dec.equals(tbl.select(["doc_id"]))
+
+
+def test_projection_composes_with_range(paged_dir):
+    out, tbl = paged_dir
+    path = os.path.join(out, "part-p0.bin")
+    dec = decode_partition_path(path, "doc_id", 5_000, 9_000,
+                                columns=["val"])
+    assert dec.column_names == ["val"]
+    # block-granular: at least the 4001 in-range rows, none beyond blocks
+    assert 4_001 <= dec.num_rows <= 4_001 + 2 * 1024
+
+
+def test_projection_unknown_column_raises(paged_dir):
+    out, _ = paged_dir
+    path = os.path.join(out, "part-p0.bin")
+    with pytest.raises(KeyError, match="nope"):
+        decode_partition_path(path, columns=["nope"])
+
+
+def test_projection_all_pruned_keeps_projected_schema(paged_dir):
+    out, _ = paged_dir
+    path = os.path.join(out, "part-p0.bin")
+    dec = decode_partition_path(path, "doc_id", 10_000_000, 20_000_000,
+                                columns=["val"])
+    assert dec.num_rows == 0
+    assert dec.column_names == ["val"]
+
+
+def test_decode_dataset_projection(ray_session, tmp_path):
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions, decode_dataset, encode_dataset)
+    import ray.data as rd
+
+    n = 10_000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "n_tok": pa.array(np.full(n, 10, dtype=np.int64)),
+        "source": pa.array([f"s{int(i) % 3}" for i in range(n)]),
+    })
+    out = str(tmp_path / "dsproj")
+    encode_dataset(rd.from_arrow(tbl), out,
+                   EncodeOptions(group_col="source", weight_col="n_tok",
+                                 sort_key="doc_id", target_weight=30_000,
+                                 rows_per_block=512))
+    got = decode_dataset(out, columns=["doc_id", "source"]).to_pandas()
+    assert set(got.columns) == {"doc_id", "source"}
+    assert len(got) == n
+    # key_range whose key column is NOT in the projection: decoded for
+    # the exact filter, dropped from the result
+    got = decode_dataset(out, key_range=("doc_id", 100, 149),
+                         columns=["source"]).to_pandas()
+    assert list(got.columns) == ["source"]
+    assert len(got) == 50
