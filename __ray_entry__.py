@@ -341,6 +341,38 @@ def q_decode_projected_range(sf_dir: str):
                           columns=["lang", "source", "n_chars"])
 
 
+def q_window_tumbling(sf_dir: str):
+    """Tumbling-window aggregate over the events stream (daily windows
+    keyed by event_type).  Partial aggregation happens per block before
+    the groupby exchange — only O(windows × types) rows shuffle."""
+    import pyarrow.compute as pc
+
+    from parquet2_ray.stages.window import tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    out = tumbling_window(ds, ts_col="ts", every_s=86_400,
+                          keys=("event_type",), value_col="value")
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("sum_value"), "sum_value",
+                            pc.round(b["sum_value"], ndigits=4))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows per user (6 h inactivity gap): ONE
+    shuffle on user%nshards, then a vectorized lexsort+diff inside each
+    shard sessionizes every user at once."""
+    from parquet2_ray.stages.window import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    return sessionize(ds, ts_col="ts", user_col="user_id",
+                      gap_s=21_600, nshards=64)
+
+
 def q_stats_lineitem(sf_dir: str):
     """Per-column min/max/null_count via per-batch profile + driver fold
     (the reference's statistics reduce — SURVEY.md A1/A2)."""
@@ -677,6 +709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_parquet_interop": q_parquet_interop,
         "q_decode_projection": q_decode_projection,
         "q_decode_projected_range": q_decode_projected_range,
+        "q_window_tumbling": q_window_tumbling,
+        "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
         "q_filter_events": q_filter_events,
@@ -849,6 +883,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(l_orderkey AS DECIMAL(21,2)) AS DOUBLE) AS price "
             "FROM lineitem"
         ),
+        "q_window_tumbling": (
+            "SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start, "
+            "event_type, count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value, "
+            "MIN(value) AS min_value, MAX(value) AS max_value "
+            "FROM events GROUP BY 1, 2"),
+        "q_sessionize": (
+            "WITH d AS ("
+            "  SELECT user_id, ts,"
+            "         CASE WHEN lag(ts) OVER w IS NULL"
+            "                OR ts - lag(ts) OVER w > INTERVAL 21600 SECONDS"
+            "              THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), s AS ("
+            "  SELECT user_id, ts,"
+            "         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+            "                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id"
+            "  FROM d) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s, "
+            "CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s, "
+            "count(*) AS n_events "
+            "FROM s GROUP BY user_id, session_id"),
         "q_stats_lineitem": stats_union,
         "q_group_source_stats": (
             "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

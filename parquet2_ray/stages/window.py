@@ -1,0 +1,166 @@
+"""Windowed aggregates over event streams — tumbling windows and
+session windows (gap-based sessionization).
+
+The reference is a codec library and has no notion of time (SURVEY.md
+§2.7: "no windows/watermarks exist in the reference"); these are the
+training-data-pipeline operators a 100 TB event log needs, built
+Ray-Data-first:
+
+* ``tumbling_window``: the window id is a pure per-row function of the
+  timestamp, so it's ONE ``map_batches`` (vectorized bucket arithmetic)
+  followed by Ray Data's native ``groupby().aggregate`` — partial
+  aggregation happens inside each block before the exchange, so only
+  O(windows × keys) rows cross the shuffle, never events.
+
+* ``sessionize``: sessions need every event of a user on one task.  We
+  shuffle ONCE on ``hash(user) % nshards`` (not per-user ``map_groups``
+  — a web-scale log has 10^9 users and per-group Python calls die of
+  overhead; same shard-grouping pattern as ``bucket_pairs``).  Inside a
+  shard task, a single lexsort over (user, ts) + ``np.diff`` boundary
+  scan sessionizes every user in the shard vectorized.  Per-shard
+  memory is O(events/nshards) — raise ``nshards`` with corpus size.
+
+Timestamps are compared as int64 microseconds (Arrow's physical
+representation — zero-copy view, no datetime objects in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = ["tumbling_window", "sessionize"]
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Zero-copy int64 view of a timestamp column in microseconds."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            col = col.cast(pa.timestamp("us"))
+        return col.view(pa.int64())
+    return col.cast(pa.int64())
+
+
+def tumbling_window(
+    ds: rd.Dataset,
+    ts_col: str = "ts",
+    every_s: int = 86_400,
+    keys: tuple[str, ...] = (),
+    value_col: str | None = None,
+) -> rd.Dataset:
+    """Fixed-size (tumbling) window aggregate.
+
+    Emits one row per (window_start, *keys) with ``n_events`` and, when
+    ``value_col`` is given, ``sum_value``/``min_value``/``max_value``.
+    ``window_start`` is the bucket's start as int64 epoch SECONDS
+    (floor-aligned to the epoch), so results are engine-portable —
+    no timezone or timestamp-unit ambiguity crosses the API.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    every_us = np.int64(every_s) * 1_000_000
+    cols = [ts_col, *keys] + ([value_col] if value_col else [])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        us = _ts_us(b[ts_col]).to_numpy(zero_copy_only=False)
+        # numpy // floors toward -inf: pre-1970 timestamps bucket left
+        ws = (us // every_us) * np.int64(every_s)
+        out = {"window_start": pa.array(ws, type=pa.int64())}
+        for k in keys:
+            out[k] = b[k]
+        if value_col:
+            out[value_col] = b[value_col]
+        return pa.table(out)
+
+    aggs = [Count(alias_name="n_events")]
+    if value_col:
+        aggs += [Sum(value_col, alias_name="sum_value"),
+                 Min(value_col, alias_name="min_value"),
+                 Max(value_col, alias_name="max_value")]
+    proj = ds.select_columns(cols) if set(cols) != set(ds.columns()) else ds
+    return (proj.map_batches(bucket, batch_format="pyarrow")
+                .groupby(["window_start", *keys])
+                .aggregate(*aggs))
+
+
+class _SessionizeShard:
+    """Sessionize every user inside one shard, fully vectorized."""
+
+    def __init__(self, ts_col, user_col, gap_us):
+        self.ts_col, self.user_col, self.gap_us = ts_col, user_col, gap_us
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "user_id": pa.nulls(0, pa.int64()),
+                "session_id": pa.nulls(0, pa.int64()),
+                "session_start_s": pa.nulls(0, pa.int64()),
+                "session_end_s": pa.nulls(0, pa.int64()),
+                "n_events": pa.nulls(0, pa.int64()),
+            })
+        users = group[self.user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = _ts_us(group[self.ts_col]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, users))
+        u, t = users[order], ts[order]
+        # new session at: first row of a user, or gap exceeded
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_user[1:])
+        gap = np.empty(len(u), dtype=bool)
+        gap[0] = True
+        np.greater(t[1:] - t[:-1], self.gap_us, out=gap[1:])
+        new_sess = new_user | gap
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(u)]               # exclusive
+        # per-user session_id restarts at 0: subtract from each
+        # session's global index the index of its user's first session
+        sess_idx = np.arange(len(starts))
+        user_first = new_user[starts]                  # session starts a user
+        user_of_sess = np.cumsum(user_first) - 1
+        session_id = sess_idx - sess_idx[user_first][user_of_sess]
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "session_id": pa.array(session_id, type=pa.int64()),
+            "session_start_s": pa.array(t[starts] // 1_000_000, type=pa.int64()),
+            "session_end_s": pa.array(t[ends - 1] // 1_000_000, type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+        })
+
+
+def sessionize(
+    ds: rd.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_s: int = 1_800,
+    nshards: int = 256,
+) -> rd.Dataset:
+    """Session windows: consecutive events of a user belong to one
+    session while the inter-event gap is ≤ ``gap_s`` seconds.
+
+    One groupby shuffle on ``user % nshards`` co-locates each user's
+    events; the shard task sessionizes all its users in one lexsort
+    (ties in ts are session-order-insensitive: a zero gap never splits).
+    Output: (user_id, session_id, session_start_s, session_end_s,
+    n_events), session_id dense per user starting at 0.
+    """
+    gap_us = np.int64(gap_s) * 1_000_000
+
+    def shard(b: pa.Table) -> pa.Table:
+        uid = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        s = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(33)) % np.uint64(nshards)
+        return b.append_column("_shard", pa.array(s.astype(np.int64)))
+
+    fn = _SessionizeShard(ts_col, user_col, gap_us)
+
+    def run(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns(["_shard"]))
+
+    return (ds.select_columns([ts_col, user_col])
+              .map_batches(shard, batch_format="pyarrow")
+              .groupby("_shard")
+              .map_groups(run, batch_format="pyarrow"))

@@ -1,0 +1,126 @@
+"""Windowed aggregates: tumbling windows + gap sessionization.
+
+The reference has no time semantics (SURVEY.md §2.7); these operators
+are the training-pipeline additions, so the tests are golden-vector
+style: tiny hand-computed inputs plus a polars cross-check on a larger
+random stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parquet2_ray.stages.window import _SessionizeShard, sessionize, tumbling_window
+
+
+def _ts(*seconds):
+    return pa.array(np.array(seconds, dtype=np.int64) * 1_000_000,
+                    type=pa.int64()).cast(pa.timestamp("us"))
+
+
+def test_sessionize_shard_golden():
+    # user 7: events at t=0, 10, 2000 (gap 1000 → two sessions)
+    # user 9: single event
+    tbl = pa.table({
+        "user_id": pa.array([7, 7, 7, 9], type=pa.int64()),
+        "ts": _ts(0, 10, 2000, 5),
+    })
+    out = _SessionizeShard("ts", "user_id", 1000 * 1_000_000)(tbl)
+    got = out.sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+    assert got["user_id"].to_pylist() == [7, 7, 9]
+    assert got["session_id"].to_pylist() == [0, 1, 0]
+    assert got["session_start_s"].to_pylist() == [0, 2000, 5]
+    assert got["session_end_s"].to_pylist() == [10, 2000, 5]
+    assert got["n_events"].to_pylist() == [3 - 1, 1, 1]
+
+
+def test_sessionize_gap_boundary_inclusive():
+    # diff == gap stays in the SAME session (strictly-greater splits)
+    tbl = pa.table({
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": _ts(0, 100),
+    })
+    out = _SessionizeShard("ts", "user_id", 100 * 1_000_000)(tbl)
+    assert out.num_rows == 1
+    assert out["n_events"][0].as_py() == 2
+
+
+def test_sessionize_unsorted_input_and_ties():
+    tbl = pa.table({
+        "user_id": pa.array([2, 1, 2, 1], type=pa.int64()),
+        "ts": _ts(50, 0, 50, 1),  # user 2 has tied timestamps
+    })
+    out = _SessionizeShard("ts", "user_id", 10 * 1_000_000)(tbl)
+    got = out.sort_by("user_id")
+    assert got["user_id"].to_pylist() == [1, 2]
+    assert got["n_events"].to_pylist() == [2, 2]
+
+
+def test_sessionize_empty_group_keeps_schema():
+    tbl = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                    "ts": pa.nulls(0, pa.timestamp("us"))})
+    out = _SessionizeShard("ts", "user_id", 1)(tbl)
+    assert out.num_rows == 0
+    assert out.column_names == ["user_id", "session_id", "session_start_s",
+                                "session_end_s", "n_events"]
+
+
+def test_sessionize_dataset_matches_polars(ray_session):
+    import polars as pl
+
+    rng = np.random.default_rng(11)
+    n, users, gap_s = 4000, 37, 600
+    uid = rng.integers(0, users, n).astype(np.int64)
+    ts_s = rng.integers(0, 3_000_000, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(uid),
+                                 "ts": _ts(*ts_s.tolist())}))
+    got = (sessionize(ds, gap_s=gap_s, nshards=16).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+
+    # polars reference: sort, diff per user, cumsum of gap breaks
+    df = pl.DataFrame({"user_id": uid, "ts": ts_s}).sort(["user_id", "ts"])
+    df = df.with_columns(
+        ((pl.col("ts").diff().over("user_id") > gap_s)
+         .fill_null(False).cum_sum().over("user_id")).alias("session_id"))
+    ref = (df.group_by(["user_id", "session_id"])
+             .agg(pl.col("ts").min().alias("session_start_s"),
+                  pl.col("ts").max().alias("session_end_s"),
+                  pl.len().alias("n_events"))
+             .sort(["user_id", "session_id"]).to_pandas())
+    assert len(got) == len(ref)
+    for c in ["user_id", "session_id", "session_start_s",
+              "session_end_s", "n_events"]:
+        assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+def test_tumbling_window_golden(ray_session):
+    tbl = pa.table({
+        "ts": _ts(10, 3599, 3600, 7200),
+        "k": ["a", "a", "a", "b"],
+        "v": pa.array([1.0, 2.0, 4.0, 8.0]),
+    })
+    out = (tumbling_window(rd.from_arrow(tbl), ts_col="ts", every_s=3600,
+                           keys=("k",), value_col="v")
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out["window_start"].tolist() == [0, 3600, 7200]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
+    assert out["min_value"].tolist() == [1.0, 4.0, 8.0]
+    assert out["max_value"].tolist() == [2.0, 4.0, 8.0]
+
+
+def test_tumbling_window_pre_epoch_floors_left(ray_session):
+    tbl = pa.table({"ts": _ts(-1, 0), "v": pa.array([1.0, 1.0])})
+    out = (tumbling_window(rd.from_arrow(tbl), every_s=60, value_col="v")
+           .to_pandas().sort_values("window_start"))
+    assert out["window_start"].tolist() == [-60, 0]
+
+
+def test_tumbling_window_count_only(ray_session):
+    tbl = pa.table({"ts": _ts(0, 1, 61)})
+    out = tumbling_window(rd.from_arrow(tbl), every_s=60).to_pandas()
+    assert sorted(out["n_events"].tolist()) == [1, 2]
+    assert set(out.columns) == {"window_start", "n_events"}
