@@ -341,6 +341,15 @@ def q_decode_projected_range(sf_dir: str):
                           columns=["lang", "source", "n_chars"])
 
 
+def q_top_tokens(sf_dir: str):
+    """Exact global top-50 tokens by frequency: per-batch partial
+    value_counts (combiner), vocab-sized groupby sum, total-order sort."""
+    from parquet2_ray.stages.text import top_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens(ds, k=50)
+
+
 def q_window_tumbling(sf_dir: str):
     """Tumbling-window aggregate over the events stream (daily windows
     keyed by event_type).  Partial aggregation happens per block before
@@ -709,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_parquet_interop": q_parquet_interop,
         "q_decode_projection": q_decode_projection,
         "q_decode_projected_range": q_decode_projected_range,
+        "q_top_tokens": q_top_tokens,
         "q_window_tumbling": q_window_tumbling,
         "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
@@ -883,6 +893,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(l_orderkey AS DECIMAL(21,2)) AS DOUBLE) AS price "
             "FROM lineitem"
         ),
+        "q_top_tokens": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50"),
         "q_window_tumbling": (
             "SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start, "
             "event_type, count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value, "

@@ -22,6 +22,8 @@ __all__ = [
     "BpeTokenCount",
     "bpe_token_count_batch",
     "BPE_PATTERN",
+    "token_count_partials",
+    "top_tokens",
 ]
 
 
@@ -173,3 +175,38 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
             ),
         }
     )
+
+
+def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial token counts — the combiner half of the global
+    top-k heavy-hitters pipeline.  One vectorized split + value_counts
+    per batch, so only O(distinct tokens in batch) rows reach the
+    groupby exchange, never one row per token occurrence (the classic
+    pre-aggregate-before-shuffle rule for a 100 TB corpus)."""
+    import pyarrow.compute as pc
+
+    toks = pc.list_flatten(pc.split_pattern(batch[text_col], pattern=" "))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    vc = toks.value_counts()
+    if isinstance(vc, pa.ChunkedArray):
+        vc = vc.combine_chunks()
+    return pa.table({"token": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
+def top_tokens(ds, k: int = 50, text_col: str = "text"):
+    """EXACT global top-k tokens by frequency: per-batch partial counts
+    → ``groupby(token).sum`` (vocab-sized, not corpus-sized) → total-
+    order sort (count desc, token asc — ties can't make the cut
+    nondeterministic) → limit k.  The post-agg sort touches only
+    O(vocab) rows; no per-batch top-M pruning because a token can be
+    sub-threshold in every batch yet top-k globally."""
+    from ray.data.aggregate import Sum
+
+    return (ds.select_columns([text_col])
+              .map_batches(lambda b: token_count_partials(b, text_col),
+                           batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("n", alias_name="n"))
+              .sort(["n", "token"], descending=[True, False])
+              .limit(k))

@@ -124,3 +124,21 @@ def test_tumbling_window_count_only(ray_session):
     out = tumbling_window(rd.from_arrow(tbl), every_s=60).to_pandas()
     assert sorted(out["n_events"].tolist()) == [1, 2]
     assert set(out.columns) == {"window_start", "n_events"}
+
+
+def test_top_tokens_exact(ray_session):
+    from parquet2_ray.stages.text import top_tokens
+
+    tbl = pa.table({"text": ["a b b", "b  c", "a", ""]})
+    out = top_tokens(rd.from_arrow(tbl), k=2).to_pandas()
+    # b:3, a:2 (double space yields an empty token, filtered)
+    assert out["token"].tolist() == ["b", "a"]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_top_tokens_tie_break_is_total_order(ray_session):
+    from parquet2_ray.stages.text import top_tokens
+
+    tbl = pa.table({"text": ["z y x", "x y z"]})
+    out = top_tokens(rd.from_arrow(tbl), k=2).to_pandas()
+    assert out["token"].tolist() == ["x", "y"]  # all n=2, token asc
