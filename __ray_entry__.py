@@ -341,6 +341,39 @@ def q_decode_projected_range(sf_dir: str):
                           columns=["lang", "source", "n_chars"])
 
 
+def q_asof_join(sf_dir: str):
+    """Backward as-of join (purchase → latest prior click of the same
+    user): one co-partitioning exchange on hash(user)%nshards, then a
+    single pd.merge_asof per shard.  DuckDB ASOF JOIN is the oracle."""
+    from parquet2_ray.stages.joins import asof_join
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    ev = f"{sf_dir}/events.parquet"
+    purch = (rd.read_parquet(ev).filter(expr="event_type == 'purchase'")
+               .select_columns(cols))
+    click = (rd.read_parquet(ev).filter(expr="event_type == 'click'")
+               .select_columns(cols))
+    return asof_join(purch, click, on="ts", by="user_id",
+                     left_cols=cols, right_cols=["user_id", "ts",
+                                                 "event_id", "value"])
+
+
+def q_range_join(sf_dir: str):
+    """Range join (every click within 1 day BEFORE each purchase, same
+    user): left rows expand to ≤2 window-width buckets, right rows to 1,
+    one exchange on hash(user, bucket), exact filter in-shard."""
+    from parquet2_ray.stages.joins import range_join
+
+    ev = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "ts", "user_id"]
+    purch = (rd.read_parquet(ev).filter(expr="event_type == 'purchase'")
+               .select_columns(cols))
+    click = (rd.read_parquet(ev).filter(expr="event_type == 'click'")
+               .select_columns(cols))
+    return range_join(purch, click, on="ts", by="user_id",
+                      lo_s=-86_400, hi_s=0)
+
+
 def q_top_tokens(sf_dir: str):
     """Exact global top-50 tokens by frequency: per-batch partial
     value_counts (combiner), vocab-sized groupby sum, total-order sort."""
@@ -718,6 +751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_parquet_interop": q_parquet_interop,
         "q_decode_projection": q_decode_projection,
         "q_decode_projected_range": q_decode_projected_range,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_top_tokens": q_top_tokens,
         "q_window_tumbling": q_window_tumbling,
         "q_sessionize": q_sessionize,
@@ -893,6 +928,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(l_orderkey AS DECIMAL(21,2)) AS DOUBLE) AS price "
             "FROM lineitem"
         ),
+        "q_asof_join": (
+            "SELECT a.event_id, a.ts, a.user_id, a.value, "
+            "b.ts AS ts_r, b.event_id AS event_id_r, b.value AS value_r "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') a "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type='click') b "
+            "ON a.user_id = b.user_id AND a.ts >= b.ts"),
+        "q_range_join": (
+            "SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id, "
+            "CAST(epoch_us(a.ts) AS BIGINT) AS l_ts_us, "
+            "CAST(epoch_us(b.ts) AS BIGINT) AS r_ts_us "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') a "
+            "JOIN (SELECT * FROM events WHERE event_type='click') b "
+            "ON a.user_id = b.user_id "
+            "AND b.ts >= a.ts - INTERVAL 1 DAY AND b.ts < a.ts"),
         "q_top_tokens": (
             "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
             "  SELECT unnest(string_split(text, ' ')) AS token FROM documents) "

@@ -1,0 +1,155 @@
+"""As-of join and range join (stages/joins.py).
+
+Golden-vector tests on hand-computed inputs plus DuckDB cross-checks
+on random streams — the temporal-join operators the reference (a codec
+library, no joins — SURVEY.md §2.7) never needed but an event pipeline
+does.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas.testing as pt
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parquet2_ray.stages.joins import asof_join, range_join
+
+
+def _ts(*seconds):
+    return pa.array(np.array(seconds, dtype=np.int64) * 1_000_000,
+                    type=pa.int64()).cast(pa.timestamp("us"))
+
+
+def _events(ids, secs, users, vals=None):
+    t = pa.table({
+        "event_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "ts": _ts(*secs),
+        "user_id": pa.array(np.asarray(users, dtype=np.int64)),
+    })
+    if vals is not None:
+        t = t.append_column("value", pa.array(np.asarray(vals, dtype=np.float64)))
+    return t
+
+
+def test_asof_join_golden(ray_session):
+    left = _events([1, 2, 3], [100, 200, 50], [7, 7, 7], [1.0, 2.0, 3.0])
+    right = _events([10, 11], [90, 150], [7, 7], [9.0, 9.5])
+    out = (asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                     left_cols=["event_id", "ts", "user_id", "value"],
+                     right_cols=["user_id", "ts", "event_id", "value"],
+                     nshards=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # event 1 (t=100) → right 10 (t=90); event 2 (t=200) → right 11
+    # (t=150); event 3 (t=50) has no prior right row → dropped (inner)
+    assert out["event_id"].tolist() == [1, 2]
+    assert out["event_id_r"].tolist() == [10, 11]
+    assert out["value_r"].tolist() == [9.0, 9.5]
+
+
+def test_asof_join_left_keeps_unmatched(ray_session):
+    left = _events([1, 2], [100, 10], [7, 7], [1.0, 2.0])
+    right = _events([10], [50], [7], [9.0])
+    out = (asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                     left_cols=["event_id", "ts", "user_id", "value"],
+                     right_cols=["user_id", "ts", "event_id", "value"],
+                     how="left", nshards=2)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(out) == 2
+    assert out.loc[0, "event_id_r"] == 10
+    assert np.isnan(out.loc[1, "event_id_r"]) or out.loc[1, "event_id_r"] is None
+
+
+def test_asof_join_exact_ts_matches(ray_session):
+    left = _events([1], [100], [3], [1.0])
+    right = _events([10], [100], [3], [9.0])
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    nshards=2).to_pandas()
+    assert len(out) == 1 and out.loc[0, "event_id_r"] == 10
+
+
+def test_asof_join_never_crosses_users(ray_session):
+    left = _events([1], [100], [3], [1.0])
+    right = _events([10], [50], [4], [9.0])  # other user, earlier ts
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    nshards=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_range_join_golden(ray_session):
+    # window [t-100, t): left at t=200 catches right at 100..199
+    left = _events([1], [200], [7])
+    right = _events([10, 11, 12, 13], [99, 100, 199, 200], [7, 7, 7, 7])
+    out = (range_join(rd.from_arrow(left), rd.from_arrow(right),
+                      lo_s=-100, hi_s=0, nshards=4)
+           .to_pandas().sort_values("r_id").reset_index(drop=True))
+    assert out["r_id"].tolist() == [11, 12]   # 99 below, 200 excluded
+
+
+def test_range_join_bucket_straddle(ray_session):
+    # right rows in two adjacent buckets both match one left window
+    left = _events([1], [1000], [5])
+    right = _events([10, 11], [905, 995], [5, 5])  # buckets differ at w=100
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right),
+                     lo_s=-100, hi_s=0, nshards=8).to_pandas()
+    assert sorted(out["r_id"].tolist()) == [10, 11]
+
+
+@pytest.mark.parametrize("lo_s,hi_s", [(-3600, 0), (0, 3600), (-600, 600)])
+def test_range_join_random_matches_duckdb(ray_session, lo_s, hi_s):
+    rng = np.random.default_rng(5)
+    n = 2000
+    left = _events(np.arange(n), rng.integers(0, 100_000, n),
+                   rng.integers(0, 20, n))
+    right = _events(np.arange(n, 2 * n), rng.integers(0, 100_000, n),
+                    rng.integers(0, 20, n))
+    out = (range_join(rd.from_arrow(left), rd.from_arrow(right),
+                      lo_s=lo_s, hi_s=hi_s, nshards=16).to_pandas())
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    o = con.execute(f"""
+        SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+               CAST(epoch_us(l.ts) AS BIGINT) AS l_ts_us,
+               CAST(epoch_us(r.ts) AS BIGINT) AS r_ts_us
+        FROM l JOIN r ON l.user_id = r.user_id
+        AND r.ts >= l.ts + to_seconds({lo_s})
+        AND r.ts < l.ts + to_seconds({hi_s})""").fetchdf()
+    cols = sorted(out.columns)
+    assert cols == sorted(o.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = o[cols].sort_values(cols).reset_index(drop=True)
+    pt.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_asof_join_random_matches_duckdb(ray_session):
+    rng = np.random.default_rng(6)
+    n = 3000
+    # unique (user, ts): sample distinct seconds then split
+    secs = rng.choice(200_000, size=2 * n, replace=False)
+    left = _events(np.arange(n), secs[:n], rng.integers(0, 25, n),
+                   rng.normal(size=n))
+    right = _events(np.arange(n, 2 * n), secs[n:], rng.integers(0, 25, n),
+                    rng.normal(size=n))
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    nshards=16).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    o = con.execute("""
+        SELECT l.event_id, l.ts, l.user_id, l.value,
+               r.ts AS ts_r, r.event_id AS event_id_r, r.value AS value_r
+        FROM l ASOF JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts""").fetchdf()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = o[cols].sort_values(cols).reset_index(drop=True)
+    pt.assert_frame_equal(a, b, check_dtype=False)
