@@ -341,6 +341,17 @@ def q_decode_projected_range(sf_dir: str):
                           columns=["lang", "source", "n_chars"])
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic md5-keyed train/val split: a pure per-row tag, no
+    shuffle, stable under re-runs/repartitioning, engine-reproducible."""
+    from parquet2_ray.stages.sampling import split_by_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return split_by_hash(ds, key_col="doc_id",
+                         fractions={"train": 0.9, "val": 0.1})
+
+
 def q_asof_join(sf_dir: str):
     """Backward as-of join (purchase → latest prior click of the same
     user): one co-partitioning exchange on hash(user)%nshards, then a
@@ -751,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_parquet_interop": q_parquet_interop,
         "q_decode_projection": q_decode_projection,
         "q_decode_projected_range": q_decode_projected_range,
+        "q_hash_split": q_hash_split,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_top_tokens": q_top_tokens,
@@ -928,6 +940,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(l_orderkey AS DECIMAL(21,2)) AS DOUBLE) AS price "
             "FROM lineitem"
         ),
+        "q_hash_split": (
+            "SELECT doc_id, source, "
+            "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' "
+            "THEN 'train' ELSE 'val' END AS split FROM documents"),
         "q_asof_join": (
             "SELECT a.event_id, a.ts, a.user_id, a.value, "
             "b.ts AS ts_r, b.event_id AS event_id_r, b.value AS value_r "

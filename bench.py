@@ -70,6 +70,10 @@ TIMED_QUERIES = [
     "q_bpe_token_count",
     "q_codec_bss",
     "q_ann_topk",
+    "q_window_tumbling",
+    "q_sessionize",
+    "q_asof_join",
+    "q_top_tokens",
 ]
 
 

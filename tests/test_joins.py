@@ -153,3 +153,42 @@ def test_asof_join_random_matches_duckdb(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = o[cols].sort_values(cols).reset_index(drop=True)
     pt.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---- deterministic hash split (stages/sampling.py) ----
+
+def test_split_thresholds():
+    from parquet2_ray.stages.sampling import split_thresholds
+
+    th = split_thresholds({"train": 0.9, "val": 0.1})
+    assert th == [("train", "e6666666"), ("val", "g")]
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
+
+
+def test_split_by_hash_matches_duckdb(ray_session):
+    from parquet2_ray.stages.sampling import split_by_hash
+
+    ids = pa.table({"doc_id": pa.array(np.arange(1000, dtype=np.int64))})
+    out = (split_by_hash(rd.from_arrow(ids), fractions={"train": 0.9, "val": 0.1})
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", ids.to_pandas())
+    o = con.execute("""
+        SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8)
+            < 'e6666666' THEN 'train' ELSE 'val' END AS split
+        FROM t ORDER BY doc_id""").fetchdf()
+    assert out["split"].tolist() == o["split"].tolist()
+    frac = (out["split"] == "train").mean()
+    assert 0.85 < frac < 0.95  # uniform hash → near-requested fraction
+
+
+def test_split_by_hash_three_way_covers_all(ray_session):
+    from parquet2_ray.stages.sampling import split_by_hash
+
+    ids = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64))})
+    out = split_by_hash(rd.from_arrow(ids),
+                        fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+                        ).to_pandas()
+    assert set(out["split"]) == {"train", "val", "test"}
+    assert len(out) == 500  # no row orphaned by threshold rounding
