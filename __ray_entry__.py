@@ -355,7 +355,11 @@ def q_hash_split(sf_dir: str):
 def q_asof_join(sf_dir: str):
     """Backward as-of join (purchase → latest prior click of the same
     user): one co-partitioning exchange on hash(user)%nshards, then a
-    single pd.merge_asof per shard.  DuckDB ASOF JOIN is the oracle."""
+    single pd.merge_asof per shard.  DuckDB ASOF JOIN is the oracle.
+
+    Deterministic because (user_id, ts) is unique in the events table
+    (verified at sf0.001/0.01/0.1) — with duplicate right timestamps
+    both engines pick an arbitrary winner (see asof_join docstring)."""
     from parquet2_ray.stages.joins import asof_join
 
     cols = ["event_id", "ts", "user_id", "value"]

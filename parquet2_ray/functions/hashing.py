@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["hash_strings", "rolling_window_hashes", "window_hashes_at",
-           "md5_hex", "MERSENNE_P"]
+           "md5_hex", "shard_of", "MERSENNE_P"]
 
 MERSENNE_P = (1 << 61) - 1
 _BASE = np.uint64(1099511628211)
@@ -74,3 +74,12 @@ def window_hashes_at(data: np.ndarray, pos: np.ndarray, k: int) -> np.ndarray:
             w = data[p[:, None] + np.arange(k)].astype(np.uint64)
             out[lo : lo + step] = w @ powers
     return out
+
+
+def shard_of(keys: np.ndarray, nshards: int) -> np.ndarray:
+    """Golden-ratio multiplicative shard hash for integer keys — THE
+    shuffle hash for shard-grouped exchanges (joins, sessionization,
+    LSH bucket pairing).  One definition so every operator that must
+    co-locate the same key agrees on the shard."""
+    h = np.asarray(keys).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(nshards)).astype(np.int64)

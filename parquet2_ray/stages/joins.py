@@ -6,17 +6,25 @@ partitioning exchange each:
 
 * ``asof_join``: both sides are tagged, schema-harmonized and unioned,
   then a single ``groupby(hash(key) % nshards)`` co-locates each key's
-  rows from BOTH sides on one task; inside the shard a single
-  ``pd.merge_asof`` (C kernel, ``by=key``) matches every left row to
-  the latest right row with ``right.ts <= left.ts``.  Only the two
-  projected sides cross the exchange — never a pair blow-up.
+  rows from BOTH sides on one task; inside the shard, ``pd.merge_asof``
+  (C kernel, ``by=key``) runs over ROW-INDEX frames only, and the
+  output columns are built with Arrow ``take`` — values never pass
+  through pandas, so 64-bit ids survive bit-exact (pandas would coerce
+  null-bearing int64 to float64 and corrupt ids above 2^53) and every
+  shard emits the same Arrow schema, matched or not.
 
 * ``range_join``: each left row expands to the (≤2) time buckets its
   window [ts+lo, ts+hi) can reach (bucket width = hi−lo); right rows
   carry their own bucket.  One groupby on ``hash(key, bucket)`` co-
-  locates candidates, an in-shard sorted merge emits exact matches.
-  Every (left, right) pair appears exactly once: the right row has ONE
-  bucket and the left row references that bucket at most once.
+  locates candidates; an in-shard index merge + exact interval filter
+  emits matches via Arrow ``take``.  Every (left, right) pair appears
+  exactly once: the right row has ONE bucket and the left row
+  references that bucket at most once.
+
+NULL semantics follow SQL: rows whose join key (``by`` or ``on``) is
+NULL never match (inner drops them; as-of ``how='left'`` keeps the left
+row with a null right side).  Keys must be integers (the shard hash is
+integer mixing); payload columns may be anything Arrow can ``take``.
 
 Partitioning assumption (documented per the custom-operator contract):
 one shard must fit a worker heap — shards hold ~(rows_left + rows_right)
@@ -30,19 +38,16 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
+
+from ..functions.hashing import shard_of
 
 __all__ = ["asof_join", "range_join"]
 
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _shard_of(keys: np.ndarray, nshards: int) -> np.ndarray:
-    h = keys.astype(np.uint64) * _GOLDEN
-    return ((h >> np.uint64(33)) % np.uint64(nshards)).astype(np.int64)
-
 
 def _ts_us_np(col) -> np.ndarray:
+    """int64-microsecond view of a (null-free) timestamp/int column."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
@@ -51,6 +56,16 @@ def _ts_us_np(col) -> np.ndarray:
             col = col.cast(pa.timestamp("us"))
         col = col.view(pa.int64())
     return col.to_numpy(zero_copy_only=False)
+
+
+def _np_key(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _valid_keys(t: pa.Table, by: str, on: str) -> pa.ChunkedArray:
+    return pc.and_(pc.is_valid(t[by]), pc.is_valid(t[on]))
 
 
 def asof_join(
@@ -71,7 +86,8 @@ def asof_join(
     suffixed; the matched right timestamp is emitted as ``{on}{suffix}``.
 
     When two right rows share an exact (by, on) pair the winner is
-    unspecified (same as SQL engines) — dedupe upstream if that matters.
+    unspecified (same as SQL engines) — dedupe upstream if a
+    deterministic winner matters (e.g. keep max id per (by, on)).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -89,14 +105,21 @@ def asof_join(
     rtype = {f"{on}{suffix}": rschema.field(on).type,
              **{f"{c}{suffix}": rschema.field(c).type for c in rvals}}
     ltype = {c: lschema.field(c).type for c in lcols}
+    out_type = {**ltype, **rtype}
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.nulls(0, out_type[c]) for c in out_cols})
 
     def _finish(t: pa.Table, side: int) -> pa.Table:
         t = t.select(out_cols)
+        # null keys can't hash — fill IN ARROW (a numpy fill would
+        # coerce the whole column to float64 and reshard large ids);
+        # shard 0 rows are key-filtered again at merge
+        keys = pc.fill_null(t[by], 0).combine_chunks().to_numpy(
+            zero_copy_only=False)
         return (t.append_column("_side", pa.array(
                     np.full(t.num_rows, side, dtype=np.int8)))
-                 .append_column("_shard", pa.array(_shard_of(
-                    t[by].combine_chunks().to_numpy(zero_copy_only=False),
-                    nshards))))
+                 .append_column("_shard", pa.array(shard_of(keys, nshards))))
 
     def prep_left(b: pa.Table) -> pa.Table:
         b = b.select(lcols)
@@ -114,20 +137,57 @@ def asof_join(
                 t = t.append_column(c, pa.nulls(t.num_rows, ltype[c]))
         return _finish(t, 1)
 
-    def merge(group: pa.Table) -> pd.DataFrame:
-        df = group.drop_columns(["_shard"]).to_pandas()
-        l = df[df["_side"] == 0].drop(columns=["_side", *out_rcols])
-        r = df[df["_side"] == 1][[by, on, *out_rcols]]
-        if not len(l):
-            return df.iloc[0:0][out_cols]
-        if not len(r):
-            m = l.reindex(columns=out_cols)
-            return m if how == "left" else m.iloc[0:0]
-        m = pd.merge_asof(l.sort_values(on), r.sort_values(on),
-                          on=on, by=by, direction="backward")
-        if how == "inner":
-            m = m[m[f"{on}{suffix}"].notna()]
-        return m[out_cols]
+    def merge(group: pa.Table) -> pa.Table:
+        lmask = pc.equal(group["_side"], 0)
+        lt = group.filter(lmask).select(out_cols)
+        rt = group.filter(pc.invert(lmask)).select([by, on, *out_rcols])
+        if lt.num_rows == 0:
+            return _empty()
+        # SQL NULL-key semantics: null by/on never matches
+        lvalid = _valid_keys(lt, by, on)
+        rt = rt.filter(_valid_keys(rt, by, on))
+        lt_v = lt.filter(lvalid)
+        lt_null = lt.filter(pc.invert(lvalid))
+
+        pieces = []
+        if lt_v.num_rows:
+            li = np.arange(lt_v.num_rows, dtype=np.int64)
+            if rt.num_rows:
+                lf = pd.DataFrame({by: _np_key(lt_v[by]),
+                                   on: _ts_us_np(lt_v[on]), "_li": li})
+                rf = pd.DataFrame({by: _np_key(rt[by]),
+                                   on: _ts_us_np(rt[on]),
+                                   "_ri": np.arange(rt.num_rows,
+                                                    dtype=np.int64)})
+                m = pd.merge_asof(lf.sort_values(on), rf.sort_values(on),
+                                  on=on, by=by, direction="backward")
+                li = m["_li"].to_numpy()
+                ri = m["_ri"].to_numpy()          # float64, NaN = no match
+                matched = ~np.isnan(ri)
+            else:
+                ri = np.full(lt_v.num_rows, np.nan)
+                matched = np.zeros(lt_v.num_rows, dtype=bool)
+            if how == "inner":
+                li, ri, matched = li[matched], ri[matched], None
+            take_l = pa.array(li.astype(np.int64))
+            if matched is None:
+                take_r = pa.array(ri.astype(np.int64))
+            else:  # null index → null output row (typed, not NaN)
+                take_r = pa.array(
+                    np.where(matched, ri, 0).astype(np.int64),
+                    mask=~matched)
+            cols = {c: pc.take(lt_v[c], take_l) for c in lcols}
+            rsel = rt.select(out_rcols)
+            cols.update({c: pc.take(rsel[c], take_r) for c in out_rcols})
+            pieces.append(pa.table(cols))
+        if how == "left" and lt_null.num_rows:
+            t = lt_null.select(lcols)
+            for c in out_rcols:
+                t = t.append_column(c, pa.nulls(t.num_rows, rtype[c]))
+            pieces.append(t)
+        if not pieces:
+            return _empty()
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
     u = (left.map_batches(prep_left, batch_format="pyarrow")
              .union(right.map_batches(prep_right, batch_format="pyarrow")))
@@ -152,7 +212,9 @@ def range_join(
     Bucket width = window span, so each left row lands in ≤2 buckets
     and each right row in exactly 1 — the exchange carries O(2·|L|+|R|)
     rows; the quadratic pair set only ever exists inside a shard task,
-    already filtered to candidates sharing (key, bucket).
+    already filtered to candidates sharing (key, bucket).  Rows with a
+    NULL key or timestamp never match (SQL inner-join semantics); id
+    payloads may be null and pass through Arrow-typed.
     """
     if hi_s <= lo_s:
         raise ValueError("hi_s must be > lo_s")
@@ -161,50 +223,40 @@ def range_join(
     w = hi_us - lo_us
 
     def _shard2(keys, buckets):
-        h = (keys.astype(np.uint64) * _GOLDEN) ^ (
+        h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
             buckets.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
-        return (((h >> np.uint64(29)) * _GOLDEN >> np.uint64(33))
-                % np.uint64(nshards)).astype(np.int64)
+        return (((h >> np.uint64(29)) * np.uint64(0x9E3779B97F4A7C15)
+                 >> np.uint64(33)) % np.uint64(nshards)).astype(np.int64)
 
-    def prep_left(b: pa.Table) -> pa.Table:
+    def _prep(b: pa.Table, id_col: str, side: int) -> pa.Table:
+        b = b.filter(_valid_keys(b, by, on))  # NULL keys never match
         ts = _ts_us_np(b[on])
-        keys = b[by].combine_chunks().to_numpy(zero_copy_only=False)
-        ids = b[left_id].combine_chunks().to_numpy(zero_copy_only=False)
-        b0 = (ts + lo_us) // w
-        b1 = (ts + hi_us - 1) // w          # hi exclusive
-        n2 = b1 != b0
-        kk = np.r_[keys, keys[n2]]
-        tt = np.r_[ts, ts[n2]]
-        ii = np.r_[ids, ids[n2]]
-        bb = np.r_[b0, b1[n2]]
+        keys = _np_key(b[by])
+        ids = b[id_col].combine_chunks() if isinstance(
+            b[id_col], pa.ChunkedArray) else b[id_col]
+        if side == 0:
+            b0 = (ts + lo_us) // w
+            b1 = (ts + hi_us - 1) // w      # hi exclusive
+            n2 = b1 != b0
+            idx = np.r_[np.arange(len(ts)), np.flatnonzero(n2)]
+            kk = keys[idx]
+            tt = ts[idx]
+            ii = pc.take(ids, pa.array(idx))
+            bb = np.r_[b0, b1[n2]]
+        else:
+            kk, tt, ii, bb = keys, ts, ids, ts // w
         return pa.table({
-            by: pa.array(kk), "_id": pa.array(ii),
+            by: pa.array(kk), "_id": ii,
             "_ts": pa.array(tt, type=pa.int64()),
             "_bkt": pa.array(bb, type=pa.int64()),
-            "_side": pa.array(np.zeros(len(kk), dtype=np.int8)),
+            "_side": pa.array(np.full(len(kk), side, dtype=np.int8)),
             "_shard": pa.array(_shard2(kk, bb)),
         })
 
-    def prep_right(b: pa.Table) -> pa.Table:
-        ts = _ts_us_np(b[on])
-        keys = b[by].combine_chunks().to_numpy(zero_copy_only=False)
-        ids = b[right_id].combine_chunks().to_numpy(zero_copy_only=False)
-        bb = ts // w
-        return pa.table({
-            by: pa.array(keys), "_id": pa.array(ids),
-            "_ts": pa.array(ts, type=pa.int64()),
-            "_bkt": pa.array(bb, type=pa.int64()),
-            "_side": pa.array(np.ones(len(keys), dtype=np.int8)),
-            "_shard": pa.array(_shard2(keys, bb)),
-        })
-
     def merge(group: pa.Table) -> pa.Table:
-        side = group["_side"].combine_chunks().to_numpy(zero_copy_only=False)
-        keys = group[by].combine_chunks().to_numpy(zero_copy_only=False)
-        ids = group["_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        ts = group["_ts"].combine_chunks().to_numpy(zero_copy_only=False)
-        bkt = group["_bkt"].combine_chunks().to_numpy(zero_copy_only=False)
-        lm, rm = side == 0, side == 1
+        lmask = pc.equal(group["_side"], 0)
+        lt = group.filter(lmask)
+        rt = group.filter(pc.invert(lmask))
         empty = pa.table({
             by: pa.nulls(0, group[by].type),
             "l_id": pa.nulls(0, group["_id"].type),
@@ -212,25 +264,35 @@ def range_join(
             "l_ts_us": pa.nulls(0, pa.int64()),
             "r_ts_us": pa.nulls(0, pa.int64()),
         })
-        if not lm.any() or not rm.any():
+        if lt.num_rows == 0 or rt.num_rows == 0:
             return empty
-        ldf = pd.DataFrame({by: keys[lm], "_bkt": bkt[lm],
-                            "l_id": ids[lm], "l_ts_us": ts[lm]})
-        rdf = pd.DataFrame({by: keys[rm], "_bkt": bkt[rm],
-                            "r_id": ids[rm], "r_ts_us": ts[rm]})
-        m = ldf.merge(rdf, on=[by, "_bkt"])
+        lf = pd.DataFrame({by: _np_key(lt[by]),
+                           "_bkt": _np_key(lt["_bkt"]),
+                           "_li": np.arange(lt.num_rows, dtype=np.int64)})
+        rf = pd.DataFrame({by: _np_key(rt[by]),
+                           "_bkt": _np_key(rt["_bkt"]),
+                           "_ri": np.arange(rt.num_rows, dtype=np.int64)})
+        m = lf.merge(rf, on=[by, "_bkt"])
         if not len(m):
             return empty
-        d = m["r_ts_us"].to_numpy() - m["l_ts_us"].to_numpy()
-        m = m[(d >= lo_us) & (d < hi_us)]
+        li = m["_li"].to_numpy()
+        ri = m["_ri"].to_numpy()
+        lts = _np_key(lt["_ts"])[li]
+        rts = _np_key(rt["_ts"])[ri]
+        d = rts - lts
+        keep = (d >= lo_us) & (d < hi_us)
+        li, ri = li[keep], ri[keep]
+        tl, tr = pa.array(li), pa.array(ri)
         return pa.table({
-            by: pa.array(m[by].to_numpy()),
-            "l_id": pa.array(m["l_id"].to_numpy()),
-            "r_id": pa.array(m["r_id"].to_numpy()),
-            "l_ts_us": pa.array(m["l_ts_us"].to_numpy(), type=pa.int64()),
-            "r_ts_us": pa.array(m["r_ts_us"].to_numpy(), type=pa.int64()),
+            by: pc.take(lt[by], tl),
+            "l_id": pc.take(lt["_id"], tl),
+            "r_id": pc.take(rt["_id"], tr),
+            "l_ts_us": pc.take(lt["_ts"], tl),
+            "r_ts_us": pc.take(rt["_ts"], tr),
         })
 
-    u = (left.map_batches(prep_left, batch_format="pyarrow")
-             .union(right.map_batches(prep_right, batch_format="pyarrow")))
+    u = (left.map_batches(lambda b: _prep(b, left_id, 0),
+                          batch_format="pyarrow")
+             .union(right.map_batches(lambda b: _prep(b, right_id, 1),
+                                      batch_format="pyarrow")))
     return u.groupby("_shard").map_groups(merge, batch_format="pyarrow")

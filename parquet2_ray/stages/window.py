@@ -87,8 +87,17 @@ def tumbling_window(
                 .aggregate(*aggs))
 
 
+_NULL_USER = np.int64(np.iinfo(np.int64).min)
+
+
 class _SessionizeShard:
-    """Sessionize every user inside one shard, fully vectorized."""
+    """Sessionize every user inside one shard, fully vectorized.
+
+    NULL users are one group (SQL ``PARTITION BY`` semantics — NaN-vs-
+    NaN comparisons would instead split every null row into its own
+    session and coerce the key column to float64), carried through as
+    the INT64_MIN sentinel and emitted back as null.  Rows with a NULL
+    timestamp are dropped upstream (a session window needs a time)."""
 
     def __init__(self, ts_col, user_col, gap_us):
         self.ts_col, self.user_col, self.gap_us = ts_col, user_col, gap_us
@@ -102,7 +111,10 @@ class _SessionizeShard:
                 "session_end_s": pa.nulls(0, pa.int64()),
                 "n_events": pa.nulls(0, pa.int64()),
             })
-        users = group[self.user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        ucol = group[self.user_col].combine_chunks()
+        users = pc.fill_null(ucol, _NULL_USER).to_numpy(zero_copy_only=False)
         ts = _ts_us(group[self.ts_col]).to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, users))
         u, t = users[order], ts[order]
@@ -122,8 +134,9 @@ class _SessionizeShard:
         user_first = new_user[starts]                  # session starts a user
         user_of_sess = np.cumsum(user_first) - 1
         session_id = sess_idx - sess_idx[user_first][user_of_sess]
+        out_u = u[starts]
         return pa.table({
-            "user_id": pa.array(u[starts]),
+            "user_id": pa.array(out_u, mask=(out_u == _NULL_USER)),
             "session_id": pa.array(session_id, type=pa.int64()),
             "session_start_s": pa.array(t[starts] // 1_000_000, type=pa.int64()),
             "session_end_s": pa.array(t[ends - 1] // 1_000_000, type=pa.int64()),
@@ -146,14 +159,21 @@ def sessionize(
     (ties in ts are session-order-insensitive: a zero gap never splits).
     Output: (user_id, session_id, session_start_s, session_end_s,
     n_events), session_id dense per user starting at 0.
+
+    NULL users form ONE group (SQL PARTITION BY semantics), emitted
+    with null user_id; rows with NULL timestamps are dropped.
     """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import shard_of
+
     gap_us = np.int64(gap_s) * 1_000_000
 
     def shard(b: pa.Table) -> pa.Table:
-        uid = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
-        s = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             >> np.uint64(33)) % np.uint64(nshards)
-        return b.append_column("_shard", pa.array(s.astype(np.int64)))
+        b = b.filter(pc.is_valid(b[ts_col]))  # a session needs a time
+        uid = pc.fill_null(b[user_col].combine_chunks(),
+                           _NULL_USER).to_numpy(zero_copy_only=False)
+        return b.append_column("_shard", pa.array(shard_of(uid, nshards)))
 
     fn = _SessionizeShard(ts_col, user_col, gap_us)
 

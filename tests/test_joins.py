@@ -192,3 +192,81 @@ def test_split_by_hash_three_way_covers_all(ray_session):
                         ).to_pandas()
     assert set(out["split"]) == {"train", "val", "test"}
     assert len(out) == 500  # no row orphaned by threshold rounding
+
+
+# ---- review-finding regressions: type fidelity + SQL NULL semantics ----
+
+def test_asof_join_preserves_large_int64_ids(ray_session):
+    big = 9_007_199_254_740_993  # 2^53 + 1: dies in float64
+    left = _events([big], [100], [7], [1.0])
+    right = _events([big + 2], [50], [7], [9.0])
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    nshards=2).to_pandas()
+    assert out["event_id"].dtype == np.int64
+    assert out["event_id_r"].dtype == np.int64
+    assert out.loc[0, "event_id"] == big
+    assert out.loc[0, "event_id_r"] == big + 2
+
+
+def test_asof_join_null_keys_never_match(ray_session):
+    left = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([100_000_000, None], type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([None, 5], type=pa.int64()),
+        "value": pa.array([1.0, 2.0]),
+    })
+    right = _events([10], [50], [5], [9.0])
+    cols = ["event_id", "ts", "user_id", "value"]
+    inner = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                      left_cols=cols, right_cols=["user_id", "ts",
+                                                  "event_id", "value"],
+                      nshards=2).to_pandas()
+    assert len(inner) == 0  # null user / null ts: no match, no crash
+    lj = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                   left_cols=cols, right_cols=["user_id", "ts",
+                                               "event_id", "value"],
+                   how="left", nshards=2).to_pandas()
+    assert len(lj) == 2 and lj["event_id_r"].isna().all()
+
+
+def test_asof_join_null_right_ts_skipped_not_crash(ray_session):
+    left = _events([1], [100], [5], [1.0])
+    right = pa.table({
+        "event_id": pa.array([10, 11], type=pa.int64()),
+        "ts": pa.array([None, 50_000_000], type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([5, 5], type=pa.int64()),
+        "value": pa.array([8.0, 9.0]),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    nshards=2).to_pandas()
+    assert out["event_id_r"].tolist() == [11]
+
+
+def test_range_join_null_keys_never_match(ray_session):
+    left = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": _ts(100, 100),
+        "user_id": pa.array([None, None], type=pa.int64()),
+    })
+    right = pa.table({
+        "event_id": pa.array([10], type=pa.int64()),
+        "ts": _ts(50),
+        "user_id": pa.array([None], type=pa.int64()),
+    })
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right),
+                     lo_s=-100, hi_s=0, nshards=2).to_pandas()
+    assert len(out) == 0  # SQL: NULL = NULL is not a match
+
+
+def test_range_join_preserves_large_int64_ids(ray_session):
+    big = 9_007_199_254_740_993
+    left = _events([big], [100], [5])
+    right = _events([big + 2], [50], [5])
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right),
+                     lo_s=-100, hi_s=0, nshards=2).to_pandas()
+    assert out["l_id"].tolist() == [big]
+    assert out["r_id"].tolist() == [big + 2]

@@ -142,3 +142,26 @@ def test_top_tokens_tie_break_is_total_order(ray_session):
     tbl = pa.table({"text": ["z y x", "x y z"]})
     out = top_tokens(rd.from_arrow(tbl), k=2).to_pandas()
     assert out["token"].tolist() == ["x", "y"]  # all n=2, token asc
+
+
+def test_sessionize_null_users_are_one_group(ray_session):
+    # SQL PARTITION BY: all NULL users form one partition
+    tbl = pa.table({
+        "user_id": pa.array([None, None, 3], type=pa.int64()),
+        "ts": _ts(0, 10, 5),
+    })
+    out = (sessionize(rd.from_arrow(tbl), gap_s=100, nshards=4)
+           .to_pandas())
+    nulls = out[out["user_id"].isna()]
+    assert len(nulls) == 1 and nulls["n_events"].tolist() == [2]
+    real = out[out["user_id"].notna()]
+    assert real["user_id"].tolist() == [3]
+
+
+def test_sessionize_null_ts_dropped(ray_session):
+    tbl = pa.table({
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([5_000_000, None], type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(tbl), gap_s=100, nshards=2).to_pandas()
+    assert out["n_events"].tolist() == [1]
