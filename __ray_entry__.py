@@ -352,6 +352,18 @@ def q_hash_split(sf_dir: str):
                          fractions={"train": 0.9, "val": 0.1})
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-source sample ranked by (md5(doc_id), doc_id):
+    per-batch partial top-n prune (≤ n·groups rows leave any batch),
+    one groupby on the stratification key finalizes."""
+    from parquet2_ray.stages.sampling import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return stratified_sample(ds, group_col="source", key_col="doc_id",
+                             n_per_group=5)
+
+
 def q_asof_join(sf_dir: str):
     """Backward as-of join (purchase → latest prior click of the same
     user): one co-partitioning exchange on hash(user)%nshards, then a
@@ -767,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_projection": q_decode_projection,
         "q_decode_projected_range": q_decode_projected_range,
         "q_hash_split": q_hash_split,
+        "q_stratified_sample": q_stratified_sample,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_top_tokens": q_top_tokens,
@@ -948,6 +961,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, "
             "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' "
             "THEN 'train' ELSE 'val' END AS split FROM documents"),
+        "q_stratified_sample": (
+            "SELECT doc_id, source FROM ("
+            "  SELECT doc_id, source, row_number() OVER ("
+            "    PARTITION BY source "
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "  FROM documents) WHERE rn <= 5"),
         "q_asof_join": (
             "SELECT a.event_id, a.ts, a.user_id, a.value, "
             "b.ts AS ts_r, b.event_id AS event_id_r, b.value AS value_r "

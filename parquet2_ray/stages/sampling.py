@@ -24,7 +24,7 @@ import ray.data as rd
 
 from ..functions.hashing import md5_hex
 
-__all__ = ["split_by_hash", "split_thresholds"]
+__all__ = ["split_by_hash", "split_thresholds", "stratified_sample"]
 
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
@@ -79,3 +79,34 @@ def split_by_hash(
         return b.append_column(split_col, pa.array(names, type=pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    n_per_group: int = 100,
+) -> rd.Dataset:
+    """Deterministic n-per-group sample: keep each group's n rows with
+    the smallest (md5(key), key) rank — a pure function of the data, so
+    re-runs, retries and repartitioning return the identical sample.
+
+    Scale shape: each batch FIRST prunes locally to its own top-n per
+    group (partial combiner — at most n·groups rows leave any batch),
+    then ONE groupby on the stratification key finalizes.  SQL twin:
+    ``row_number() OVER (PARTITION BY g ORDER BY md5(k), k) <= n``.
+    """
+    import pandas as pd
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        if "_h8" not in df.columns:
+            df = df.assign(
+                _h8=[h[:16] for h in md5_hex([str(v) for v in df[key_col]])])
+        return (df.sort_values(["_h8", key_col])
+                  .groupby(group_col, sort=False).head(n_per_group))
+
+    return (ds.select_columns([key_col, group_col])
+              .map_batches(topn, batch_format="pandas")
+              .groupby(group_col)
+              .map_groups(topn, batch_format="pandas")
+              .drop_columns(["_h8"]))

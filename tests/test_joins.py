@@ -270,3 +270,41 @@ def test_range_join_preserves_large_int64_ids(ray_session):
                      lo_s=-100, hi_s=0, nshards=2).to_pandas()
     assert out["l_id"].tolist() == [big]
     assert out["r_id"].tolist() == [big + 2]
+
+
+def test_stratified_sample_deterministic_and_exact(ray_session):
+    from parquet2_ray.stages.sampling import stratified_sample
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array([f"s{int(v)}" for v in rng.integers(0, 7, n)]),
+    })
+    runs = []
+    for _ in range(2):
+        got = (stratified_sample(rd.from_arrow(tbl), n_per_group=10)
+               .to_pandas().sort_values(["source", "doc_id"])
+               .reset_index(drop=True))
+        runs.append(got)
+    assert runs[0].equals(runs[1])  # pure function of the data
+    assert (runs[0].groupby("source").size() == 10).all()
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    o = con.execute("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+          FROM t) WHERE rn <= 10 ORDER BY source, doc_id""").fetchdf()
+    assert runs[0][["doc_id", "source"]].equals(o[["doc_id", "source"]])
+
+
+def test_stratified_sample_small_groups_kept_whole(ray_session):
+    from parquet2_ray.stages.sampling import stratified_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": ["a", "a", "b"],
+    })
+    got = stratified_sample(rd.from_arrow(tbl), n_per_group=10).to_pandas()
+    assert len(got) == 3  # groups smaller than n are kept in full
