@@ -430,6 +430,18 @@ def q_window_tumbling(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_window_hopping(sf_dir: str):
+    """Hopping-window aggregate (1-day windows every 12 h): each event
+    lands in 2 windows via one np.repeat in the bucket map, partials
+    still combine per block before the groupby exchange."""
+    from parquet2_ray.stages.window import hopping_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return hopping_window(ds, ts_col="ts", every_s=86_400, hop_s=43_200,
+                          keys=("event_type",))
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user (6 h inactivity gap): ONE
     shuffle on user%nshards, then a vectorized lexsort+diff inside each
@@ -784,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": q_range_join,
         "q_top_tokens": q_top_tokens,
         "q_window_tumbling": q_window_tumbling,
+        "q_window_hopping": q_window_hopping,
         "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
@@ -990,6 +1003,12 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value, "
             "MIN(value) AS min_value, MAX(value) AS max_value "
             "FROM events GROUP BY 1, 2"),
+        "q_window_hopping": (
+            # every event belongs to exactly every_s/hop_s = 2 windows
+            "SELECT CAST(floor(epoch(ts) / 43200) * 43200 - i * 43200 AS BIGINT)"
+            " AS window_start, event_type, count(*) AS n_events "
+            "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s "
+            "GROUP BY 1, 2"),
         "q_sessionize": (
             "WITH d AS ("
             "  SELECT user_id, ts,"

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["tumbling_window", "sessionize"]
+__all__ = ["tumbling_window", "hopping_window", "sessionize"]
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -184,3 +184,53 @@ def sessionize(
               .map_batches(shard, batch_format="pyarrow")
               .groupby("_shard")
               .map_groups(run, batch_format="pyarrow"))
+
+
+def hopping_window(
+    ds: rd.Dataset,
+    ts_col: str = "ts",
+    every_s: int = 86_400,
+    hop_s: int = 43_200,
+    keys: tuple[str, ...] = (),
+    value_col: str | None = None,
+) -> rd.Dataset:
+    """Hopping (sliding) window aggregate: windows of ``every_s``
+    seconds starting every ``hop_s`` seconds (``hop_s <= every_s``;
+    equal = tumbling).  An event at t belongs to ceil(every/hop)
+    windows, so the bucket map emits that many rows per event via one
+    ``np.repeat`` — the ONLY blow-up is the window overlap factor, and
+    it happens inside the map task, pre-aggregated per block before the
+    groupby exchange like tumbling_window.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    if every_s % hop_s:
+        raise ValueError("every_s must be a multiple of hop_s")
+    k = every_s // hop_s
+    hop_us = np.int64(hop_s) * 1_000_000
+    cols = [ts_col, *keys] + ([value_col] if value_col else [])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        us = _ts_us(b[ts_col]).to_numpy(zero_copy_only=False)
+        base = (us // hop_us) * np.int64(hop_s)      # hop-aligned, seconds
+        # windows containing t: base - i*hop for i in [0, k)
+        offs = np.arange(k, dtype=np.int64) * np.int64(hop_s)
+        ws = (np.repeat(base, k).reshape(-1, k) - offs).ravel()
+        idx = np.repeat(np.arange(len(us), dtype=np.int64), k)
+        out = {"window_start": pa.array(ws, type=pa.int64())}
+        take = pa.array(idx)
+        for c in keys:
+            out[c] = pa.compute.take(b[c], take)
+        if value_col:
+            out[value_col] = pa.compute.take(b[value_col], take)
+        return pa.table(out)
+
+    aggs = [Count(alias_name="n_events")]
+    if value_col:
+        aggs += [Sum(value_col, alias_name="sum_value"),
+                 Min(value_col, alias_name="min_value"),
+                 Max(value_col, alias_name="max_value")]
+    proj = ds.select_columns(cols) if set(cols) != set(ds.columns()) else ds
+    return (proj.map_batches(bucket, batch_format="pyarrow")
+                .groupby(["window_start", *keys])
+                .aggregate(*aggs))

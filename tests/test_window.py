@@ -165,3 +165,47 @@ def test_sessionize_null_ts_dropped(ray_session):
     })
     out = sessionize(rd.from_arrow(tbl), gap_s=100, nshards=2).to_pandas()
     assert out["n_events"].tolist() == [1]
+
+
+def test_hopping_window_golden(ray_session):
+    from parquet2_ray.stages.window import hopping_window
+
+    # 100s windows hopping every 50s; event at t=120 → windows 100, 50
+    tbl = pa.table({"ts": _ts(120, 10)})
+    out = (hopping_window(rd.from_arrow(tbl), every_s=100, hop_s=50)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out["window_start"].tolist() == [-50, 0, 50, 100]
+    assert out["n_events"].tolist() == [1, 1, 1, 1]
+
+
+def test_hopping_equals_tumbling_when_hop_is_span(ray_session):
+    from parquet2_ray.stages.window import hopping_window, tumbling_window
+
+    tbl = pa.table({"ts": _ts(10, 70, 130), "v": pa.array([1.0, 2.0, 4.0])})
+    h = (hopping_window(rd.from_arrow(tbl), every_s=60, hop_s=60,
+                        value_col="v").to_pandas()
+         .sort_values("window_start").reset_index(drop=True))
+    t = (tumbling_window(rd.from_arrow(tbl), every_s=60, value_col="v")
+         .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert h.equals(t)
+
+
+def test_hopping_window_matches_duckdb(ray_session):
+    import duckdb
+
+    from parquet2_ray.stages.window import hopping_window
+
+    rng = np.random.default_rng(13)
+    secs = rng.integers(0, 50_000, 2000)
+    tbl = pa.table({"ts": _ts(*secs.tolist())})
+    out = (hopping_window(rd.from_arrow(tbl), every_s=3600, hop_s=900)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    o = con.execute("""
+        SELECT CAST(floor(epoch(ts)/900)*900 - i*900 AS BIGINT) AS window_start,
+               count(*) AS n_events
+        FROM t CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s
+        GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert out["window_start"].tolist() == o["window_start"].tolist()
+    assert out["n_events"].tolist() == o["n_events"].tolist()
