@@ -430,6 +430,17 @@ def q_window_tumbling(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact count(DISTINCT user_id) per event_type: per-batch pair
+    dedupe is the combiner, one groupby, vectorized unique count."""
+    from parquet2_ray.stages.window import distinct_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return distinct_count(ds, group_col="event_type", value_col="user_id",
+                          out_col="n_users")
+
+
 def q_window_hopping(sf_dir: str):
     """Hopping-window aggregate (1-day windows every 12 h): each event
     lands in 2 windows via one np.repeat in the bucket map, partials
@@ -797,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_tokens": q_top_tokens,
         "q_window_tumbling": q_window_tumbling,
         "q_window_hopping": q_window_hopping,
+        "q_distinct_users": q_distinct_users,
         "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
@@ -1003,6 +1015,9 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, ROUND(SUM(value), 4) AS sum_value, "
             "MIN(value) AS min_value, MAX(value) AS max_value "
             "FROM events GROUP BY 1, 2"),
+        "q_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"),
         "q_window_hopping": (
             # every event belongs to exactly every_s/hop_s = 2 windows
             "SELECT CAST(floor(epoch(ts) / 43200) * 43200 - i * 43200 AS BIGINT)"

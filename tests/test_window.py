@@ -209,3 +209,27 @@ def test_hopping_window_matches_duckdb(ray_session):
         GROUP BY 1 ORDER BY 1""").fetchdf()
     assert out["window_start"].tolist() == o["window_start"].tolist()
     assert out["n_events"].tolist() == o["n_events"].tolist()
+
+
+def test_distinct_count_exact(ray_session):
+    from parquet2_ray.stages.window import distinct_count
+
+    tbl = pa.table({
+        "g": ["a", "a", "a", "b", "b"],
+        "v": pa.array([1, 1, 2, 7, 7], type=pa.int64()),
+    })
+    out = (distinct_count(rd.from_arrow(tbl), group_col="g", value_col="v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["n_distinct"].tolist() == [2, 1]
+
+
+def test_distinct_count_dedupes_across_batches(ray_session):
+    from parquet2_ray.stages.window import distinct_count
+
+    # same (g, v) pair in every block — cross-block dupes must collapse
+    tbl = pa.table({"g": ["x"] * 1000, "v": pa.array([42] * 1000,
+                                                     type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = distinct_count(ds, group_col="g", value_col="v").to_pandas()
+    assert out["n_distinct"].tolist() == [1]
