@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
-           "distinct_count"]
+           "distinct_count", "approx_distinct_count"]
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -266,3 +266,66 @@ def distinct_count(
     return (ds.map_batches(dedupe, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(count, batch_format="pyarrow"))
+
+
+def approx_distinct_count(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    out_col: str = "n_approx",
+    p: int = 12,
+) -> rd.Dataset:
+    """Approximate count(DISTINCT value) per group via HyperLogLog.
+
+    The scale path for ``distinct_count``: each batch folds its values
+    into ONE 2^p-byte register bank per group present (vectorized
+    scatter-max over a combined group×register index), so the exchange
+    carries a fixed 2^p bytes per (batch, group) no matter how many
+    distinct values exist; the group task merges banks by elementwise
+    max and estimates.  Std err ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.bloom import hash_arrow
+    from ..functions.hll import _floor_log2, hll_estimate, hll_merge
+
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.nulls(0, b[group_col].type),
+                             "_reg": pa.nulls(0, pa.binary())})
+        enc = b[group_col].combine_chunks().dictionary_encode()
+        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hash_arrow(b[value_col])            # aligned: no nulls remain
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rank = np.where(w == 0, 64 - p + 1,
+                        (63 - _floor_log2(np.maximum(w, 1))) + 1)
+        ngroups = len(enc.dictionary)
+        flat = np.zeros(ngroups * m, dtype=np.uint8)
+        np.maximum.at(flat, g * m + idx, rank.astype(np.uint8))
+        return pa.table({
+            group_col: enc.dictionary,
+            "_reg": pa.array([flat[i * m:(i + 1) * m].tobytes()
+                              for i in range(ngroups)], type=pa.binary()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        banks = np.stack([np.frombuffer(v.as_py(), dtype=np.uint8)
+                          for v in group["_reg"]])
+        reg = banks[0]
+        for b_ in banks[1:]:
+            reg = hll_merge(reg, b_)
+        return pa.table({
+            group_col: group[group_col].slice(0, 1),
+            out_col: pa.array([int(round(hll_estimate(reg)))],
+                              type=pa.int64()),
+        })
+
+    return (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(final, batch_format="pyarrow"))

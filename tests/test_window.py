@@ -233,3 +233,52 @@ def test_distinct_count_dedupes_across_batches(ray_session):
     ds = rd.from_arrow(tbl).repartition(8)
     out = distinct_count(ds, group_col="g", value_col="v").to_pandas()
     assert out["n_distinct"].tolist() == [1]
+
+
+# ---- HyperLogLog sketch (functions/hll.py + approx_distinct_count) ----
+
+def test_hll_accuracy_and_merge():
+    from parquet2_ray.functions.hll import (hll_estimate, hll_merge, hll_of)
+
+    rng = np.random.default_rng(2)
+    for n in [100, 10_000, 200_000]:
+        vals = pa.array(rng.choice(n * 10, n, replace=False).astype(np.int64))
+        err = abs(hll_estimate(hll_of(vals)) - n) / n
+        assert err < 0.05, (n, err)
+    # union via merge == sketch of the union (registers are max-stable)
+    a = pa.array(np.arange(0, 60_000, dtype=np.int64))
+    b = pa.array(np.arange(40_000, 100_000, dtype=np.int64))
+    u = hll_estimate(hll_merge(hll_of(a), hll_of(b)))
+    assert abs(u - 100_000) / 100_000 < 0.05
+    # duplicates never move the estimate
+    from parquet2_ray.functions.hll import hll_add
+    from parquet2_ray.functions.bloom import hash_arrow
+    s1 = hll_of(a)
+    s2 = hll_add(s1.copy(), hash_arrow(a))
+    assert (s1 == s2).all()
+
+
+def test_hll_string_elements():
+    from parquet2_ray.functions.hll import hll_estimate, hll_of
+
+    vals = pa.array([f"doc-{i}" for i in range(5000)])
+    assert abs(hll_estimate(hll_of(vals)) - 5000) / 5000 < 0.05
+
+
+def test_approx_distinct_count_vs_exact(ray_session):
+    from parquet2_ray.stages.window import approx_distinct_count, distinct_count
+
+    rng = np.random.default_rng(4)
+    n = 50_000
+    tbl = pa.table({
+        "g": pa.array([f"g{int(v)}" for v in rng.integers(0, 3, n)]),
+        "v": pa.array(rng.integers(0, 8000, n).astype(np.int64)),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+    approx = (approx_distinct_count(ds, group_col="g", value_col="v")
+              .to_pandas().set_index("g")["n_approx"])
+    exact = (distinct_count(rd.from_arrow(tbl), group_col="g", value_col="v")
+             .to_pandas().set_index("g")["n_distinct"])
+    for g in exact.index:
+        err = abs(approx[g] - exact[g]) / exact[g]
+        assert err < 0.05, (g, approx[g], exact[g])
