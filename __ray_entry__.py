@@ -430,6 +430,18 @@ def q_window_tumbling(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact per-event_type value quantiles (quantile_cont definition):
+    one groupby on the group key, np.sort + linear interpolation in the
+    group task."""
+    from parquet2_ray.stages.window import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantiles(ds, group_col="event_type", value_col="value",
+                             qs=(0.25, 0.5, 0.95))
+
+
 def q_distinct_users(sf_dir: str):
     """Exact count(DISTINCT user_id) per event_type: per-batch pair
     dedupe is the combiner, one groupby, vectorized unique count."""
@@ -809,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_tumbling": q_window_tumbling,
         "q_window_hopping": q_window_hopping,
         "q_distinct_users": q_distinct_users,
+        "q_value_quantiles": q_value_quantiles,
         "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
@@ -1017,6 +1030,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"),
         "q_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"),
+        "q_value_quantiles": (
+            "SELECT event_type, quantile_cont(value, 0.25) AS q0_25, "
+            "quantile_cont(value, 0.5) AS q0_5, "
+            "quantile_cont(value, 0.95) AS q0_95 "
             "FROM events GROUP BY event_type"),
         "q_window_hopping": (
             # every event belongs to exactly every_s/hop_s = 2 windows

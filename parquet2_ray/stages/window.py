@@ -31,7 +31,8 @@ import pyarrow as pa
 import ray.data as rd
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
-           "distinct_count", "approx_distinct_count"]
+           "distinct_count", "approx_distinct_count",
+           "grouped_quantiles"]
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -329,3 +330,45 @@ def approx_distinct_count(
               .map_batches(partial, batch_format="pyarrow")
               .groupby(group_col)
               .map_groups(final, batch_format="pyarrow"))
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = (0.5,),
+    nshards: int = 64,
+) -> rd.Dataset:
+    """EXACT per-group quantiles (linear interpolation — the same
+    definition as SQL ``quantile_cont`` and ``np.quantile``).
+
+    Exact quantiles need each group's full value set on one task: ONE
+    groupby shuffle on the group key (value column only crosses — prune
+    everything else), then a single np.sort + vectorized interpolation
+    per group.  NULL values are excluded (SQL aggregate semantics).
+    For groups too large for one worker's heap, pre-aggregate to a
+    fixed-size histogram/t-digest instead — this operator is the exact
+    path for group-sized data (per-key event streams, per-source
+    document stats).
+    """
+    import pyarrow.compute as pc
+
+    q_arr = np.asarray(qs, dtype=np.float64)
+    qcols = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def quant(group: pa.Table) -> pa.Table:
+        vals = group[value_col].combine_chunks().drop_null()
+        out = {group_col: group[group_col].slice(0, 1)}
+        if len(vals) == 0:
+            for c in qcols:
+                out[c] = pa.nulls(1, pa.float64())
+            return pa.table(out)
+        v = np.sort(vals.to_numpy(zero_copy_only=False).astype(np.float64))
+        res = np.quantile(v, q_arr)  # 'linear' == SQL quantile_cont
+        for c, r in zip(qcols, res):
+            out[c] = pa.array([float(r)], type=pa.float64())
+        return pa.table(out)
+
+    return (ds.select_columns([group_col, value_col])
+              .groupby(group_col)
+              .map_groups(quant, batch_format="pyarrow"))

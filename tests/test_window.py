@@ -282,3 +282,28 @@ def test_approx_distinct_count_vs_exact(ray_session):
     for g in exact.index:
         err = abs(approx[g] - exact[g]) / exact[g]
         assert err < 0.05, (g, approx[g], exact[g])
+
+
+def test_grouped_quantiles_exact(ray_session):
+    from parquet2_ray.stages.window import grouped_quantiles
+
+    tbl = pa.table({
+        "g": ["a"] * 4 + ["b"] * 2,
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0]),
+    })
+    out = (grouped_quantiles(rd.from_arrow(tbl), group_col="g",
+                             value_col="v", qs=(0.5,))
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out["q0_5"].tolist() == [2.5, 15.0]
+
+
+def test_grouped_quantiles_nulls_excluded(ray_session):
+    from parquet2_ray.stages.window import grouped_quantiles
+
+    tbl = pa.table({
+        "g": ["a", "a", "a"],
+        "v": pa.array([1.0, None, 3.0]),
+    })
+    out = grouped_quantiles(rd.from_arrow(tbl), group_col="g",
+                            value_col="v", qs=(0.5,)).to_pandas()
+    assert out["q0_5"].tolist() == [2.0]  # null dropped, not zero-filled
