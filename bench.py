@@ -74,6 +74,8 @@ TIMED_QUERIES = [
     "q_sessionize",
     "q_asof_join",
     "q_top_tokens",
+    "q_distinct_users",
+    "q_value_quantiles",
 ]
 
 
