@@ -430,6 +430,26 @@ def q_window_tumbling(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_rolling_mean(sf_dir: str):
+    """Per-user rolling mean over the last 3 events (SQL ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW): one shard-grouped exchange, cumsum
+    differences inside the shard — no per-row re-summing."""
+    import pyarrow.compute as pc
+
+    from parquet2_ray.stages.window import rolling_mean
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = rolling_mean(ds, k=3)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("rolling_mean"),
+                            "rolling_mean",
+                            pc.round(b["rolling_mean"], ndigits=6))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact per-event_type value quantiles (quantile_cont definition):
     one groupby on the group key, np.sort + linear interpolation in the
@@ -822,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_hopping": q_window_hopping,
         "q_distinct_users": q_distinct_users,
         "q_value_quantiles": q_value_quantiles,
+        "q_rolling_mean": q_rolling_mean,
         "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
         "q_group_source_stats": q_group_source_stats,
@@ -1036,6 +1057,11 @@ def oracle_sql() -> dict[str, str]:
             "quantile_cont(value, 0.5) AS q0_5, "
             "quantile_cont(value, 0.95) AS q0_95 "
             "FROM events GROUP BY event_type"),
+        "q_rolling_mean": (
+            "SELECT event_id, ROUND(AVG(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean "
+            "FROM events"),
         "q_window_hopping": (
             # every event belongs to exactly every_s/hop_s = 2 windows
             "SELECT CAST(floor(epoch(ts) / 43200) * 43200 - i * 43200 AS BIGINT)"

@@ -32,7 +32,7 @@ import ray.data as rd
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
            "distinct_count", "approx_distinct_count",
-           "grouped_quantiles"]
+           "grouped_quantiles", "rolling_mean"]
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -372,3 +372,65 @@ def grouped_quantiles(
     return (ds.select_columns([group_col, value_col])
               .groupby(group_col)
               .map_groups(quant, batch_format="pyarrow"))
+
+
+def rolling_mean(
+    ds: rd.Dataset,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 3,
+    nshards: int = 256,
+) -> rd.Dataset:
+    """Per-key rolling mean over the last ``k`` events (current row
+    included) in timestamp order — the SQL window function
+    ``AVG(v) OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW)``.
+
+    Same shard-grouped plan as ``sessionize``: ONE shuffle on
+    ``hash(user)%nshards``, then inside the shard a lexsort over
+    (user, ts, id) and a cumulative-sum difference computes every
+    user's rolling means at once — the window never re-sums.  The id
+    column is the deterministic tie-breaker AND the join-back key, so
+    results are a pure function of the data.  Rows with NULL key/ts
+    are dropped (window frames need an order).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import shard_of
+
+    def shard(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[user_col]),
+                             pc.is_valid(b[ts_col])))
+        uid = b[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("_shard", pa.array(shard_of(uid, nshards)))
+
+    def roll(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.nulls(0, pa.int64()),
+                             "rolling_mean": pa.nulls(0, pa.float64())})
+        u = group[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)
+        i = group[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = (group[value_col].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        order = np.lexsort((i, t, u))
+        u, t, i, v = u[order], t[order], i[order], v[order]
+        csum = np.concatenate(([0.0], np.cumsum(v)))
+        n = len(v)
+        pos = np.arange(n)
+        # first row of each user's run, broadcast to every row of the run
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_u[1:])
+        run_start = pos[new_u][np.cumsum(new_u) - 1]
+        lo = np.maximum(pos - (k - 1), run_start)   # window start per row
+        means = (csum[pos + 1] - csum[lo]) / (pos + 1 - lo)
+        return pa.table({id_col: pa.array(i),
+                         "rolling_mean": pa.array(means, type=pa.float64())})
+
+    return (ds.select_columns([ts_col, user_col, value_col, id_col])
+              .map_batches(shard, batch_format="pyarrow")
+              .groupby("_shard")
+              .map_groups(roll, batch_format="pyarrow"))

@@ -307,3 +307,32 @@ def test_grouped_quantiles_nulls_excluded(ray_session):
     out = grouped_quantiles(rd.from_arrow(tbl), group_col="g",
                             value_col="v", qs=(0.5,)).to_pandas()
     assert out["q0_5"].tolist() == [2.0]  # null dropped, not zero-filled
+
+
+def test_rolling_mean_golden(ray_session):
+    from parquet2_ray.stages.window import rolling_mean
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 10], type=pa.int64()),
+        "ts": _ts(10, 20, 30, 40, 5),
+        "user_id": pa.array([7, 7, 7, 7, 9], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 6.0, 10.0, 5.0]),
+    })
+    out = (rolling_mean(rd.from_arrow(tbl), k=3, nshards=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # user 7: [1], [1,2], [1,2,6], [2,6,10]; user 9: [5]
+    assert out["rolling_mean"].tolist() == [1.0, 1.5, 3.0, 6.0, 5.0]
+
+
+def test_rolling_mean_window_never_crosses_users(ray_session):
+    from parquet2_ray.stages.window import rolling_mean
+
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": _ts(10, 20),
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "value": pa.array([100.0, 4.0]),
+    })
+    out = (rolling_mean(rd.from_arrow(tbl), k=5, nshards=2)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["rolling_mean"].tolist() == [100.0, 4.0]
