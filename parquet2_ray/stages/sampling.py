@@ -19,6 +19,7 @@ partitioned by it).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -66,17 +67,18 @@ def split_by_hash(
     """
     fractions = fractions or {"train": 0.9, "val": 0.1}
     thresholds = split_thresholds(fractions)
+    # cumulative thresholds are ascending by construction, so the
+    # first-upper-greater-than-hash scan is one vectorized searchsorted
+    # (lexicographic on fixed-width hex — same order as the SQL twin)
+    uppers = np.array([u for _, u in thresholds], dtype="U8")
+    names = np.array([n for n, _ in thresholds], dtype=object)
 
     def tag(b: pa.Table) -> pa.Table:
-        keys = [str(v) for v in b[key_col].to_pylist()]
-        h8 = [h[:8] for h in md5_hex(keys)]
-        names = []
-        for h in h8:
-            for name, upper in thresholds:
-                if h < upper:
-                    names.append(name)
-                    break
-        return b.append_column(split_col, pa.array(names, type=pa.string()))
+        keys = [str(v) for v in b[key_col].to_pylist()]  # md5 needs bytes
+        h8 = np.array([h[:8] for h in md5_hex(keys)], dtype="U8")
+        idx = np.searchsorted(uppers, h8, side="right")
+        return b.append_column(
+            split_col, pa.array(names[idx], type=pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
 

@@ -68,6 +68,11 @@ def tumbling_window(
     cols = [ts_col, *keys] + ([value_col] if value_col else [])
 
     def bucket(b: pa.Table) -> pa.Table:
+        # NULL timestamps are dropped (a window needs a time) — same
+        # policy as sessionize/rolling_mean, matching SQL's behavior of
+        # a NULL bucket expression falling out of any equality group.
+        import pyarrow.compute as pc
+        b = b.filter(pc.is_valid(b[ts_col]))
         us = _ts_us(b[ts_col]).to_numpy(zero_copy_only=False)
         # numpy // floors toward -inf: pre-1970 timestamps bucket left
         ws = (us // every_us) * np.int64(every_s)
@@ -98,16 +103,23 @@ class _SessionizeShard:
     NULL users are one group (SQL ``PARTITION BY`` semantics — NaN-vs-
     NaN comparisons would instead split every null row into its own
     session and coerce the key column to float64), carried through as
-    the INT64_MIN sentinel and emitted back as null.  Rows with a NULL
-    timestamp are dropped upstream (a session window needs a time)."""
+    the INT64_MIN sentinel and emitted back as null.  KNOWN LIMIT: a
+    legitimate user_id equal to INT64_MIN would merge with the NULL
+    group — acceptable for surrogate-key id spaces; use an explicit
+    _isnull bit column if your id domain spans the full int64 range.
+    Rows with a NULL timestamp are dropped upstream (a session window
+    needs a time)."""
 
     def __init__(self, ts_col, user_col, gap_us):
         self.ts_col, self.user_col, self.gap_us = ts_col, user_col, gap_us
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
+            # derive the key type from the group schema so empty shards
+            # emit the same schema as non-empty ones (Ray unions blocks)
+            utype = group.schema.field(self.user_col).type
             return pa.table({
-                "user_id": pa.nulls(0, pa.int64()),
+                self.user_col: pa.nulls(0, utype),
                 "session_id": pa.nulls(0, pa.int64()),
                 "session_start_s": pa.nulls(0, pa.int64()),
                 "session_end_s": pa.nulls(0, pa.int64()),
@@ -138,7 +150,7 @@ class _SessionizeShard:
         session_id = sess_idx - sess_idx[user_first][user_of_sess]
         out_u = u[starts]
         return pa.table({
-            "user_id": pa.array(out_u, mask=(out_u == _NULL_USER)),
+            self.user_col: pa.array(out_u, mask=(out_u == _NULL_USER)),
             "session_id": pa.array(session_id, type=pa.int64()),
             "session_start_s": pa.array(t[starts] // 1_000_000, type=pa.int64()),
             "session_end_s": pa.array(t[ends - 1] // 1_000_000, type=pa.int64()),
@@ -213,6 +225,8 @@ def hopping_window(
     cols = [ts_col, *keys] + ([value_col] if value_col else [])
 
     def bucket(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.is_valid(b[ts_col]))  # NULL ts rows are dropped
         us = _ts_us(b[ts_col]).to_numpy(zero_copy_only=False)
         base = (us // hop_us) * np.int64(hop_s)      # hop-aligned, seconds
         # windows containing t: base - i*hop for i in [0, k)
@@ -248,19 +262,22 @@ def distinct_count(
 
     Per-batch (group, value) dedupe is the combiner — duplicate pairs
     collapse before the exchange, so at most |distinct pairs in batch|
-    rows shuffle; the group task counts uniques vectorized.  For a
-    100 TB corpus where even the distinct pair set is huge, swap the
-    final stage for a sketch (HLL) — this operator is the exact path.
+    rows shuffle; the group task counts uniques vectorized.  NULL
+    values are excluded (SQL ``COUNT(DISTINCT v)`` semantics); NULL
+    group keys still form one group.  For a 100 TB corpus where even
+    the distinct pair set is huge, swap the final stage for a sketch
+    (HLL) — this operator is the exact path.
     """
     import pyarrow.compute as pc
 
     def dedupe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[value_col]))   # COUNT(DISTINCT) skips NULL
         return b.select([group_col, value_col]).group_by(
             [group_col, value_col]).aggregate([])
 
     def count(group: pa.Table) -> pa.Table:
         vals = group[value_col].combine_chunks()
-        n = pc.count_distinct(vals, mode="all").as_py()
+        n = pc.count_distinct(vals, mode="only_valid").as_py()
         return pa.table({group_col: group[group_col].slice(0, 1),
                          out_col: pa.array([n], type=pa.int64())})
 
@@ -408,7 +425,8 @@ def rolling_mean(
 
     def roll(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({id_col: pa.nulls(0, pa.int64()),
+            return pa.table({id_col: pa.nulls(0,
+                                group.schema.field(id_col).type),
                              "rolling_mean": pa.nulls(0, pa.float64())})
         u = group[user_col].combine_chunks().to_numpy(zero_copy_only=False)
         t = _ts_us(group[ts_col]).to_numpy(zero_copy_only=False)

@@ -336,3 +336,49 @@ def test_rolling_mean_window_never_crosses_users(ray_session):
     out = (rolling_mean(rd.from_arrow(tbl), k=5, nshards=2)
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert out["rolling_mean"].tolist() == [100.0, 4.0]
+
+
+def test_distinct_count_excludes_null_values(ray_session):
+    from parquet2_ray.stages.window import distinct_count
+
+    # SQL COUNT(DISTINCT v) never counts NULL as a value
+    tbl = pa.table({
+        "g": ["a", "a", "a", "b"],
+        "v": pa.array([1, None, 2, None], type=pa.int64()),
+    })
+    out = (distinct_count(rd.from_arrow(tbl), group_col="g", value_col="v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # group b has only NULL values → no surviving pair (documented:
+    # the group drops out entirely, like a WHERE v IS NOT NULL pre-filter)
+    assert out["g"].tolist() == ["a"]
+    assert out["n_distinct"].tolist() == [2]
+
+
+def test_tumbling_window_null_ts_dropped(ray_session):
+    ts = pa.array([10_000_000, None, 20_000_000],
+                  type=pa.int64()).cast(pa.timestamp("us"))
+    tbl = pa.table({"ts": ts, "value": pa.array([1.0, 2.0, 3.0])})
+    out = tumbling_window(rd.from_arrow(tbl), every_s=100,
+                          value_col="value").to_pandas()
+    assert out["n_events"].tolist() == [2]
+    assert out["sum_value"].tolist() == [4.0]
+
+
+def test_hopping_window_null_ts_dropped(ray_session):
+    from parquet2_ray.stages.window import hopping_window
+
+    ts = pa.array([10_000_000, None], type=pa.int64()).cast(pa.timestamp("us"))
+    tbl = pa.table({"ts": ts})
+    out = hopping_window(rd.from_arrow(tbl), every_s=100, hop_s=50).to_pandas()
+    assert out["n_events"].sum() == 2  # one event in 2 hopping windows
+
+
+def test_sessionize_names_output_by_user_col(ray_session):
+    tbl = pa.table({
+        "t": _ts(0, 10),
+        "uid": pa.array([5, 5], type=pa.int64()),
+    })
+    out = sessionize(rd.from_arrow(tbl), ts_col="t", user_col="uid",
+                     gap_s=100, nshards=2).to_pandas()
+    assert "uid" in out.columns
+    assert out["uid"].tolist() == [5]
