@@ -21,6 +21,8 @@ __all__ = [
     "quality_score_batch",
     "BpeTokenCount",
     "bpe_token_count_batch",
+    "text_metrics_batch",
+    "text_quality_batch",
     "BPE_PATTERN",
     "token_count_partials",
     "top_tokens",
@@ -92,6 +94,28 @@ def bpe_token_count_batch(
         "doc_id": batch["doc_id"],
         "n_bpe_tok": batch["text"].str.count(pat).fillna(0).astype("int64"),
     })
+
+
+def text_metrics_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Both tokenizer counts (whitespace + BPE-ish regex) in one pass —
+    the driver-facing merge of ``token_count_batch`` and
+    ``bpe_token_count_batch`` so one scan of the corpus feeds both."""
+    ws = token_count_batch(batch)
+    bpe = bpe_token_count_batch(batch)
+    ws["n_bpe_tok"] = bpe["n_bpe_tok"]
+    return ws
+
+
+def text_quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Char stats + quality signals + md5 fingerprint in one pass —
+    the driver-facing merge of ``char_stats_batch``,
+    ``quality_score_batch`` and ``md5_batch`` (one corpus scan)."""
+    cs = char_stats_batch(batch)
+    q = quality_score_batch(batch)
+    cs["alpha_ratio"] = q["alpha_ratio"]
+    cs["mean_word_len"] = q["mean_word_len"]
+    cs["fp"] = md5_hex(batch["text"])
+    return cs
 
 
 def char_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
