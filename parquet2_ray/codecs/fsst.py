@@ -46,6 +46,7 @@ MAX_SYMBOL_LEN = 8
 CHUNK = 512  # forced parse boundary; bounds the lockstep step count
 
 _SHIFTS = np.arange(8, dtype=np.uint64) * np.uint64(8)
+_COL8 = np.arange(8, dtype=np.int64)[None, :]  # decode keep-mask columns
 _LEN_MASKS = np.array(
     [0] + [(1 << (8 * L)) - 1 for L in range(1, 8)] + [np.iinfo(np.uint64).max],
     dtype=np.uint64,
@@ -216,19 +217,20 @@ def decode(buf: bytes) -> bytes:
     esc_idx = np.flatnonzero(is_escape)
     is_literal[np.minimum(esc_idx + 1, n - 1)] = True  # well-formed streams never truncate
     # --- emit: literals (1 byte) + symbol codes (sym_lens bytes) -------
+    # Per token, gather its full 8-byte symbol row, then keep the first
+    # ``len`` bytes via one boolean compress (C-order = stream order).
+    # This is 3 passes over ntok×8 uint8 — no O(output) int64 repeat/
+    # arange index machinery (the old emit was ~5× slower on the same
+    # stream and pathological on this VM's first-touch page faults).
     tok_pos = np.flatnonzero(~is_escape)
     tok_codes = codes[tok_pos]
     tok_lit = is_literal[tok_pos]
     lens = np.where(tok_lit, 1, table.sym_lens[tok_codes])
-    starts = np.zeros(tok_pos.size + 1, dtype=np.int64)
-    np.cumsum(lens, out=starts[1:])
-    total = int(starts[-1])
-    rec = np.repeat(np.arange(tok_pos.size, dtype=np.int64), lens)
-    col = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
-    out = table.sym_matrix[tok_codes[rec], col]
-    lit_rec = tok_lit[rec]
-    out[lit_rec] = tok_codes[rec][lit_rec]
-    return out.tobytes()
+    tok8 = table.sym_matrix[tok_codes]              # (ntok, 8)
+    if tok_lit.any():
+        tok8[tok_lit, 0] = tok_codes[tok_lit]       # literal byte, len 1
+    mask = _COL8 < lens[:, None]                    # (ntok, 8) keep-mask
+    return tok8[mask].tobytes()
 
 
 # ------------------------------------------------------------------ training
