@@ -205,7 +205,7 @@ def _fold_plan(partials: list[dict], opts: EncodeOptions) -> PartitionPlan:
 
 
 @ray.remote
-def _plan_stats_task(files: list, group_col, weight_col) -> tuple:
+def _plan_stats_task(files: list, group_col, weight_col, fs=None) -> tuple:
     """Plan fast path map side: light stats over a slice of parquet files
     — projection pushed to the parquet read, O(files) tasks, no Dataset
     machinery (its fixed per-pipeline startup is ~1 s, which at bench
@@ -222,7 +222,9 @@ def _plan_stats_task(files: list, group_col, weight_col) -> tuple:
     out: list = []
     meta: list = []
     for f in files:
-        pf = _pq.ParquetFile(f)
+        # fs threads through from resolve_input_files so the plan pass
+        # reads object storage (s3/gs/...) exactly like local disk
+        pf = _pq.ParquetFile(f, filesystem=fs)
         md = pf.metadata
         rgs = [md.row_group(i) for i in range(md.num_row_groups)]
         meta.append({
@@ -241,14 +243,16 @@ def _plan_stats_task(files: list, group_col, weight_col) -> tuple:
 
 
 def plan_partitions_from_files(files: list, opts: EncodeOptions,
-                               files_per_task: int = 4) -> tuple:
+                               files_per_task: int = 4,
+                               filesystem=None) -> tuple:
     """Raw-task planner for path inputs (one task per files_per_task
     parquet files; driver folds O(tasks × groups) tiny rows).  Returns
     ``(plan, file_meta)`` where file_meta is ``[(path, [rg_rows...])]``
     for the fused read+split stage."""
     chunks = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
-    refs = [_plan_stats_task.remote(c, opts.group_col, opts.weight_col)
+    refs = [_plan_stats_task.remote(c, opts.group_col, opts.weight_col,
+                                    filesystem)
             for c in chunks]
     parts = ray.get(refs)
     meta = [fm for _, m in parts for fm in m]
@@ -382,7 +386,7 @@ def _split_block_coarse(plan: PartitionPlan, group_col, weight_col,
 
 @ray.remote
 def _read_split_task(plan: PartitionPlan, group_col, weight_col,
-                     n_out: int, fan, columns, items: list):
+                     n_out: int, fan, columns, items: list, fs=None):
     """Fused exchange map for path inputs: read the assigned row-group
     slices straight from parquet and split them — the classic shuffle-map
     shape where the map task reads its own input split.  Versus the
@@ -395,7 +399,7 @@ def _read_split_task(plan: PartitionPlan, group_col, weight_col,
 
     tables = []
     for path, rgs in items:
-        pf = _pq.ParquetFile(path)
+        pf = _pq.ParquetFile(path, filesystem=fs)
         t = pf.read_row_groups(list(rgs), columns=columns)
         if t.num_rows:
             tables.append(t)
@@ -525,46 +529,46 @@ def encode_dataset(
     out_dir: str,
     opts: EncodeOptions | None = None,
     columns: list[str] | None = None,
+    filesystem=None,
 ) -> dict:
-    """Run the full encode pipeline; returns the global manifest summary."""
+    """Run the full encode pipeline; returns the global manifest summary.
+
+    ``input_path`` may be a Dataset, or any mix of local paths,
+    directories, globs and object-store URIs (``s3://...``,
+    ``gs://...``) — resolved through ``pyarrow.fs`` and threaded into
+    the plan and read-split tasks, so every path route works against
+    object storage.  ``filesystem`` overrides resolution (tests inject
+    a ``SubTreeFileSystem``/mock here)."""
     import os
     import time
+
+    from ..sources.readers import resolve_input_files
 
     opts = opts or EncodeOptions()
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     plan_files: list | None = None
+    input_fs = None
     ds: rd.Dataset | None = None
     if isinstance(input_path, rd.Dataset):
         ds = input_path
         schema_names = ds.schema().names
     else:
-        paths = input_path if isinstance(input_path, list) else [input_path]
-        plan_files = []
-        for p in paths:
-            if os.path.isdir(p):
-                # recursive, like ray.data.read_parquet (hive-style and
-                # nested layouts must not silently drop files)
-                found = []
-                for root, _dirs, names in os.walk(p):
-                    found.extend(os.path.join(root, f) for f in names
-                                 if f.endswith((".parquet", ".pq")))
-                plan_files.extend(sorted(found))
-            else:
-                plan_files.append(p)
-        if not plan_files:
-            raise ValueError(f"no parquet files found under {paths!r}")
+        input_fs, plan_files = resolve_input_files(input_path, filesystem)
         import pyarrow.parquet as _pq
 
-        schema_names = _pq.read_schema(plan_files[0]).names
+        schema_names = _pq.read_schema(plan_files[0],
+                                       filesystem=input_fs).names
         if columns is not None:
             schema_names = [c for c in schema_names if c in columns]
         if not opts.fuse_read_split:
             if opts.read_num_blocks:
-                ds = rd.read_parquet(input_path, columns=columns,
+                ds = rd.read_parquet(plan_files, columns=columns,
+                                     filesystem=input_fs,
                                      override_num_blocks=opts.read_num_blocks)
             else:
-                ds = rd.read_parquet(input_path, columns=columns)
+                ds = rd.read_parquet(plan_files, columns=columns,
+                                     filesystem=input_fs)
     group_col = opts.group_col if opts.group_col in schema_names else None
     weight_col = opts.weight_col if opts.weight_col in schema_names else None
     sort_key: str | list[str] | None = opts.sort_key
@@ -577,7 +581,8 @@ def encode_dataset(
                                  "weight_col": weight_col})
     file_meta: list = []
     if plan_files is not None:
-        plan, file_meta = plan_partitions_from_files(plan_files, plan_opts)
+        plan, file_meta = plan_partitions_from_files(plan_files, plan_opts,
+                                                     filesystem=input_fs)
         # heterogeneous schemas would otherwise fail deep inside a read
         # task (or silently skew the plan) — reject them up front, like
         # the Dataset read's unification error but with the file named
@@ -636,7 +641,8 @@ def encode_dataset(
         for items in _pack_rg_items(pack_meta, target_tasks,
                                     max_task_mass=opts.max_split_task_bytes):
             refs = rst.remote(plan_ref, group_col, weight_col, n_out,
-                              fan if hier else None, columns, items)
+                              fan if hier else None, columns, items,
+                              input_fs)
             shard_refs.append([refs] if n_out == 1 else list(refs))
     else:
         pending: list = []
