@@ -280,6 +280,57 @@ def q_roundtrip_flba(sf_dir: str):
     return ds.map_batches(rt, batch_format="pyarrow")
 
 
+def q_roundtrip_map(sf_dir: str):
+    """Map logical type through the FULL pipeline (reference
+    parquet_bridge.rs:505-508 GroupLogicalType::Map; closes VERDICT r2
+    missing #1): a map<string,double> column is built vectorized from
+    events (two entries per row, null map when event_id % 7 == 0 to
+    exercise the validity frame), encoded into the container (map →
+    list<struct> composite codecs), decoded, and exploded back to flat
+    (event_id, mkey, mval) rows for the SQL oracle."""
+    import pyarrow.compute as pc
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+
+    entry_struct = pa.struct([pa.field("key", pa.string(), nullable=False),
+                              pa.field("value", pa.float64())])
+
+    def build(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        eid = b["event_id"].combine_chunks()
+        v = pc.fill_null(pc.cast(b["value"].combine_chunks(), pa.float64()),
+                         0.0).to_numpy(zero_copy_only=False)
+        keys = pa.array(np.tile(np.array(["a", "b"], dtype=object), n))
+        items = pa.array(np.column_stack([v, v * 0.5]).ravel(),
+                         type=pa.float64())
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * 2,
+                        type=pa.int32())
+        m = pa.MapArray.from_arrays(offs, keys, items)
+        null_mask = (eid.to_numpy(zero_copy_only=False) % 7) == 0
+        m = m.take(pa.array(np.arange(n, dtype=np.int64), mask=null_mask))
+        return pa.table({"event_id": eid, "m": m})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    out = _out_dir(sf_dir, "events_map")
+    encode_dataset(ds.map_batches(build, batch_format="pyarrow"), out,
+                   EncodeOptions(sort_key="event_id", target_rows=100_000))
+
+    def explode(b: pa.Table) -> pa.Table:
+        ls = b["m"].combine_chunks().cast(pa.list_(entry_struct))
+        flat = pc.list_flatten(ls)
+        rows = pc.list_parent_indices(ls)
+        return pa.table({"event_id": pc.take(b["event_id"], rows),
+                         "mkey": flat.field("key"),
+                         "mval": flat.field("value")})
+
+    return decode_dataset(out).map_batches(explode, batch_format="pyarrow")
+
+
 def q_parquet_interop(sf_dir: str):
     """Standard-parquet interchange (VERDICT missing #6; reference
     write/file.rs:20-41): encode documents into the P2R1 container,
@@ -855,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_roundtrip_compressed": q_roundtrip_compressed,
         "q_roundtrip_structs": q_roundtrip_structs,
         "q_roundtrip_flba": q_roundtrip_flba,
+        "q_roundtrip_map": q_roundtrip_map,
         "q_codec_dict_int": q_codec_dict_int,
         "q_codec_for_bitpack": q_codec_for_bitpack,
         "q_codec_delta": q_codec_delta,
@@ -1024,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, ts, user_id, value, props FROM events"
         ),
         "q_roundtrip_flba": "SELECT doc_id, md5(text) AS fp, lang FROM documents",
+        "q_roundtrip_map": (
+            "SELECT event_id, 'a' AS mkey, coalesce(value, 0.0) AS mval "
+            "FROM events WHERE event_id % 7 <> 0 "
+            "UNION ALL "
+            "SELECT event_id, 'b' AS mkey, coalesce(value, 0.0) * 0.5 AS mval "
+            "FROM events WHERE event_id % 7 <> 0"),
         "q_parquet_interop": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_decode_projected_range": (
             "SELECT lang, source, n_chars FROM documents "

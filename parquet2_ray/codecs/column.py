@@ -98,6 +98,14 @@ def type_to_str(t: pa.DataType) -> str:
         return "struct<" + json.dumps(
             [[f.name, type_to_str(f.type)] for f in t],
             separators=(",", ":")) + ">"
+    if pa.types.is_map(t):
+        # parquet GroupLogicalType::Map (reference
+        # parquet_bridge.rs:505-508): physically list<struct<key,value>>
+        import json
+
+        return "map<" + json.dumps(
+            [type_to_str(t.key_type), type_to_str(t.item_type),
+             bool(t.keys_sorted)], separators=(",", ":")) + ">"
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -115,6 +123,11 @@ def str_to_type(s: str) -> pa.DataType:
         import json
 
         return pa.struct([(n, str_to_type(ts)) for n, ts in json.loads(s[7:-1])])
+    if s.startswith("map<") and s.endswith(">"):
+        import json
+
+        k, v, sorted_ = json.loads(s[4:-1])
+        return pa.map_(str_to_type(k), str_to_type(v), keys_sorted=sorted_)
     raise TypeError(f"unsupported arrow type string: {s}")
 
 
@@ -299,6 +312,8 @@ def codecs_for_type(t: pa.DataType) -> set[str]:
         return {"list"}
     if pa.types.is_struct(t):
         return {"struct"}
+    if pa.types.is_map(t):
+        return {"map"}
     if pa.types.is_decimal128(t):
         return {"decimal"}
     raise TypeError(f"no codecs for arrow type {t}")
@@ -416,6 +431,24 @@ def encode_array(
             num_values=n,
             payload=bytes(head) + bytes(body),
             meta=meta,
+        )
+
+    if codec == "map":
+        # Map logical type (reference parquet_bridge.rs:505-508;
+        # GroupLogicalType::Map is physically list<struct<key req,
+        # value>>): cast the entries view to a list<struct> and reuse
+        # the list+struct composite codecs wholesale — the key column
+        # sub-encodes with the binary/numeric selector like any other
+        # leaf.  keys_sorted is carried in the type string.
+        entries_t = pa.list_(pa.struct([
+            pa.field("key", t.key_type, nullable=False),
+            pa.field("value", t.item_type)]))
+        sub = encode_array(name, dense.cast(entries_t), "list",
+                           compression=compression)
+        return EncodedColumn(
+            name=name, codec="map", arrow_type=type_to_str(t),
+            num_values=n, payload=bytes(head) + sub.payload,
+            meta={"entries_type": sub.arrow_type, "list_meta": sub.meta},
         )
 
     if codec == "struct":
@@ -550,6 +583,16 @@ def decode_array(col: EncodedColumn) -> pa.Array:
             np.cumsum(lens, out=offsets[1:])
         dense = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), child)
         dense = dense.cast(t)
+    elif col.codec == "map":
+        sub = EncodedColumn(
+            name=col.name, codec="list",
+            arrow_type=col.meta["entries_type"], num_values=0,
+            payload=body, meta=col.meta.get("list_meta", {}),
+        )
+        lst = decode_array(sub)              # list<struct<key, value>>
+        ent = lst.values
+        dense = pa.MapArray.from_arrays(
+            lst.offsets, ent.field("key"), ent.field("value")).cast(t)
     elif col.codec == "struct":
         children, names, q = [], [], 0
         for fname, ftype, fcodec, fmeta in col.meta["fields"]:

@@ -80,6 +80,8 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray,
         return {"list": 0}
     if candidates == {"struct"}:
         return {"struct": 0}
+    if candidates == {"map"}:
+        return {"map": 0}
     if candidates == {"decimal"}:
         return {"decimal": 0}
     s = _sample(arr)
@@ -107,6 +109,8 @@ def select_codec(arr: pa.Array | pa.ChunkedArray,
         return "list"
     if pa.types.is_struct(t):
         return "struct"
+    if pa.types.is_map(t):
+        return "map"
     if pa.types.is_decimal128(t):
         return "decimal"
     sizes = candidate_sizes(arr, compression=compression)

@@ -42,7 +42,8 @@ def column_profile(name: str, arr: pa.Array | pa.ChunkedArray) -> dict:
             "min": None, "max": None}
     t = arr.type
     if n - null_count > 0 and not (pa.types.is_list(t) or pa.types.is_large_list(t)
-                                   or pa.types.is_struct(t)):
+                                   or pa.types.is_struct(t)
+                                   or pa.types.is_map(t)):
         mm = pc.min_max(arr)
         prof["min"] = _scalar(mm["min"])
         prof["max"] = _scalar(mm["max"])

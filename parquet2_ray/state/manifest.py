@@ -95,6 +95,8 @@ def _norm_type(t: pa.DataType) -> pa.DataType:
         return pa.struct(
             [pa.field(f.name, _norm_type(f.type), nullable=True) for f in t]
         )
+    if pa.types.is_map(t):
+        return pa.map_(_norm_type(t.key_type), _norm_type(t.item_type))
     return t
 
 

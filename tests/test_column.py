@@ -314,3 +314,59 @@ def test_register_custom_codec():
     sizes = candidate_sizes(pa.array(range(1000), type=pa.int64()))
     assert "xor_plain" in sizes
     assert select_codec(pa.array(range(1000), type=pa.int64())) != "xor_plain"
+
+
+# ---- map logical type (reference parquet_bridge.rs:505-508) ----
+
+def _map_cases():
+    import pyarrow as pa
+    return [
+        pa.array([[("a", 1), ("b", 2)], None, [], [("c", None)]],
+                 type=pa.map_(pa.string(), pa.int64())),
+        pa.array([], type=pa.map_(pa.string(), pa.float64())),
+        pa.array([[(1, "x")], [(2, "y"), (3, None)]],
+                 type=pa.map_(pa.int32(), pa.string())),
+        pa.array([None, None], type=pa.map_(pa.string(), pa.int64())),
+        pa.array([[("a", [1, 2])], None],
+                 type=pa.map_(pa.string(), pa.list_(pa.int64()))),
+    ]
+
+
+def test_map_roundtrips():
+    from parquet2_ray.codecs import decode_array, encode_array
+    from parquet2_ray.functions.selector import select_codec
+
+    for arr in _map_cases():
+        codec = select_codec(arr)
+        assert codec == "map"
+        dec = decode_array(encode_array("m", arr, codec))
+        assert dec.equals(arr), arr.type
+
+
+def test_map_sliced_and_keys_sorted():
+    import pyarrow as pa
+
+    from parquet2_ray.codecs import decode_array, encode_array
+
+    big = pa.array([[(f"k{i}", i)] for i in range(100)],
+                   type=pa.map_(pa.string(), pa.int64()))
+    sl = big.slice(10, 50)
+    dec = decode_array(encode_array("m", sl, "map"))
+    assert dec.equals(pa.array(sl.to_pylist(), type=sl.type))
+
+    t = pa.map_(pa.string(), pa.int64(), keys_sorted=True)
+    arr = pa.array([[("a", 1), ("b", 2)]], type=t)
+    dec = decode_array(encode_array("m", arr, "map"))
+    assert dec.type.equals(t) and dec.equals(arr)
+
+
+def test_map_type_grammar():
+    import pyarrow as pa
+
+    from parquet2_ray.codecs.column import str_to_type, type_to_str
+
+    for t in [pa.map_(pa.string(), pa.int64()),
+              pa.map_(pa.int32(), pa.list_(pa.float64())),
+              pa.map_(pa.string(), pa.struct([("x", pa.int64())])),
+              pa.map_(pa.string(), pa.int64(), keys_sorted=True)]:
+        assert str_to_type(type_to_str(t)).equals(t)
