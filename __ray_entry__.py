@@ -128,7 +128,9 @@ def q_roundtrip_embeddings(sf_dir: str):
 
 def q_roundtrip_compressed(sf_dir: str):
     """Container-level block compression (SURVEY.md C1-C4) on top of the
-    lightweight encodings; decode must still be bit-identical."""
+    lightweight encodings, at a NON-DEFAULT level ("zstd:6" — the
+    CompressionOptions level knob, reference parquet_bridge.rs:100-258);
+    decode must still be bit-identical."""
     from parquet2_ray.pipelines.encode_pipeline import (
         EncodeOptions,
         decode_dataset,
@@ -137,7 +139,7 @@ def q_roundtrip_compressed(sf_dir: str):
 
     out = _out_dir(sf_dir, "nation_zstd")
     opts = EncodeOptions(group_col=None, weight_col=None, sort_key="n_nationkey",
-                         target_rows=10, compression="zstd")
+                         target_rows=10, compression="zstd:6")
     encode_dataset(f"{sf_dir}/nation.parquet", out, opts)
     return decode_dataset(out)
 

@@ -86,15 +86,21 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray,
         return {"decimal": 0}
     s = _sample(arr)
     sizes: dict[str, int] = {}
+    comp_codec = None
+    if compression:
+        from ..state.manifest import parse_compression
+
+        # spec-aware ("zstd:19"): price with the SAME leveled codec the
+        # writer will apply, so the selector sees what lands on disk
+        comp_codec, _ = parse_compression(compression)
     for c in sorted(candidates):
         try:
             payload = col_mod.encode_array("s", s, c).payload
         except (ValueError, TypeError, OverflowError):
             continue
-        if compression:
+        if comp_codec is not None:
             # writer keeps the compressed payload only when smaller
-            # (state/manifest.py) — price exactly what lands on disk
-            comp = pa.compress(payload, codec=compression, asbytes=True)
+            comp = comp_codec.compress(payload, asbytes=True)
             sizes[c] = min(len(payload), len(comp))
         else:
             sizes[c] = len(payload)

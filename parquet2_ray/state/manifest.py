@@ -115,6 +115,35 @@ def _atomic_write(path: str, data: bytes, fsync: bool = True) -> None:
 
 
 _COMPRESSIONS = {"zstd", "lz4", "snappy", "gzip", "brotli"}
+# codecs that accept a level knob (reference parquet_bridge.rs:100-258:
+# Gzip 0-10 / Brotli 0-11 / Zstd 1-22); snappy has none, and pyarrow's
+# lz4 "frame" codec accepts 1-12
+_LEVELED = {"zstd", "gzip", "brotli", "lz4"}
+
+
+def parse_compression(spec: str | None):
+    """Parse a compression spec into ``(pa.Codec | None, bare_name)``.
+
+    Accepts ``"zstd"`` (codec default level) or ``"zstd:19"`` — the
+    CPU-for-size knob the reference exposes as CompressionOptions
+    levels (parquet_bridge.rs:100-258).  The bare name is what lands
+    in column meta: decode never needs the level."""
+    if not spec:
+        return None, None
+    name, _, lvl = spec.partition(":")
+    if name not in _COMPRESSIONS:
+        raise ValueError(f"unknown compression {name!r}")
+    if not lvl:
+        return pa.Codec(name), name
+    if name not in _LEVELED:
+        raise ValueError(f"{name!r} does not take a compression level")
+    level = int(lvl)
+    lo = pa.Codec.minimum_compression_level(name)
+    hi = pa.Codec.maximum_compression_level(name)
+    if not lo <= level <= hi:
+        raise ValueError(
+            f"{name} level {level} outside supported range [{lo}, {hi}]")
+    return pa.Codec(name, compression_level=level), name
 
 
 def write_partition_file(
@@ -130,13 +159,7 @@ def write_partition_file(
     /root/reference/src/write/compression.rs:12-50). Off by default: the
     north rule targets lightweight codecs; this is the opt-in flag.
     """
-    codec = None
-    if compression:
-        if compression not in _COMPRESSIONS:
-            raise ValueError(f"unknown compression {compression!r}")
-        import pyarrow as _pa
-
-        codec = _pa.Codec(compression)
+    codec, comp_name = parse_compression(compression)
     body = bytearray()
     col_meta = []
     for c in columns:
@@ -145,7 +168,7 @@ def write_partition_file(
         if codec is not None:
             compressed = codec.compress(payload, asbytes=True)
             if len(compressed) < len(payload):  # keep only if it helps
-                meta["compression"] = compression
+                meta["compression"] = comp_name
                 meta["uncompressed_size"] = len(payload)
                 payload = compressed
         col_meta.append(
@@ -185,11 +208,7 @@ def write_partition_file_paged(
     a reader selects only the blocks whose stats overlap its predicate
     and decodes a byte-subrange of the file, not the whole partition.
     """
-    codec = None
-    if compression:
-        if compression not in _COMPRESSIONS:
-            raise ValueError(f"unknown compression {compression!r}")
-        codec = pa.Codec(compression)
+    codec, comp_name = parse_compression(compression)
     body = bytearray()
     blocks_meta = []
     row_start = 0
@@ -201,7 +220,7 @@ def write_partition_file_paged(
             if codec is not None:
                 compressed = codec.compress(payload, asbytes=True)
                 if len(compressed) < len(payload):
-                    meta["compression"] = compression
+                    meta["compression"] = comp_name
                     meta["uncompressed_size"] = len(payload)
                     payload = compressed
             col_meta.append(

@@ -98,3 +98,45 @@ def test_tools_metrics(ray_session, tokens_table, tmp_path, capsys):
     out = capsys.readouterr().out
     import json
     assert json.loads(out)["n_rows"] == m["n_rows"]
+
+
+# ---- compression levels (reference parquet_bridge.rs:100-258) ----
+
+def test_parse_compression_specs():
+    codec, name = mf.parse_compression("zstd:19")
+    assert name == "zstd" and codec is not None
+    assert mf.parse_compression(None) == (None, None)
+    assert mf.parse_compression("snappy")[1] == "snappy"
+    with pytest.raises(ValueError, match="does not take"):
+        mf.parse_compression("snappy:2")
+    with pytest.raises(ValueError, match="outside supported range"):
+        mf.parse_compression("gzip:99")
+    with pytest.raises(ValueError, match="unknown compression"):
+        mf.parse_compression("xz:3")
+
+
+def test_leveled_compression_roundtrip_and_size(tmp_path):
+    # compressible text payload where zstd levels genuinely differ
+    text = pa.array([f"the quick brown fox {i % 11} jumps over the lazy dog"
+                     for i in range(20000)])
+    cols = [encode_array("t", text, "plain_byte_array")]
+    sizes = {}
+    for spec in ["zstd:1", "zstd:19"]:
+        path = str(tmp_path / f"p_{spec.replace(':', '_')}.bin")
+        sizes[spec] = mf.write_partition_file(path, cols, len(text),
+                                              compression=spec)
+        footer, read_cols = mf.read_partition_file(path)
+        # the level stays write-side: meta carries only the bare codec
+        assert footer["columns"][0]["meta"]["compression"] == "zstd"
+        assert decode_array(read_cols[0]).equals(text)
+    assert sizes["zstd:19"] < sizes["zstd:1"]
+
+
+def test_selector_prices_with_leveled_codec():
+    from parquet2_ray.functions.selector import select_codec
+
+    vals = pa.array([float(i % 100) for i in range(5000)])
+    # must not raise on a spec string; same decision space as bare name
+    assert select_codec(vals, compression="zstd:6") in (
+        "byte_stream_split", "dict_rle", "for_bitpack", "plain",
+        "delta_binary_packed", "rle")
