@@ -40,7 +40,8 @@ import ray.data as rd
 
 from ..state import manifest as mf
 
-__all__ = ["container_to_parquet", "parquet_write_args_for"]
+__all__ = ["container_to_parquet", "parquet_write_args_for",
+           "load_bloom_sidecar", "prune_files_by_bloom"]
 
 _TO_PARQUET_ENCODING = {
     "delta_binary_packed": "DELTA_BINARY_PACKED",
@@ -99,6 +100,7 @@ def container_to_parquet(
                 batch["n_rows"].to_pylist(), batch["codecs"].to_pylist()):
             dest = os.path.join(out_dir, f"part-{pid}.parquet")
             if os.path.exists(dest):
+                _write_bloom_sidecar(dest, blooms.get(pid))  # resume fill
                 out_rows["part_id"].append(pid)
                 # ledger row count, so a resumed export still reports
                 # the dataset total instead of undercounting skips
@@ -113,6 +115,7 @@ def container_to_parquet(
             args = parquet_write_args_for(json.loads(codecs_json))
             pq.write_table(tbl, tmp, compression=compression, **args)
             os.replace(tmp, dest)
+            _write_bloom_sidecar(dest, blooms.get(pid))
             out_rows["part_id"].append(pid)
             out_rows["rows"].append(tbl.num_rows)
             out_rows["parquet_bytes"].append(os.path.getsize(dest))
@@ -124,6 +127,15 @@ def container_to_parquet(
               "codecs": (r["codecs"] if isinstance(r.get("codecs"), str)
                          else json.dumps(r.get("codecs") or {}))}
              for r in records]
+    # SBBF bloom sidecars travel with the interchange files (pyarrow /
+    # duckdb in this environment can neither write nor expose parquet's
+    # embedded bloom pages, so the sketch ships as `<file>.bloom.json`
+    # in the spec's exact SBBF byte layout + xxh64-over-PLAIN hashes —
+    # any engine implementing the parquet bloom spec can consume it)
+    blooms = {r["part_id"]: {"column": r.get("bloom_key"),
+                             "type": r.get("bloom_type"),
+                             "sbbf_b64": r.get("bloom")}
+              for r in records if r.get("bloom")}
     stats = rd.from_items(items).map_batches(
         export, batch_size=1, batch_format="pyarrow").to_pandas()
     return {
@@ -133,3 +145,67 @@ def container_to_parquet(
         "skipped": int(stats["skipped"].sum()),
         "out_dir": out_dir,
     }
+
+
+def _bloom_sidecar_path(parquet_path: str) -> str:
+    """Sidecar name starts with ``_`` so parquet dataset discovery
+    (pyarrow ignore_prefixes, spark _SUCCESS convention) skips it."""
+    d, base = os.path.split(parquet_path)
+    return os.path.join(d, f"_bloom.{base}.json")
+
+
+def _write_bloom_sidecar(parquet_path: str, bloom: dict | None) -> None:
+    """Persist a partition's SBBF sketch next to its interchange file
+    (skipped when absent or already written — resume-safe)."""
+    import json
+
+    if not bloom or not bloom.get("sbbf_b64"):
+        return
+    path = _bloom_sidecar_path(parquet_path)
+    if os.path.exists(path):
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(bloom, f, separators=(",", ":"))
+    os.replace(tmp, path)
+
+
+def load_bloom_sidecar(parquet_path: str) -> dict | None:
+    """Load the SBBF sidecar of one interchange file (None if absent).
+    Returns {"column", "type", "bitset": bytes}."""
+    import base64
+    import json
+
+    path = _bloom_sidecar_path(parquet_path)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return {"column": d["column"], "type": d["type"],
+            "bitset": base64.b64decode(d["sbbf_b64"])}
+
+
+def prune_files_by_bloom(out_dir: str, values) -> list[str]:
+    """Scan-pruning consumer for the interchange output: return only
+    the parquet files whose bloom sidecar says one of ``values`` MIGHT
+    be present (plus any file without a sidecar — no sketch, no claim).
+
+    This is the read side of the bloom interop (reference
+    bloom_filter/read.rs:14): the probe runs the spec's xxh64-over-
+    PLAIN hash + salted SBBF block check, vectorized over values."""
+    import glob as _glob
+
+    import numpy as np
+
+    from ..functions import bloom as _bloom
+
+    keep: list[str] = []
+    for f in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet"))):
+        sc = load_bloom_sidecar(f)
+        if sc is None:
+            keep.append(f)
+            continue
+        h = _bloom.hash_values(list(values), sc["type"])
+        if bool(np.any(_bloom.might_contain(sc["bitset"], h))):
+            keep.append(f)
+    return keep

@@ -136,11 +136,14 @@ def lsh_bucketed_topk(
         .view(np.uint64)
         .ravel()
     )
-    wanted = set(qbuckets.tolist())
+    # hoisted, sorted once: np.isin sorts its test set per call, so
+    # handing it a pre-sorted unique array keeps the per-batch cost at
+    # one binary-search pass (VERDICT r2 minor #4)
+    wanted = np.unique(qbuckets)
 
     def filter_buckets(batch: pa.Table) -> pa.Table:
         sig = rp_signature_batch(batch, planes, emb_col, id_col)
-        mask = np.isin(sig["bucket"].to_numpy(zero_copy_only=False), list(wanted))
+        mask = np.isin(sig["bucket"].to_numpy(zero_copy_only=False), wanted)
         return batch.filter(pa.array(mask))
 
     pruned = ds.map_batches(filter_buckets, batch_format="pyarrow")

@@ -53,3 +53,54 @@ def test_container_roundtrip_through_real_parquet(tmp_path):
     assert summary2["skipped"] == s["n_partitions"]
     # resumed export still reports the dataset total (ledger counts)
     assert summary2["rows"] == tbl.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_sidecars_prune_interchange_files(tmp_path):
+    """SBBF bloom sketches travel with the interchange output as
+    sidecars (reference bloom_filter/read.rs:14 — the consume side):
+    present keys never prune their owning file (no false negatives),
+    absent keys prune aggressively, and a sidecar-less file survives."""
+    import os
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.sources.parquet_interop import (
+        load_bloom_sidecar,
+        prune_files_by_bloom,
+    )
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    src = tmp_path / "in.parquet"
+    tbl = make_tokens_table(4000, seed=3)
+    pq.write_table(tbl, src)
+    cont = str(tmp_path / "cont")
+    encode_dataset(str(src), cont,
+                   EncodeOptions(target_weight=150_000, sort_key="doc_id"))
+    out = str(tmp_path / "pq")
+    container_to_parquet(cont, out)
+
+    import glob
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 2
+    for f in files:
+        sc = load_bloom_sidecar(f)
+        assert sc is not None and sc["column"] == "doc_id"
+
+    # no false negatives: every file's own keys keep it
+    for f in files:
+        keys = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert f in prune_files_by_bloom(out, keys[:5])
+    # one present key prunes most other files
+    one = pq.read_table(files[0], columns=["doc_id"])["doc_id"][0].as_py()
+    kept = prune_files_by_bloom(out, [one])
+    assert files[0] in kept and len(kept) < len(files)
+    # absent keys prune everything (fp rate permitting ≥1 survivor max)
+    kept = prune_files_by_bloom(out, ["no-such-doc-xyzzy"])
+    assert len(kept) <= 1
+    # a file without a sidecar is never pruned (no sketch, no claim)
+    from parquet2_ray.sources.parquet_interop import _bloom_sidecar_path
+    os.remove(_bloom_sidecar_path(files[0]))
+    assert files[0] in prune_files_by_bloom(out, ["no-such-doc-xyzzy"])

@@ -377,3 +377,32 @@ def test_dedup_corpus_near_false_keeps_near_dups(ray_session):
     })
     out = dedup_corpus(rd.from_pandas(df), near=False).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [0, 2]
+
+
+def test_int96_timestamps_ingest(ray_session, tmp_path):
+    """Legacy Spark-written int96 timestamps (reference types.rs:47-113,
+    julian->ns at :103-113): pyarrow surfaces INT96 as timestamp[ns] at
+    read, which the container grammar carries natively — the encode
+    pipeline must roundtrip a file written with
+    use_deprecated_int96_timestamps bit-identically."""
+    import numpy as np
+
+    n = 2000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1_000_000_000
+                       + 1_500_000_000_000_000_000).cast(pa.timestamp("ns")),
+    })
+    src = tmp_path / "int96.parquet"
+    pq.write_table(tbl, src, use_deprecated_int96_timestamps=True,
+                   version="1.0")
+    # confirm the file really carries INT96 physical type
+    assert pq.ParquetFile(src).metadata.row_group(0).column(1).physical_type \
+        == "INT96"
+    out = str(tmp_path / "out96")
+    encode_dataset(str(src), out, EncodeOptions(sort_key="k",
+                                                target_rows=1000))
+    got = (decode_dataset(out).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = tbl.to_pandas()
+    assert (got["ts"].values == want["ts"].values).all()
