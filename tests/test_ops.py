@@ -583,3 +583,37 @@ def test_quantize_zero_and_empty_vectors():
     out = quantize_embeddings_batch(tbl)
     assert out["scale"].to_pylist() == [0.0, 0.0, 2.0 / 127]
     assert out["q"].to_pylist() == [[0, 0], [], [64, -127]]
+
+
+def test_verified_neardup_fast_matches_exact_on_ascii(ray_session):
+    """The sharded fast-mode verification (rolling-hash byte shingles,
+    np.intersect1d) must agree with the exact char-shingle mode on an
+    ASCII corpus (byte == char windows there)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parquet2_ray.stages.dedup import verified_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = {
+        0: base, 1: base + "tail!",          # near-dup pair
+        2: "completely different text here " * 8,
+        3: base.replace("quick", "rapid"),   # still similar
+        4: "another unrelated document body " * 7,
+    }
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()))})
+    ds = rd.from_arrow(tbl)
+    fast = verified_neardup_pairs(ds, candidate_threshold=0.3,
+                                  exact_threshold=0.5, hasher="fast",
+                                  nshards=4)
+    exact = verified_neardup_pairs(ds, candidate_threshold=0.3,
+                                   exact_threshold=0.5, hasher="md5",
+                                   nshards=4)
+    fast_pairs = list(zip(fast["id_a"].to_pylist(), fast["id_b"].to_pylist()))
+    exact_pairs = list(zip(exact["id_a"].to_pylist(), exact["id_b"].to_pylist()))
+    assert (0, 1) in exact_pairs
+    assert fast_pairs == exact_pairs
+    import numpy as np
+    assert np.allclose(fast["jaccard"].to_numpy(),
+                       exact["jaccard"].to_numpy(), atol=1e-9)
