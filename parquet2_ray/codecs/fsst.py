@@ -114,8 +114,12 @@ def _tokenize(
     empty = np.empty(0, dtype=np.uint8)
     if n == 0:
         return empty, np.empty(0, dtype=bool), empty
-    padded = np.zeros(n + 7, dtype=np.uint8)
+    padded = np.zeros(n + 8, dtype=np.uint8)
     padded[:n] = d
+    # overlapping little-endian u64 view: the window word at position p
+    # becomes ONE gather (vs 8 shifted byte gathers)
+    win64 = np.ndarray(buffer=padded.data, dtype="<u8",
+                       shape=(n,), strides=(1,))
     lengths_desc = [
         L for L in range(MAX_SYMBOL_LEN, 0, -1) if table._by_len_vals[L].size
     ]
@@ -130,9 +134,7 @@ def _tokenize(
     lit_parts: list[np.ndarray] = []
     while active.size:
         p = pos[active]
-        w = np.zeros(p.size, dtype=np.uint64)
-        for j in range(8):
-            w |= padded[p + j].astype(np.uint64) << _SHIFTS[j]
+        w = win64[p]
         room = ends[active] - p  # bytes left before the parse boundary
         L_here = np.zeros(p.size, dtype=np.int64)
         code_here = np.full(p.size, ESCAPE, dtype=np.uint8)
