@@ -32,7 +32,7 @@ import ray.data as rd
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
            "distinct_count", "approx_distinct_count",
-           "grouped_quantiles", "rolling_mean"]
+           "grouped_quantiles", "approx_quantiles", "rolling_mean"]
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -452,3 +452,102 @@ def rolling_mean(
               .map_batches(shard, batch_format="pyarrow")
               .groupby("_shard")
               .map_groups(roll, batch_format="pyarrow"))
+
+
+def _compress_centroids(means: np.ndarray, weights: np.ndarray,
+                        c: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress weighted centroids to ≤``c`` clusters by equi-depth
+    rank bucketing (a uniform-scale t-digest: each output cluster owns
+    ~total/c of the weight, so the rank error of any quantile estimate
+    is bounded by ~1/c per compression pass).  Fully vectorized:
+    sort + cumsum + reduceat."""
+    order = np.argsort(means, kind="stable")
+    m, w = means[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    mid = cum - w / 2.0
+    b = np.minimum((c * mid / total).astype(np.int64), c - 1)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(b)) + 1])
+    ws = np.add.reduceat(w, starts)
+    ms = np.add.reduceat(m * w, starts) / ws
+    return ms, ws
+
+
+def approx_quantiles(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = (0.5,),
+    compression: int = 512,
+) -> rd.Dataset:
+    """Approximate per-group quantiles via a mergeable centroid digest —
+    the 100 TB scale swap for :func:`grouped_quantiles` (same output
+    schema, so it's a drop-in): instead of shuffling every value to its
+    group task, each batch folds its values into ≤``compression``
+    weighted centroids per group (equi-depth rank buckets — a
+    uniform-scale t-digest), so the exchange carries a FIXED
+    O(compression) floats per (batch, group).  The group task merges
+    digests by concatenation + one recompression and interpolates on
+    cumulative weights; exact per-group min/max ride along so extreme
+    quantiles stay sharp.  Rank error ≈ 1/compression per pass (two
+    passes end-to-end → ~2/compression ≈ 0.4% at the default).
+    NULL values are excluded (SQL aggregate semantics)."""
+    import pyarrow.compute as pc
+
+    q_arr = np.asarray(qs, dtype=np.float64)
+    qcols = [f"q{str(q).replace('.', '_')}" for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        out = {group_col: [], "_m": [], "_w": [], "_lo": [], "_hi": []}
+        if b.num_rows:
+            enc = b[group_col].combine_chunks().dictionary_encode()
+            g = enc.indices.to_numpy(zero_copy_only=False)
+            v = (b[value_col].combine_chunks()
+                 .to_numpy(zero_copy_only=False).astype(np.float64))
+            order = np.argsort(g, kind="stable")
+            g, v = g[order], v[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(g)) + 1, [len(g)]])
+            for i in range(len(starts) - 1):
+                vals = v[starts[i]:starts[i + 1]]
+                m, w = _compress_centroids(
+                    vals, np.ones(vals.size), compression)
+                out[group_col].append(enc.dictionary[int(g[starts[i]])].as_py())
+                out["_m"].append(m.astype("<f8").tobytes())
+                out["_w"].append(w.astype("<f8").tobytes())
+                out["_lo"].append(float(vals.min()))
+                out["_hi"].append(float(vals.max()))
+        return pa.table({
+            group_col: pa.array(out[group_col]),
+            "_m": pa.array(out["_m"], pa.large_binary()),
+            "_w": pa.array(out["_w"], pa.large_binary()),
+            "_lo": pa.array(out["_lo"], pa.float64()),
+            "_hi": pa.array(out["_hi"], pa.float64()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        ms = np.concatenate([np.frombuffer(x.as_py(), dtype="<f8")
+                             for x in group["_m"]])
+        ws = np.concatenate([np.frombuffer(x.as_py(), dtype="<f8")
+                             for x in group["_w"]])
+        m, w = _compress_centroids(ms, ws, compression)
+        lo = float(pc.min(group["_lo"]).as_py())
+        hi = float(pc.max(group["_hi"]).as_py())
+        # interpolate at centroid midpoints, clamped by exact extremes
+        cum = np.cumsum(w)
+        total = cum[-1]
+        mid = (cum - w / 2.0) / total
+        xp = np.concatenate([[0.0], mid, [1.0]])
+        fp = np.concatenate([[lo], m, [hi]])
+        est = np.interp(q_arr, xp, fp)
+        out = {group_col: group[group_col].slice(0, 1)}
+        for cname, e in zip(qcols, est):
+            out[cname] = pa.array([float(e)], pa.float64())
+        return pa.table(out)
+
+    return (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .map_groups(final, batch_format="pyarrow"))

@@ -382,3 +382,46 @@ def test_sessionize_names_output_by_user_col(ray_session):
                      gap_s=100, nshards=2).to_pandas()
     assert "uid" in out.columns
     assert out["uid"].tolist() == [5]
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    """The centroid digest's quantile estimates must land within the
+    documented ~2/compression rank error of the exact quantiles."""
+    from parquet2_ray.stages.window import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    g = rng.choice(["a", "b"], n)
+    # mixed distribution: heavy tail + point mass
+    v = np.where(rng.random(n) < 0.1, 100.0, rng.lognormal(0, 1.0, n))
+    tbl = pa.table({"g": g, "v": pa.array(v)})
+    ds = rd.from_arrow(tbl).repartition(8)
+    qs = (0.01, 0.25, 0.5, 0.9, 0.99)
+    comp = 512
+    out = (approx_quantiles(ds, group_col="g", value_col="v", qs=qs,
+                            compression=comp)
+           .to_pandas().set_index("g").sort_index())
+    for grp in ("a", "b"):
+        vals = np.sort(v[g == grp])
+        for q in qs:
+            est = out.loc[grp][f"q{str(q).replace('.', '_')}"]
+            # a point mass owns an INTERVAL of ranks — measure the
+            # distance from q to the estimate's [left, right] rank span
+            lo = np.searchsorted(vals, est, side="left") / len(vals)
+            hi = np.searchsorted(vals, est, side="right") / len(vals)
+            dist = max(lo - q, q - hi, 0.0)
+            assert dist <= 3.0 / comp + 0.002, (grp, q, lo, hi)
+
+
+def test_approx_quantiles_matches_exact_schema_and_nulls(ray_session):
+    from parquet2_ray.stages.window import approx_quantiles, grouped_quantiles
+
+    tbl = pa.table({"g": ["x"] * 5, "v": pa.array([1.0, None, 2.0, 3.0, 4.0])})
+    a = approx_quantiles(rd.from_arrow(tbl), group_col="g", value_col="v",
+                         qs=(0.0, 0.5, 1.0)).to_pandas()
+    e = grouped_quantiles(rd.from_arrow(tbl), group_col="g", value_col="v",
+                          qs=(0.0, 0.5, 1.0)).to_pandas()
+    assert list(a.columns) == list(e.columns)  # drop-in schema
+    # exact extremes ride along; tiny group → digest is exact
+    assert a["q0_0"].tolist() == [1.0] and a["q1_0"].tolist() == [4.0]
+    assert a["q0_5"].tolist() == e["q0_5"].tolist()
