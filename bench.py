@@ -64,10 +64,10 @@ TIMED_QUERIES = [
     "q_stats_lineitem",
     "q_group_source_stats",
     "q_dedup_exact",
-    "q_minhash_pairs",
+    "q_minhash_pairs_md5",
     "q_dup_tiles",
-    "q_token_count",
-    "q_bpe_token_count",
+    "q_text_metrics",
+    "q_text_quality",
     "q_codec_bss",
     "q_ann_topk",
     "q_window_tumbling",
