@@ -52,7 +52,7 @@ from ..stages.encode import PART_COL, decode_partition_path, encode_partition_ta
 from ..state import manifest as mf
 
 __all__ = ["EncodeOptions", "plan_partitions", "encode_dataset",
-           "decode_dataset", "prune_partitions"]
+           "decode_dataset", "prune_partitions", "lookup_rows"]
 
 
 @dataclass
@@ -786,6 +786,47 @@ def prune_partitions_by_range(out_dir: str, column: str,
             continue
         keep.append(r["path"])
     return keep
+
+
+def lookup_rows(out_dir: str, key_column: str, key_values,
+                columns: list[str] | None = None) -> rd.Dataset:
+    """Point lookup over a container dataset — the composition of every
+    pruning layer for the "fetch these ids out of 100 TB" shape:
+
+    1. partition pruning by the manifest BLOOM sketch (driver-side
+       O(partitions) probe, no data read),
+    2. row-block pruning by the per-block page index using the keys'
+       [min, max] envelope (paged containers decode only overlapping
+       blocks),
+    3. column projection (only ``columns`` ∪ key chunks are pread), and
+    4. an exact vectorized ``is_in`` row filter.
+
+    Returns a streamed Dataset of exactly the matching rows."""
+    keys = list(key_values)
+    if not keys:
+        raise ValueError("lookup_rows needs at least one key value")
+    paths = prune_partitions(out_dir, keys)
+    if not paths:
+        return rd.from_arrow(pa.table({}))
+    lo, hi = min(keys), max(keys)
+    read_cols = columns
+    if columns is not None and key_column not in columns:
+        read_cols = list(columns) + [key_column]
+    key_set = pa.array(keys)
+
+    def _decode_lookup(batch: pa.Table):
+        from ..stages.encode import decode_partition_path
+
+        for p in batch["path"]:
+            t = decode_partition_path(p.as_py(), key_column, lo, hi,
+                                      columns=read_cols)
+            t = t.filter(pc.is_in(t[key_column], value_set=key_set))
+            if columns is not None and key_column not in columns:
+                t = t.drop_columns([key_column])
+            yield t
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        _decode_lookup, batch_format="pyarrow", batch_size=1)
 
 
 def decode_dataset(out_dir: str, key_values=None,

@@ -190,3 +190,37 @@ def test_decode_dataset_projection(ray_session, tmp_path):
                          columns=["source"]).to_pandas()
     assert list(got.columns) == ["source"]
     assert len(got) == 50
+
+
+def test_lookup_rows_point_lookup(ray_session, tokens_table, tmp_path):
+    """Point lookup composes bloom partition pruning + page-index block
+    pruning + projection + exact is_in filter."""
+    import pyarrow.parquet as pq
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+        lookup_rows,
+        prune_partitions,
+    )
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(tokens_table, src)
+    out = str(tmp_path / "out")
+    s = encode_dataset(str(src), out,
+                       EncodeOptions(target_weight=30_000, sort_key="doc_id",
+                                     rows_per_block=100))
+    assert s["n_partitions"] > 3
+    ids = sorted(tokens_table["doc_id"].to_pylist())
+    want = [ids[3], ids[len(ids) // 2], ids[-2]]
+    # bloom pruning engages: fewer partitions survive than exist
+    assert len(prune_partitions(out, want)) < s["n_partitions"]
+    got = (lookup_rows(out, "doc_id", want, columns=["doc_id", "n_tok"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == sorted(want)
+    assert list(got.columns) == ["doc_id", "n_tok"]
+    src_df = tokens_table.to_pandas().set_index("doc_id")
+    assert got["n_tok"].tolist() == [int(src_df.loc[i, "n_tok"]) for i in sorted(want)]
+    # projection that excludes the key still filters on it
+    got2 = lookup_rows(out, "doc_id", want, columns=["n_tok"]).to_pandas()
+    assert sorted(got2["n_tok"].tolist()) == sorted(got["n_tok"].tolist())
