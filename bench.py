@@ -330,11 +330,18 @@ def run_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # best-of-N per query, same policy as the headline: single shots on
+    # this shared host read as 1.5-3× regressions that vanish on re-run
+    repeats = int(os.environ.get("P2R_QUERY_REPEATS", "2"))
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        _consume(qs[name](sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            _consume(qs[name](sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
