@@ -1,0 +1,111 @@
+"""Sequence packing + deterministic shuffle (training last-mile ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parquet2_ray.stages.packing import (
+    deterministic_shuffle,
+    pack_sequences,
+    pack_token_arrays,
+)
+
+
+def test_pack_token_arrays_golden():
+    arrays = [np.array([1, 2, 3], np.int32), np.array([4, 5], np.int32)]
+    packed, n_real = pack_token_arrays(arrays, max_len=4, pad_id=0)
+    assert packed.tolist() == [[1, 2, 3, 4], [5, 0, 0, 0]]
+    assert n_real.tolist() == [4, 1]
+
+
+def test_pack_token_arrays_sep_and_drop():
+    arrays = [np.array([1, 2], np.int32), np.array([3], np.int32)]
+    packed, n_real = pack_token_arrays(arrays, max_len=3, sep_id=99)
+    # stream with separators: 1 2 99 3 99 → rows [1,2,99], [3,99,pad]
+    assert packed.tolist() == [[1, 2, 99], [3, 99, 0]]
+    assert n_real.tolist() == [3, 2]
+    packed, n_real = pack_token_arrays(arrays, max_len=3, sep_id=99,
+                                       drop_last=True)
+    assert packed.tolist() == [[1, 2, 99]]
+
+
+def test_pack_token_arrays_empty():
+    packed, n_real = pack_token_arrays([], max_len=8)
+    assert packed.shape == (0, 8) and n_real.size == 0
+
+
+def _tokens_ds(n=200, seed=1):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(1, 50, n)
+    toks = [rng.integers(0, 50_000, l).astype(np.int32) for l in lens]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "tokens": pa.array([t.tolist() for t in toks],
+                           type=pa.list_(pa.int32())),
+    })
+    return tbl, toks
+
+
+def test_pack_sequences_preserves_every_token(ray_session):
+    tbl, toks = _tokens_ds()
+    out = pack_sequences(rd.from_arrow(tbl).repartition(4), max_len=128,
+                         pad_id=-1, nshards=8).to_pandas()
+    assert (out["tokens"].str.len() == 128).all()  # fixed-length rows
+    # every token survives exactly once (multiset equality, padding out)
+    got = []
+    for row, nr in zip(out["tokens"], out["n_real"]):
+        got.extend(list(row)[: int(nr)])
+    want = np.concatenate([t for t in toks])
+    assert sorted(got) == sorted(want.tolist())
+    # padding only in final partial rows
+    assert (out["n_real"] <= 128).all()
+
+
+def test_pack_sequences_deterministic_and_ordered(ray_session):
+    tbl, toks = _tokens_ds(80, seed=7)
+    a = pack_sequences(rd.from_arrow(tbl).repartition(3), max_len=64,
+                       nshards=4).to_pandas().sort_values("seq_id")
+    b = pack_sequences(rd.from_arrow(tbl).repartition(7), max_len=64,
+                       nshards=4).to_pandas().sort_values("seq_id")
+    # identical output regardless of input partitioning
+    assert a["seq_id"].tolist() == b["seq_id"].tolist()
+    assert [list(x) for x in a["tokens"]] == [list(x) for x in b["tokens"]]
+    # inside a shard, the stream is doc_id-ordered: doc 0's first token
+    # opens that shard's row 0
+    from parquet2_ray.functions.hashing import shard_of
+
+    sid0 = int(shard_of(np.array([0], np.int64), 4)[0])
+    row0 = a[a["seq_id"] == f"{sid0}/0"]["tokens"].iloc[0]
+    first_docs = sorted(
+        i for i in range(80)
+        if int(shard_of(np.array([i], np.int64), 4)[0]) == sid0)
+    assert list(row0[: len(toks[first_docs[0]])]) == \
+        toks[first_docs[0]].tolist()
+
+
+def test_pack_sequences_string_ids_and_sep(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array([[1, 2], [3], [4, 5, 6]],
+                           type=pa.list_(pa.int32())),
+    })
+    out = pack_sequences(rd.from_arrow(tbl), max_len=5, sep_id=0,
+                         nshards=2).to_pandas()
+    total_real = int(out["n_real"].sum())
+    assert total_real == 6 + 3  # tokens + one separator per doc
+
+
+def test_deterministic_shuffle_reproducible(ray_session):
+    tbl = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                    "v": pa.array(np.arange(100.0))})
+    a = deterministic_shuffle(rd.from_arrow(tbl).repartition(5),
+                              seed=3).to_pandas()
+    b = deterministic_shuffle(rd.from_arrow(tbl).repartition(2),
+                              seed=3).to_pandas()
+    c = deterministic_shuffle(rd.from_arrow(tbl), seed=4).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()   # same seed
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()   # new epoch
+    assert a["doc_id"].tolist() != sorted(a["doc_id"].tolist())  # shuffled
