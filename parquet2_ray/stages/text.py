@@ -26,6 +26,9 @@ __all__ = [
     "BPE_PATTERN",
     "token_count_partials",
     "top_tokens",
+    "scrub_text_batch",
+    "chunk_documents_batch",
+    "repetition_signals_batch",
 ]
 
 
@@ -234,3 +237,107 @@ def top_tokens(ds, k: int = 50, text_col: str = "text"):
               .aggregate(Sum("n", alias_name="n"))
               .sort(["n", "token"], descending=[True, False])
               .limit(k))
+
+
+# --------------------------------------------------------------------------
+# round-3 additions: scrubbing, chunking, repetition quality signals
+
+
+_SCRUB_PATTERNS: dict = {}
+
+# conservative, RE2-compatible patterns (no lookbehind): the point is
+# the distributed plumbing + determinism, not NLP-grade recall
+SCRUB_DEFAULTS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_text_batch(batch: pd.DataFrame,
+                     rules: tuple = SCRUB_DEFAULTS) -> pd.DataFrame:
+    """PII scrub: replace email/url/phone spans with typed placeholders.
+
+    Task-pool stage; patterns compile lazily ONCE PER WORKER (module
+    cache, same discipline as ``bpe_token_count_batch``) and each rule
+    is one vectorized ``str.replace`` pass.  Emits per-rule hit counts
+    so a pipeline can audit how much was redacted."""
+    key = id(rules) if rules is not SCRUB_DEFAULTS else "default"
+    compiled = _SCRUB_PATTERNS.get(key)
+    if compiled is None:
+        import re
+
+        compiled = _SCRUB_PATTERNS[key] = [
+            (name, re.compile(pat), repl) for name, pat, repl in rules]
+    text = batch["text"]
+    out = {"doc_id": batch["doc_id"]}
+    for name, pat, repl in compiled:
+        out[f"n_{name}"] = text.str.count(pat).fillna(0).astype("int64")
+        text = text.str.replace(pat, repl, regex=True)
+    out["text"] = text
+    return pd.DataFrame(out)
+
+
+def chunk_documents_batch(batch: pd.DataFrame, chunk_chars: int = 1000,
+                          overlap: int = 100) -> pd.DataFrame:
+    """Split documents into overlapping character windows (context-
+    window chunking for retrieval / training).  One output row per
+    chunk: (doc_id, chunk_idx, char_start, chunk_text).  Vectorized
+    bookkeeping: per-doc chunk counts via integer math, one np.repeat
+    for the doc ids; the slicing itself is a bounded comprehension over
+    CHUNKS (not chars, not tokens)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    text = batch["text"].fillna("")
+    lens = text.str.len().to_numpy(dtype=np.int64)
+    n_chunks = np.maximum((lens - overlap + step - 1) // step, 1)
+    n_chunks[lens == 0] = 0
+    rep = np.repeat(np.arange(len(batch)), n_chunks)
+    idx = np.concatenate([np.arange(k) for k in n_chunks]) if len(rep) else \
+        np.empty(0, np.int64)
+    starts = idx * step
+    texts = text.to_numpy(dtype=object)
+    chunks = [texts[r][s:s + chunk_chars] for r, s in zip(rep, starts)]
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy()[rep],
+        "chunk_idx": idx.astype("int64"),
+        "char_start": starts.astype("int64"),
+        "chunk_text": chunks,
+    })
+
+
+def repetition_signals_batch(batch: pd.DataFrame,
+                             ngram: int = 2) -> pd.DataFrame:
+    """Gopher-style repetition quality signals, vectorized per doc:
+
+    - ``dup_line_frac``: fraction of lines that are exact duplicates of
+      an earlier line (whitespace-stripped, empties excluded),
+    - ``top_ngram_frac``: fraction of the word stream covered by the
+      single most frequent word n-gram.
+
+    High values flag boilerplate/spam for a downstream filter.  Work is
+    O(words) numpy per doc — no Python inner loops over tokens."""
+    dup_fracs = np.zeros(len(batch), np.float64)
+    top_fracs = np.zeros(len(batch), np.float64)
+    for i, t in enumerate(batch["text"].fillna("")):
+        lines = [l for l in (s.strip() for s in t.split("\n")) if l]
+        if lines:
+            arr = np.asarray(lines, dtype=object)
+            _, first = np.unique(arr, return_index=True)
+            dup_fracs[i] = 1.0 - first.size / arr.size
+        words = t.split()
+        if len(words) >= ngram:
+            h = hash_strings(np.asarray(words, dtype=object))
+            # rolling n-gram key over the word-hash stream (uint64 ring)
+            key = h[: len(h) - ngram + 1].copy()
+            with np.errstate(over="ignore"):
+                for j in range(1, ngram):
+                    key = key * np.uint64(1099511628211) + h[j: len(h) - ngram + 1 + j]
+            _, counts = np.unique(key, return_counts=True)
+            top_fracs[i] = counts.max() * ngram / len(words)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "dup_line_frac": dup_fracs,
+        "top_ngram_frac": np.minimum(top_fracs, 1.0),
+    })

@@ -109,3 +109,63 @@ def test_deterministic_shuffle_reproducible(ray_session):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()   # same seed
     assert a["doc_id"].tolist() != c["doc_id"].tolist()   # new epoch
     assert a["doc_id"].tolist() != sorted(a["doc_id"].tolist())  # shuffled
+
+
+# ---- round-3 text additions: scrub / chunk / repetition signals ----
+
+def test_scrub_text_batch(ray_session):
+    import pandas as pd
+
+    from parquet2_ray.stages.text import scrub_text_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail me at a.b@example.com or visit https://x.io/page now",
+                 "call +1 (555) 123-4567 twice, no pii here otherwise"],
+    })
+    out = scrub_text_batch(df)
+    assert out["n_email"].tolist() == [1, 0]
+    assert out["n_url"].tolist() == [1, 0]
+    assert out["n_phone"].tolist() == [0, 1]
+    assert "<EMAIL>" in out["text"][0] and "<URL>" in out["text"][0]
+    assert "<PHONE>" in out["text"][1]
+    assert "a.b@example.com" not in out["text"][0]
+
+
+def test_chunk_documents_batch():
+    import pandas as pd
+
+    from parquet2_ray.stages.text import chunk_documents_batch
+
+    df = pd.DataFrame({"doc_id": [7, 8, 9],
+                       "text": ["abcdefghij", "xy", ""]})
+    out = chunk_documents_batch(df, chunk_chars=4, overlap=1)
+    seven = out[out["doc_id"] == 7]
+    # windows of 4 chars, step 3: abcd, defg, ghij (full coverage, no
+    # redundant tail window that would add zero new characters)
+    assert seven["chunk_text"].tolist() == ["abcd", "defg", "ghij"]
+    assert seven["char_start"].tolist() == [0, 3, 6]
+    assert out[out["doc_id"] == 8]["chunk_text"].tolist() == ["xy"]
+    assert len(out[out["doc_id"] == 9]) == 0  # empty doc → no chunks
+    # reconstruction: stripping the overlap re-concatenates the doc
+    rec = "".join(c if i == 0 else c[1:]
+                  for i, c in enumerate(seven["chunk_text"]))
+    assert rec == "abcdefghij"
+
+
+def test_repetition_signals_batch():
+    import pandas as pd
+
+    from parquet2_ray.stages.text import repetition_signals_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["same line\nsame line\nsame line\nother",
+                 "all words distinct here today friend",
+                 "spam spam spam spam spam spam"],
+    })
+    out = repetition_signals_batch(df, ngram=2)
+    assert out["dup_line_frac"][0] == pytest.approx(0.5)   # 2 dups of 4
+    assert out["dup_line_frac"][1] == 0.0
+    assert out["top_ngram_frac"][1] == pytest.approx(2 / 6)
+    assert out["top_ngram_frac"][2] == pytest.approx(1.0)  # all same bigram
