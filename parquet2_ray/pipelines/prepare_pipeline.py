@@ -1,0 +1,99 @@
+"""End-to-end training-data preparation: the composite pipeline a real
+LLM corpus run executes, assembled from this engine's stages.
+
+    documents (parquet / object store)
+      → PII scrub                       (map-only, per-worker regexes)
+      → exact dedup                     (one 16 B/row hash exchange)
+      → quality gate                    (map-only repetition signals)
+      → tokenize                        (map-only, vocab-hash words)
+      → pack to fixed max_len rows      (one shard shuffle + reshape)
+      → encode into the P2R1 container  (the flagship encode pipeline:
+                                         plan → one all-to-all → codec
+                                         auto-select → lineage manifest)
+
+Every stage streams with backpressure; the whole run pays exactly
+THREE all-to-all exchanges (dedup hash groupby, packing shard groupby,
+the encode exchange) regardless of corpus size, and the output is the
+resumable partition container — a failed run re-encodes only missing
+partitions.  The reference has no pipeline layer at all (SURVEY.md §3:
+it is a codec library); this module is the proof that the stages
+compose into the actual 100 TB workload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+__all__ = ["prepare_training_data"]
+
+
+def prepare_training_data(
+    docs: rd.Dataset,
+    out_dir: str,
+    max_len: int = 2048,
+    pad_id: int = 0,
+    max_dup_line_frac: float = 0.9,
+    scrub: bool = True,
+    nshards: int = 256,
+    encode_opts=None,
+) -> dict:
+    """Run the full preparation pipeline; returns the container summary
+    plus per-stage row counts ({"kept_docs", "packed_rows", ...}).
+
+    ``docs`` must carry (doc_id, text) columns; dedup keeps the min-id
+    copy of identical texts, the quality gate drops documents whose
+    duplicate-line fraction exceeds ``max_dup_line_frac``."""
+    import ray
+
+    from ..sources.readers import _tokenize_batch
+    from ..stages.dedup import exact_dedup
+    from ..stages.packing import pack_sequences
+    from ..stages.text import repetition_signals_batch, scrub_text_batch
+    from .encode_pipeline import EncodeOptions, encode_dataset
+
+    if scrub:
+        docs = docs.map_batches(scrub_text_batch, batch_format="pandas")
+
+    # exact dedup → keeper id set, broadcast once (8 B/id — the text
+    # never leaves the distributed plane)
+    keepers = exact_dedup(docs, text_col="text", id_col="doc_id")
+    keep_tbl = pa.concat_tables(
+        [t if isinstance(t, pa.Table) else ray.get(t)
+         for t in keepers.select_columns(["doc_id"]).to_arrow_refs()])
+    keep_ref = ray.put(keep_tbl["doc_id"].combine_chunks())
+    n_keep = keep_tbl.num_rows
+
+    def keep_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(keep_ref)))
+
+    kept = docs.map_batches(keep_only, batch_format="pyarrow")
+
+    # quality gate: map-only repetition signal + threshold filter
+    def gate(b):
+        sig = repetition_signals_batch(b)
+        return b[sig["dup_line_frac"].to_numpy() <= max_dup_line_frac]
+
+    gated = kept.map_batches(gate, batch_format="pandas")
+
+    # tokenize + pack — source column is optional for plain-text inputs
+    def tok(b: pa.Table) -> pa.Table:
+        if "source" not in b.column_names:
+            b = b.append_column(
+                "source", pa.array(["corpus"] * b.num_rows))
+        return _tokenize_batch(b)
+
+    tokens = gated.map_batches(tok, batch_format="pyarrow")
+    packed = pack_sequences(tokens, max_len=max_len, pad_id=pad_id,
+                            nshards=nshards)
+
+    opts = encode_opts or EncodeOptions(
+        group_col=None, weight_col="n_real", sort_key="seq_id",
+        target_weight=max_len * 50_000)
+    summary = encode_dataset(packed, out_dir, opts)
+    summary["kept_docs"] = int(n_keep)
+    summary["packed_rows"] = int(summary["n_rows"])
+    return summary

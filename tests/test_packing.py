@@ -169,3 +169,44 @@ def test_repetition_signals_batch():
     assert out["dup_line_frac"][1] == 0.0
     assert out["top_ngram_frac"][1] == pytest.approx(2 / 6)
     assert out["top_ngram_frac"][2] == pytest.approx(1.0)  # all same bigram
+
+
+def test_prepare_training_data_end_to_end(ray_session, tmp_path):
+    """The composite corpus pipeline: scrub → dedup → gate → tokenize →
+    pack → encode container, with bit-identity on decode."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.pipelines.encode_pipeline import decode_dataset
+    from parquet2_ray.pipelines.prepare_pipeline import prepare_training_data
+
+    texts = {
+        0: "the quick brown fox jumps over a lazy dog near the river bank",
+        1: "the quick brown fox jumps over a lazy dog near the river bank",
+        2: "contact me at who@example.org for details about the corpus",
+        3: "boiler\nboiler\nboiler\nboiler\nboiler\nboiler\nboiler\nreal",
+        4: "a completely different document with plenty of fresh words",
+    }
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    out = str(tmp_path / "prep")
+    s = prepare_training_data(docs, out, max_len=16, nshards=4,
+                              max_dup_line_frac=0.7)
+    # doc 1 deduped away (exact copy of 0); doc 3 gated (dup frac 0.75)
+    assert s["kept_docs"] == 4
+    dec = decode_dataset(out).to_pandas()
+    assert s["packed_rows"] == len(dec)
+    assert (dec["tokens"].str.len() == 16).all()
+    # the scrubbed email must not survive into any token stream: the
+    # placeholder hash differs from the raw address hash
+    from parquet2_ray.sources.readers import _word_token_ids
+    raw_tok = int(_word_token_ids(["who@example.org"])[0])
+    scrub_tok = int(_word_token_ids(["<EMAIL>"])[0])
+    all_tokens = {t for row in dec["tokens"] for t in row}
+    assert raw_tok not in all_tokens and scrub_tok in all_tokens
+    # token conservation: total real tokens == sum of kept docs' words
+    kept_texts = [texts[0].replace("who@example.org", "<EMAIL>"),
+                  texts[2].replace("who@example.org", "<EMAIL>"),
+                  texts[4]]
+    expect = sum(len(t.split()) for t in kept_texts)
+    assert int(dec["n_real"].sum()) == expect
