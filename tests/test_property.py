@@ -176,3 +176,71 @@ def test_plan_split_partition_invariants(groups, weights, target):
             # fine part ids ride along and agree with the plan
             assert (np.asarray(t2["_part"]) // fan < n_groups).all()
     assert sorted(seen2) == list(range(n))
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.tuples(st.text(max_size=6),
+                               st.one_of(st.none(),
+                                         st.integers(-2**40, 2**40))),
+                     max_size=5)),
+        max_size=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_map_codec_roundtrip_property(rows):
+    import pyarrow as pa
+
+    from parquet2_ray.codecs import decode_array, encode_array
+
+    # unique keys per map (parquet map semantics)
+    clean = [None if r is None else list({k: v for k, v in r}.items())
+             for r in rows]
+    arr = pa.array(clean, type=pa.map_(pa.string(), pa.int64()))
+    dec = decode_array(encode_array("m", arr, "map"))
+    assert dec.equals(arr)
+
+
+@given(
+    st.lists(st.lists(st.integers(0, 2**31 - 1), max_size=20), max_size=25),
+    st.integers(1, 17),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_token_arrays_property(arrays_, max_len, drop_last):
+    import numpy as np
+
+    from parquet2_ray.stages.packing import pack_token_arrays
+
+    arrs = [np.array(a, np.int32) for a in arrays_]
+    packed, n_real = pack_token_arrays(arrs, max_len, pad_id=-1,
+                                       drop_last=drop_last)
+    assert packed.shape[1] == max_len if packed.size else True
+    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int32)
+    got = np.concatenate([packed[i, : n_real[i]]
+                          for i in range(packed.shape[0])]) \
+        if packed.shape[0] else np.empty(0, np.int32)
+    if drop_last:
+        assert (got == flat[: got.size]).all()     # prefix preserved
+        assert flat.size - got.size < max_len      # at most one partial lost
+    else:
+        assert (got == flat).all()                 # every token, in order
+    # padding never leaks into the real region
+    assert all((packed[i, : n_real[i]] != -1).all() | (flat < 0).any()
+               for i in range(packed.shape[0]))
+
+
+@given(st.binary(max_size=4000), st.integers(16, 600))
+@settings(max_examples=40, deadline=None)
+def test_fsst_roundtrip_property(data, chunk):
+    from parquet2_ray.codecs import fsst
+
+    table = fsst.train(data[:1000])
+    d = np.frombuffer(data, dtype=np.uint8)
+    payload = fsst._encode_payload(table, d, chunk)
+    enc = bytearray(table.serialize())
+    from parquet2_ray.codecs.uleb import uleb_encode
+    enc += uleb_encode(payload.size)
+    enc += payload.tobytes()
+    assert fsst.decode(bytes(enc)) == data
