@@ -20,7 +20,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.hashing import hash_strings, rolling_window_hashes
 
@@ -48,19 +48,29 @@ def gather_small(ds: rd.Dataset, empty: pa.Table) -> pa.Table:
 
 
 def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """One row per distinct content: (doc_id=min id, n_copies)."""
+    """One row per distinct content: (doc_id=min id, n_copies).
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    Per-batch PARTIAL dedupe is the combiner (the repo-wide
+    pre-aggregate-before-shuffle rule): duplicate texts inside a batch
+    collapse to one (h, min_id, n) row before the exchange, so a
+    heavy-duplicate corpus — exact dedup's main customer — ships its
+    distinct set, not its row count, through the groupby."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 "h": hash_strings(batch[text_col].to_numpy(dtype=object)).astype("uint64"),
                 id_col: batch[id_col],
             }
         )
+        g = df.groupby("h", sort=False)[id_col]
+        out = g.min().reset_index()
+        out["_n"] = g.size().to_numpy()
+        return out
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    hashed = ds.map_batches(partial, batch_format="pandas")
     agg = hashed.groupby("h").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+        Min(id_col, alias_name=id_col), Sum("_n", alias_name="n_copies")
     )
     return agg.select_columns([id_col, "n_copies"])
 
