@@ -199,11 +199,24 @@ def prune_files_by_bloom(out_dir: str, values) -> list[str]:
 
     from ..functions import bloom as _bloom
 
+    from .parquet_bloom import read_embedded_blooms
+
     keep: list[str] = []
     for f in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet"))):
         sc = load_bloom_sidecar(f)
         if sc is None:
-            keep.append(f)
+            # foreign files may carry SPEC-EMBEDDED blooms instead of
+            # our sidecars — consume those through the thrift reader
+            # (sources/parquet_bloom.py); no sketch of either kind ⇒
+            # no claim ⇒ keep
+            embedded = read_embedded_blooms(f)
+            if not embedded:
+                keep.append(f)
+                continue
+            h = _bloom.hash_values(list(values), None)
+            if any(bool(np.any(_bloom.might_contain(b["bitset"], h)))
+                   for b in embedded):
+                keep.append(f)
             continue
         h = _bloom.hash_values(list(values), sc["type"])
         if bool(np.any(_bloom.might_contain(sc["bitset"], h))):

@@ -1,0 +1,202 @@
+"""Foreign-parquet bloom READ interop (sources/parquet_bloom.py).
+
+Layer 1 cross-validates the thrift compact decoder against pyarrow's
+own metadata API on real pyarrow-written files; layer 2 exercises the
+bloom read path on spec-encoded fixture bytes (nothing in this
+environment can WRITE embedded blooms — the fixture builder below is a
+from-the-spec compact encoder living only in this test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from parquet2_ray.functions import bloom as bloom_mod
+from parquet2_ray.sources.parquet_bloom import (
+    compact_struct,
+    parse_footer,
+    probe_embedded_bloom,
+    read_embedded_blooms,
+)
+
+# ------------------------- tiny compact-protocol ENCODER (fixture only)
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz(v: int) -> bytes:
+    return _uvarint((v << 1) ^ (v >> 63))
+
+
+def _field(prev_id: int, fid: int, ftype: int) -> bytes:
+    delta = fid - prev_id
+    if 0 < delta <= 15:
+        return bytes([(delta << 4) | ftype])
+    return bytes([ftype]) + _zz(fid)
+
+
+def _enc_struct(fields: list[tuple[int, int, bytes]]) -> bytes:
+    """fields = [(field_id, type, encoded_value)] in ascending id order."""
+    out = bytearray()
+    prev = 0
+    for fid, ftype, payload in fields:
+        out += _field(prev, fid, ftype)
+        out += payload
+        prev = fid
+    out.append(0)  # STOP
+    return bytes(out)
+
+
+def _enc_binary(b: bytes) -> bytes:
+    return _uvarint(len(b)) + b
+
+
+def _enc_list(etype: int, items: list[bytes]) -> bytes:
+    n = len(items)
+    head = bytes([(n << 4) | etype]) if n < 15 else \
+        bytes([0xF0 | etype]) + _uvarint(n)
+    return head + b"".join(items)
+
+
+# ------------------------------------------ layer 1: real-file footers
+
+
+def test_footer_parse_matches_pyarrow(tmp_path):
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(5000, dtype=np.int64)),
+        "text": pa.array([f"row {i}" for i in range(5000)]),
+    })
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, p, row_group_size=1500)
+    meta = parse_footer(open(p, "rb").read())
+    pmd = pq.ParquetFile(p).metadata
+    assert meta[3] == pmd.num_rows
+    rgs = meta[4]
+    assert len(rgs) == pmd.num_row_groups
+    for i, rg in enumerate(rgs):
+        assert rg[3] == pmd.row_group(i).num_rows
+        cols = rg[1]
+        assert len(cols) == pmd.num_columns
+        for j, col in enumerate(cols):
+            cm = col[3]
+            want = pmd.row_group(i).column(j)
+            path = ".".join(x.decode() for x in cm[3])
+            assert path == want.path_in_schema
+            assert cm[5] == want.num_values
+            assert 14 not in cm  # pyarrow writes no blooms
+
+
+def test_footer_parse_duckdb_file(tmp_path):
+    import duckdb
+
+    p = str(tmp_path / "d.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT range AS k, 'v' || CAST(range % 7 AS VARCHAR) AS s "
+        f"FROM range(3000)) TO '{p}' (FORMAT PARQUET)")
+    meta = parse_footer(open(p, "rb").read())
+    assert meta[3] == 3000
+    assert len(meta[4]) == pq.ParquetFile(p).metadata.num_row_groups
+
+
+def test_no_embedded_blooms_in_pyarrow_files(tmp_path):
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"a": [1, 2, 3]}), p)
+    assert read_embedded_blooms(str(p)) == []
+
+
+# --------------------------------- layer 2: spec-encoded bloom fixture
+
+
+def _fixture_with_bloom(tmp_path, keys: list[str]):
+    """A minimal spec-shaped parquet container whose footer records one
+    column with an embedded SBBF bloom over ``keys``."""
+    h = bloom_mod.hash_values(keys, "string")
+    bitset = bloom_mod.build(h, bloom_mod.num_blocks_for(len(keys)))
+    header = _enc_struct([
+        (1, 5, _zz(len(bitset))),                       # numBytes i32
+        (2, 12, _enc_struct([(1, 12, _enc_struct([]))])),  # BLOCK
+        (3, 12, _enc_struct([(1, 12, _enc_struct([]))])),  # XXHASH
+        (4, 12, _enc_struct([(1, 12, _enc_struct([]))])),  # UNCOMPRESSED
+    ])
+    body = b"PAR1" + header + bitset
+    bloom_off = 4
+    col_meta = _enc_struct([
+        (3, 9, _enc_list(8, [_enc_binary(b"doc_id")])),  # path_in_schema
+        (5, 6, _zz(len(keys))),                          # num_values
+        (14, 6, _zz(bloom_off)),                         # bloom offset
+        (15, 5, _zz(len(header) + len(bitset))),         # bloom length
+    ])
+    chunk = _enc_struct([(2, 6, _zz(4)), (3, 12, col_meta)])
+    rg = _enc_struct([
+        (1, 9, _enc_list(12, [chunk])),
+        (2, 6, _zz(len(bitset))),
+        (3, 6, _zz(len(keys))),
+    ])
+    footer = _enc_struct([
+        (1, 5, _zz(2)),                                  # version
+        (2, 9, _enc_list(12, [_enc_struct([])])),        # schema (stub)
+        (3, 6, _zz(len(keys))),                          # num_rows
+        (4, 9, _enc_list(12, [rg])),                     # row_groups
+    ])
+    # header offset was computed relative to file start AFTER magic
+    blob = body + footer + len(footer).to_bytes(4, "little") + b"PAR1"
+    p = tmp_path / "bloomed.parquet"
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_embedded_bloom_roundtrip_and_probe(tmp_path):
+    keys = [f"doc-{i}" for i in range(500)]
+    p = _fixture_with_bloom(tmp_path, keys)
+    blooms = read_embedded_blooms(p)
+    assert len(blooms) == 1
+    b = blooms[0]
+    assert b["column"] == "doc_id" and b["row_group"] == 0
+    # every present key probes positive
+    assert probe_embedded_bloom(b, keys, "string").all()
+    # absent keys almost all probe negative (SBBF fp ≈ 1%)
+    miss = probe_embedded_bloom(
+        b, [f"nope-{i}" for i in range(500)], "string")
+    assert miss.sum() <= 15
+
+
+def test_compact_struct_scalar_types():
+    # bool-true field, i64, double, binary, map
+    buf = _enc_struct([
+        (1, 1, b""),
+        (2, 6, _zz(-12345)),
+        (3, 7, np.float64(2.5).tobytes()),
+        (4, 8, _enc_binary(b"xyz")),
+    ])
+    d, pos = compact_struct(buf, 0)
+    assert d[1] is True and d[2] == -12345 and d[3] == 2.5 and d[4] == b"xyz"
+    assert pos == len(buf)
+
+
+def test_prune_consumes_embedded_blooms(tmp_path):
+    """prune_files_by_bloom falls through to spec-embedded blooms when
+    no sidecar exists — the unified foreign-file consumer."""
+    from parquet2_ray.sources.parquet_interop import prune_files_by_bloom
+
+    keys = [f"doc-{i}" for i in range(200)]
+    p = _fixture_with_bloom(tmp_path, keys)
+    import os
+    dst = tmp_path / "part-0.parquet"
+    os.rename(p, dst)
+    kept = prune_files_by_bloom(str(tmp_path), ["doc-7"])
+    assert str(dst) in kept
+    kept = prune_files_by_bloom(str(tmp_path), ["definitely-absent-xyz"])
+    assert kept == []
