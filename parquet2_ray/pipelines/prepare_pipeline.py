@@ -56,7 +56,13 @@ def prepare_training_data(
     from .encode_pipeline import EncodeOptions, encode_dataset
 
     if scrub:
-        docs = docs.map_batches(scrub_text_batch, batch_format="pandas")
+        # materialize once: the scrubbed dataset is consumed TWICE
+        # (dedup fold + keep_only semi-join) — without this, Ray Data
+        # re-executes the read+regex lineage per consumer, doubling the
+        # most expensive map stage; blocks live in the object store and
+        # spill, so residency is bounded
+        docs = docs.map_batches(scrub_text_batch,
+                                batch_format="pandas").materialize()
 
     # exact dedup → keeper id set, broadcast once (8 B/id — the text
     # never leaves the distributed plane)
@@ -83,7 +89,8 @@ def prepare_training_data(
     def tok(b: pa.Table) -> pa.Table:
         if "source" not in b.column_names:
             b = b.append_column(
-                "source", pa.array(["corpus"] * b.num_rows))
+                "source", pa.array(["corpus"] * b.num_rows,
+                                   type=pa.string()))
         return _tokenize_batch(b)
 
     tokens = gated.map_batches(tok, batch_format="pyarrow")

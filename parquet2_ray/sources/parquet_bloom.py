@@ -122,6 +122,13 @@ def parse_footer(data: bytes) -> dict:
     if data[-4:] != b"PAR1":
         raise ValueError("not a parquet file (missing trailing magic)")
     flen = int.from_bytes(data[-8:-4], "little")
+    if flen + 8 > len(data):
+        # negative slicing would silently clamp to the buffer start and
+        # hand compact_struct a truncated byte run — fail loudly so the
+        # caller re-reads with a bigger tail
+        raise ValueError(
+            f"footer is {flen} bytes but only {len(data) - 8} were "
+            "provided — re-read with a larger tail")
     fbytes = data[-8 - flen:-8]
     meta, _ = compact_struct(fbytes, 0)
     return meta
@@ -140,8 +147,14 @@ def read_embedded_blooms(path: str, filesystem=None) -> list[dict]:
     fs = filesystem or pafs.LocalFileSystem()
     with fs.open_input_file(path) as f:
         size = f.size()
-        f.seek(max(0, size - (1 << 20)))      # footer ≪ 1 MB in practice
-        tail = f.read()
+        # exact-size footer read: last 8 bytes give the thrift length,
+        # so even a multi-MB footer (wide schemas, many row groups)
+        # parses correctly instead of truncating at a guessed tail
+        f.seek(max(0, size - 8))
+        tail8 = f.read(8)
+        flen = int.from_bytes(tail8[:4], "little")
+        f.seek(max(0, size - 8 - flen))
+        tail = f.read(flen + 8)
         meta = parse_footer(tail)
         out = []
         for rg_i, rg in enumerate(meta.get(4, [])):

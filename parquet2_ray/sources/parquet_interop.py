@@ -213,9 +213,29 @@ def prune_files_by_bloom(out_dir: str, values) -> list[str]:
             if not embedded:
                 keep.append(f)
                 continue
-            h = _bloom.hash_values(list(values), None)
-            if any(bool(np.any(_bloom.might_contain(b["bitset"], h)))
-                   for b in embedded):
+            # hash with each bloomed column's DECLARED type (the spec
+            # hashes the PLAIN encoding, so an int32 key hashed at the
+            # inferred int64 width would false-negative and wrongly
+            # prune a file that contains the value)
+            try:
+                schema = pq.read_schema(f)
+            except Exception:
+                schema = None
+            hit = False
+            for b in embedded:
+                ts = None
+                if schema is not None and b["column"] in schema.names:
+                    from ..codecs.column import type_to_str
+
+                    try:
+                        ts = type_to_str(schema.field(b["column"]).type)
+                    except TypeError:
+                        ts = None
+                h = _bloom.hash_values(list(values), ts)
+                if bool(np.any(_bloom.might_contain(b["bitset"], h))):
+                    hit = True
+                    break
+            if hit:
                 keep.append(f)
             continue
         h = _bloom.hash_values(list(values), sc["type"])

@@ -111,7 +111,7 @@ def pack_sequences(
         if group.num_rows == 0:
             return pa.table({
                 "seq_id": pa.nulls(0, pa.string()),
-                "tokens": pa.nulls(0, pa.list_(pa.int32())),
+                "tokens": pa.nulls(0, pa.large_list(pa.int32())),
                 "n_real": pa.nulls(0, pa.int64()),
             })
         sid = int(group["_shard"][0].as_py())
@@ -149,9 +149,11 @@ def pack_sequences(
         rows = packed.shape[0]
         seq_ids = pa.array([f"{sid}/{i}" for i in range(rows)],
                            type=pa.string())
-        offsets = pa.array(np.arange(rows + 1, dtype=np.int32) * max_len,
-                           type=pa.int32())
-        toks_out = pa.ListArray.from_arrays(
+        # int64 offsets (large_list): a shard can pack > 2^31 tokens at
+        # the 10^12-token scale this targets, where int32 offsets wrap
+        offsets = pa.array(np.arange(rows + 1, dtype=np.int64) * max_len,
+                           type=pa.int64())
+        toks_out = pa.LargeListArray.from_arrays(
             offsets, pa.array(packed.ravel(), type=pa.int32()))
         return pa.table({"seq_id": seq_ids, "tokens": toks_out,
                          "n_real": pa.array(n_real, type=pa.int64())})

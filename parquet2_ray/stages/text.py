@@ -262,12 +262,14 @@ def scrub_text_batch(batch: pd.DataFrame,
     cache, same discipline as ``bpe_token_count_batch``) and each rule
     is one vectorized ``str.replace`` pass.  Emits per-rule hit counts
     so a pipeline can audit how much was redacted."""
-    key = id(rules) if rules is not SCRUB_DEFAULTS else "default"
-    compiled = _SCRUB_PATTERNS.get(key)
+    # cache keyed by CONTENT (rules tuples are hashable): id()-keyed
+    # caching would serve stale patterns when a freed tuple's address
+    # is reused, and grow unboundedly for per-call tuples
+    compiled = _SCRUB_PATTERNS.get(rules)
     if compiled is None:
         import re
 
-        compiled = _SCRUB_PATTERNS[key] = [
+        compiled = _SCRUB_PATTERNS[rules] = [
             (name, re.compile(pat), repl) for name, pat, repl in rules]
     text = batch["text"]
     out = {"doc_id": batch["doc_id"]}

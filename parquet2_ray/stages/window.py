@@ -498,6 +498,7 @@ def approx_quantiles(
     qcols = [f"q{str(q).replace('.', '_')}" for q in qs]
 
     def partial(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type  # keep type on empty blocks
         b = b.filter(pc.and_(pc.is_valid(b[group_col]),
                              pc.is_valid(b[value_col])))
         out = {group_col: [], "_m": [], "_w": [], "_lo": [], "_hi": []}
@@ -520,7 +521,7 @@ def approx_quantiles(
                 out["_lo"].append(float(vals.min()))
                 out["_hi"].append(float(vals.max()))
         return pa.table({
-            group_col: pa.array(out[group_col]),
+            group_col: pa.array(out[group_col], type=gtype),
             "_m": pa.array(out["_m"], pa.large_binary()),
             "_w": pa.array(out["_w"], pa.large_binary()),
             "_lo": pa.array(out["_lo"], pa.float64()),
@@ -528,10 +529,16 @@ def approx_quantiles(
         })
 
     def final(group: pa.Table) -> pa.Table:
-        ms = np.concatenate([np.frombuffer(x.as_py(), dtype="<f8")
-                             for x in group["_m"]])
+        parts_m = [np.frombuffer(x.as_py(), dtype="<f8")
+                   for x in group["_m"] if x.is_valid]
+        if not parts_m:  # defensive: a group with no surviving digest
+            out = {group_col: group[group_col].slice(0, 1)}
+            for cname in qcols:
+                out[cname] = pa.nulls(1, pa.float64())
+            return pa.table(out)
+        ms = np.concatenate(parts_m)
         ws = np.concatenate([np.frombuffer(x.as_py(), dtype="<f8")
-                             for x in group["_w"]])
+                             for x in group["_w"] if x.is_valid])
         m, w = _compress_centroids(ms, ws, compression)
         lo = float(pc.min(group["_lo"]).as_py())
         hi = float(pc.max(group["_hi"]).as_py())

@@ -425,3 +425,18 @@ def test_approx_quantiles_matches_exact_schema_and_nulls(ray_session):
     # exact extremes ride along; tiny group → digest is exact
     assert a["q0_0"].tolist() == [1.0] and a["q1_0"].tolist() == [4.0]
     assert a["q0_5"].tolist() == e["q0_5"].tolist()
+
+
+def test_approx_quantiles_empty_blocks_keep_schema(ray_session):
+    from parquet2_ray.stages.window import approx_quantiles
+
+    tbl = pa.table({"g": pa.array(["a"] * 50 + ["b"] * 50),
+                    "v": pa.array(np.arange(100.0))})
+    # an upstream filter that empties some blocks must not flip the
+    # partial schema to null-typed group columns
+    ds = (rd.from_arrow(tbl).repartition(8)
+          .filter(lambda r: r["v"] < 30))
+    out = (approx_quantiles(ds, group_col="g", value_col="v", qs=(0.5,))
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out["g"].tolist() == ["a"]
+    assert out["q0_5"].tolist() == [14.5]
