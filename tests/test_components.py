@@ -1,0 +1,76 @@
+"""Distributed connected components vs a union-find reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from parquet2_ray.stages.components import (
+    cluster_dedup_keepers,
+    connected_components,
+)
+
+
+def _uf_reference(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for v in list(parent):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def _pairs_ds(edges):
+    a = pa.array([e[0] for e in edges], pa.int64())
+    b = pa.array([e[1] for e in edges], pa.int64())
+    return rd.from_arrow(pa.table({"id_a": a, "id_b": b}))
+
+
+def test_components_chain_and_clique(ray_session):
+    # chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (7, 20)]
+    got = (connected_components(_pairs_ds(edges), nshards=4).to_pandas()
+           .set_index("node")["component"].to_dict())
+    assert got == _uf_reference(edges)
+
+
+def test_components_random_graph_matches_union_find(ray_session):
+    # dense-ish random graph: duplicate clusters are near-cliques, so
+    # the realistic diameter (and the per-round Ray fixed cost × rounds)
+    # stays small; the chain test above covers long-path propagation
+    rng = np.random.default_rng(3)
+    nodes = rng.choice(200, size=60, replace=False)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.choice(nodes, 80), rng.choice(nodes, 80))
+             if a != b]
+    got = (connected_components(_pairs_ds(edges), max_rounds=24, nshards=4)
+           .to_pandas().set_index("node")["component"].to_dict())
+    assert got == _uf_reference(edges)
+
+
+def test_cluster_dedup_keepers_transitive(ray_session):
+    # chain a-b, b-c: pairwise id_b-removal keeps {a}; cluster dedup
+    # must agree — exactly the component minimum survives
+    edges = [(5, 9), (9, 2)]  # component {2, 5, 9}, min = 2
+    rm = sorted(cluster_dedup_keepers(_pairs_ds(edges), nshards=4)
+                .to_pandas()["remove_id"].tolist())
+    assert rm == [5, 9]
