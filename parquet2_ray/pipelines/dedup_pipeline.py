@@ -90,15 +90,25 @@ def dedup_corpus(
     hasher: str = "fast",
     max_bucket: int | None = 1024,
     nshards: int = 1024,
+    cluster_exact: bool = False,
 ) -> rd.Dataset:
     """The surviving corpus (all input columns), streaming.
 
-    ``near=True`` additionally removes the larger id of every verified
-    near-duplicate pair (requires a numeric id column — the pair stage
-    normalizes ids with min/max).  ``hasher="md5"`` + ``max_bucket=None``
-    is the SQL-oracle configuration (DuckDB reproduces the full
-    pipeline: window-function exact keepers + the verified-pair
-    anti-join).
+    ``near=True`` additionally removes near-duplicates found by
+    verified MinHash pairs.  Two removal policies:
+
+    - default (``cluster_exact=False``): the larger id of every
+      verified pair is removed — greedy, deterministic and
+      SQL-expressible (the oracle configuration);
+    - ``cluster_exact=True``: pairs feed distributed connected
+      components (``stages/components.py``) and exactly the MINIMUM id
+      of every duplicate CLUSTER survives — the transitive-closure
+      semantics (a–b, b–c chains collapse to {a} even when (a,c) was
+      never a candidate pair).
+
+    ``hasher="md5"`` + ``max_bucket=None`` is the SQL-oracle
+    configuration (DuckDB reproduces the full pipeline: window-function
+    exact keepers + the verified-pair anti-join).
     """
     import pyarrow.compute as pc
 
@@ -120,9 +130,20 @@ def dedup_corpus(
             exact_threshold=exact_threshold,
             hasher=hasher, max_bucket=max_bucket,
         )
-        removal = pa.concat_arrays([
-            removal, pairs["id_b"].combine_chunks().cast(id_type)
-        ])
+        if cluster_exact and pairs.num_rows:
+            from ..stages.components import cluster_dedup_keepers
+
+            rm_ds = cluster_dedup_keepers(
+                rd.from_arrow(pairs.select(["id_a", "id_b"])))
+            rm_tbl = gather_small(
+                rm_ds, pa.table({"remove_id": pa.array([], pa.int64())}))
+            removal = pa.concat_arrays([
+                removal, rm_tbl["remove_id"].combine_chunks().cast(id_type)
+            ])
+        else:
+            removal = pa.concat_arrays([
+                removal, pairs["id_b"].combine_chunks().cast(id_type)
+            ])
     removal = pc.unique(removal)
     rm_ref = ray.put(removal)  # broadcast once, read per task
 

@@ -74,3 +74,27 @@ def test_cluster_dedup_keepers_transitive(ray_session):
     rm = sorted(cluster_dedup_keepers(_pairs_ds(edges), nshards=4)
                 .to_pandas()["remove_id"].tolist())
     assert rm == [5, 9]
+
+
+def test_dedup_corpus_cluster_exact_chain(ray_session):
+    """A near-dup CHAIN (a~b, b~c, a!~c at candidate level) must
+    collapse to the cluster minimum under cluster_exact=True."""
+    import pandas as pd
+
+    from parquet2_ray.pipelines.dedup_pipeline import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = {
+        1: base + "alpha beta gamma delta",
+        2: base + "alpha beta gamma EPSILON",   # near 1
+        3: base + "alpha beta ZETA EPSILON",    # near 2, farther from 1
+        9: "a completely different document with its own words " * 3,
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = dedup_corpus(ds, candidate_threshold=0.4, exact_threshold=0.4,
+                       nshards=8, cluster_exact=True).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    # whatever the verified pair set is, transitive closure keeps only
+    # the minimum of the {1,2,3} cluster plus the unrelated doc
+    assert kept == [1, 9]
