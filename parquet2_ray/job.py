@@ -64,6 +64,37 @@ def cmd_decode(args) -> dict:
     return container_to_parquet(args.input, args.output)
 
 
+def cmd_dedup(args) -> dict:
+    """Deduplicated corpus → parquet (exact + optional near-dup)."""
+    import ray.data as rd
+
+    from .pipelines.dedup_pipeline import dedup_corpus
+
+    ds = rd.read_parquet(args.input)
+    out = dedup_corpus(ds, text_col=args.text_col, id_col=args.id_col,
+                       near=not args.exact_only,
+                       cluster_exact=args.cluster_exact)
+    rows = out.count()
+    # coalesce: the removal filter can leave schema-less EMPTY blocks,
+    # which would become unreadable 0-column parquet files (one file
+    # per block); repartition also right-sizes output files (~1M rows)
+    out = out.repartition(max(1, min(200, rows // 1_000_000 + 1)))
+    out.write_parquet(args.output)
+    return {"output": args.output, "rows": rows}
+
+
+def cmd_prepare(args) -> dict:
+    """Full training-data preparation: scrub → dedup → gate →
+    tokenize → pack → encode container."""
+    import ray.data as rd
+
+    from .pipelines.prepare_pipeline import prepare_training_data
+
+    ds = rd.read_parquet(args.input)
+    return prepare_training_data(ds, args.output, max_len=args.max_len,
+                                 scrub=not args.no_scrub)
+
+
 def cmd_verify(args) -> dict:
     # distributed bit-identity proof: decode every committed partition,
     # recompute the canonical fingerprint, compare to the manifest
@@ -94,9 +125,25 @@ def main(argv: list[str] | None = None) -> int:
     ver = sub.add_parser("verify")
     ver.add_argument("--container", required=True)
 
+    ddp = sub.add_parser("dedup")
+    ddp.add_argument("--input", required=True)
+    ddp.add_argument("--output", required=True)
+    ddp.add_argument("--text-col", default="text")
+    ddp.add_argument("--id-col", default="doc_id")
+    ddp.add_argument("--exact-only", action="store_true")
+    ddp.add_argument("--cluster-exact", action="store_true",
+                     help="transitive-closure near-dup clusters")
+
+    prep = sub.add_parser("prepare")
+    prep.add_argument("--input", required=True)
+    prep.add_argument("--output", required=True)
+    prep.add_argument("--max-len", type=int, default=2048)
+    prep.add_argument("--no-scrub", action="store_true")
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
-    out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify}[args.cmd](args)
+    out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
+           "dedup": cmd_dedup, "prepare": cmd_prepare}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

@@ -65,11 +65,14 @@ def prepare_training_data(
                                 batch_format="pandas").materialize()
 
     # exact dedup → keeper id set, broadcast once (8 B/id — the text
-    # never leaves the distributed plane)
+    # never leaves the distributed plane); gather_small skips the
+    # schema-less empty blocks Ray aggregations can emit
+    from ..stages.dedup import gather_small
+
     keepers = exact_dedup(docs, text_col="text", id_col="doc_id")
-    keep_tbl = pa.concat_tables(
-        [t if isinstance(t, pa.Table) else ray.get(t)
-         for t in keepers.select_columns(["doc_id"]).to_arrow_refs()])
+    keep_tbl = gather_small(
+        keepers.select_columns(["doc_id"]),
+        pa.table({"doc_id": pa.array([], pa.int64())}))
     keep_ref = ray.put(keep_tbl["doc_id"].combine_chunks())
     n_keep = keep_tbl.num_rows
 

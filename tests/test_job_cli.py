@@ -34,3 +34,32 @@ def test_job_encode_verify_decode(tmp_path, capsys):
     dec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert dec["rows"] == 1500
     assert pq.read_table(out).num_rows == 1500
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_dedup_and_prepare(tmp_path, capsys):
+    import pandas as pd
+    import pyarrow as pa
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog " * 3,
+        1: "the quick brown fox jumps over the lazy dog " * 3,  # dup of 0
+        2: "something else entirely with distinct words here",
+    }
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                             "text": pa.array(list(texts.values()))}), src)
+
+    out = str(tmp_path / "deduped")
+    assert main(["dedup", "--input", str(src), "--output", out,
+                 "--exact-only"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 2
+    kept = pq.read_table(out)["doc_id"].to_pylist()
+    assert sorted(kept) == [0, 2]
+
+    cont = str(tmp_path / "prepared")
+    assert main(["prepare", "--input", str(src), "--output", cont,
+                 "--max-len", "32"]) == 0
+    prep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prep["kept_docs"] == 2 and prep["packed_rows"] >= 1
