@@ -73,7 +73,11 @@ def cmd_dedup(args) -> dict:
     ds = rd.read_parquet(args.input)
     out = dedup_corpus(ds, text_col=args.text_col, id_col=args.id_col,
                        near=not args.exact_only,
-                       cluster_exact=args.cluster_exact)
+                       cluster_exact=args.cluster_exact,
+                       cc_max_rounds=args.cc_max_rounds)
+    # materialize ONCE: count + write on the lazy pipeline would
+    # re-execute the whole read+filter lineage twice
+    out = out.materialize()
     rows = out.count()
     # coalesce: the removal filter can leave schema-less EMPTY blocks,
     # which would become unreadable 0-column parquet files (one file
@@ -133,6 +137,9 @@ def main(argv: list[str] | None = None) -> int:
     ddp.add_argument("--exact-only", action="store_true")
     ddp.add_argument("--cluster-exact", action="store_true",
                      help="transitive-closure near-dup clusters")
+    ddp.add_argument("--cc-max-rounds", type=int, default=16,
+                     help="label-propagation round cap (raise for "
+                          "long duplicate chains; non-convergence raises)")
 
     prep = sub.add_parser("prepare")
     prep.add_argument("--input", required=True)

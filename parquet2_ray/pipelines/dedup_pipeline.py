@@ -91,6 +91,8 @@ def dedup_corpus(
     max_bucket: int | None = 1024,
     nshards: int = 1024,
     cluster_exact: bool = False,
+    cc_max_rounds: int = 16,
+    cc_nshards: int = 64,
 ) -> rd.Dataset:
     """The surviving corpus (all input columns), streaming.
 
@@ -134,16 +136,14 @@ def dedup_corpus(
             from ..stages.components import cluster_dedup_keepers
 
             rm_ds = cluster_dedup_keepers(
-                rd.from_arrow(pairs.select(["id_a", "id_b"])))
-            rm_tbl = gather_small(
-                rm_ds, pa.table({"remove_id": pa.array([], pa.int64())}))
-            removal = pa.concat_arrays([
-                removal, rm_tbl["remove_id"].combine_chunks().cast(id_type)
-            ])
+                rd.from_arrow(pairs.select(["id_a", "id_b"])),
+                max_rounds=cc_max_rounds, nshards=cc_nshards)
+            near_removals = gather_small(
+                rm_ds, pa.table({"remove_id": pa.array([], pa.int64())})
+            )["remove_id"].combine_chunks()
         else:
-            removal = pa.concat_arrays([
-                removal, pairs["id_b"].combine_chunks().cast(id_type)
-            ])
+            near_removals = pairs["id_b"].combine_chunks()
+        removal = pa.concat_arrays([removal, near_removals.cast(id_type)])
     removal = pc.unique(removal)
     rm_ref = ray.put(removal)  # broadcast once, read per task
 

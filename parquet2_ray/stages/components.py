@@ -56,10 +56,16 @@ def connected_components(
     id_b: str = "id_b",
     max_rounds: int = 16,
     nshards: int = 64,
+    allow_partial: bool = False,
 ) -> rd.Dataset:
     """(node, component) for every node appearing in ``pairs``;
     ``component`` is the component's MINIMUM node id (deterministic,
-    engine-portable — the same convention SQL recursive CTEs yield)."""
+    engine-portable — the same convention SQL recursive CTEs yield).
+
+    Raises ``RuntimeError`` if the fixpoint is NOT reached within
+    ``max_rounds`` (labels were still changing): silently returning
+    partial labels would under-deduplicate downstream.  Pass
+    ``allow_partial=True`` to accept a bounded-rounds approximation."""
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import shard_of
@@ -94,7 +100,14 @@ def connected_components(
               .materialize())
 
     def lbl_sum(ds: rd.Dataset) -> int:
-        return int(ds.aggregate(Sum("lbl"))["sum(lbl)"])
+        v = ds.aggregate(Sum("lbl"))["sum(lbl)"]
+        return 0 if v is None else int(v)  # None ⇔ empty dataset
+
+    if lbl_sum(labels) == 0 and labels.count() == 0:
+        # no edges at all: legitimate no-duplicates case, empty result
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
 
     def lbl_as_join_rows(b: pa.Table) -> pa.Table:
         n = b["node"].combine_chunks()
@@ -133,6 +146,7 @@ def connected_components(
         return pa.table({"node": pa.array(k), "lbl": pa.array(mv)})
 
     prev_sum = lbl_sum(labels)
+    converged = False
     for _ in range(max_rounds):
         msgs = (labels.map_batches(lbl_as_join_rows, batch_format="pyarrow")
                 .union(edges)
@@ -146,8 +160,15 @@ def connected_components(
                   .materialize())
         cur = lbl_sum(labels)
         if cur == prev_sum:          # monotone fixpoint reached
+            converged = True
             break
         prev_sum = cur
+    if not converged and not allow_partial:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (labels still decreasing) — the graph's diameter "
+            "exceeds max_rounds; raise max_rounds or pass "
+            "allow_partial=True for a bounded approximation")
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "component": b["lbl"]})
@@ -161,12 +182,14 @@ def cluster_dedup_keepers(
     id_b: str = "id_b",
     max_rounds: int = 16,
     nshards: int = 64,
+    allow_partial: bool = False,
 ) -> rd.Dataset:
     """From verified near-dup pairs, compute the ids to REMOVE so that
     exactly the minimum id of every duplicate CLUSTER (transitive
     closure) survives: one (remove_id) row per non-minimum member."""
     comps = connected_components(pairs, id_a, id_b,
-                                 max_rounds=max_rounds, nshards=nshards)
+                                 max_rounds=max_rounds, nshards=nshards,
+                                 allow_partial=allow_partial)
 
     def removals(b: pa.Table) -> pa.Table:
         keep = pc.equal(b["node"], b["component"])

@@ -98,3 +98,27 @@ def test_dedup_corpus_cluster_exact_chain(ray_session):
     # whatever the verified pair set is, transitive closure keeps only
     # the minimum of the {1,2,3} cluster plus the unrelated doc
     assert kept == [1, 9]
+
+
+def test_components_nonconvergence_raises(ray_session):
+    # 8-node chain with max_rounds=2: labels cannot reach the far end
+    edges = [(i, i + 1) for i in range(8)]
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs_ds(edges), max_rounds=2,
+                             nshards=2).to_pandas()
+    # allow_partial accepts the bounded approximation
+    out = connected_components(_pairs_ds(edges), max_rounds=2, nshards=2,
+                               allow_partial=True).to_pandas()
+    assert len(out) == 9
+
+
+def test_components_empty_pairs(ray_session):
+    import pyarrow as pa
+
+    empty = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                    "id_b": pa.array([], pa.int64())}))
+    out = connected_components(empty, nshards=2).to_pandas()
+    assert len(out) == 0
+    rm = cluster_dedup_keepers(empty, nshards=2).to_pandas()
+    assert len(rm) == 0
