@@ -200,3 +200,99 @@ def test_prune_consumes_embedded_blooms(tmp_path):
     assert str(dst) in kept
     kept = prune_files_by_bloom(str(tmp_path), ["definitely-absent-xyz"])
     assert kept == []
+
+
+# --------------------------- WRITE side: embed blooms into real files
+
+
+def test_typed_footer_roundtrip_readable(tmp_path):
+    """Decode + losslessly re-encode a pyarrow footer; the rewritten
+    file must stay readable by pyarrow AND duckdb."""
+    import duckdb
+
+    from parquet2_ray.sources.parquet_bloom import (
+        typed_decode_struct,
+        typed_encode_struct,
+    )
+
+    tbl = pa.table({
+        "k": pa.array(np.arange(4000, dtype=np.int64)),
+        "s": pa.array([f"v{i % 13}" for i in range(4000)]),
+    })
+    src = tmp_path / "src.parquet"
+    pq.write_table(tbl, src, row_group_size=1200)
+    data = open(src, "rb").read()
+    flen = int.from_bytes(data[-8:-4], "little")
+    fields, consumed = typed_decode_struct(data[-8 - flen:-8], 0)
+    assert consumed == flen
+    re_enc = typed_encode_struct(fields)
+    dst = tmp_path / "re.parquet"
+    with open(dst, "wb") as f:
+        f.write(data[:-8 - flen])
+        f.write(re_enc)
+        f.write(len(re_enc).to_bytes(4, "little"))
+        f.write(b"PAR1")
+    assert pq.read_table(dst).equals(tbl)
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()
+    assert n[0] == 4000
+
+
+def test_embed_blooms_cross_engine(tmp_path):
+    """embed_blooms writes spec-embedded SBBF blooms; pyarrow and duckdb
+    still read the patched file byte-for-byte, and our reader finds and
+    probes the blooms correctly."""
+    import duckdb
+
+    from parquet2_ray.sources.parquet_bloom import (
+        embed_blooms,
+        probe_embedded_bloom,
+        read_embedded_blooms,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([f"doc-{i}" for i in range(3000)]),
+        "n": pa.array(np.arange(3000, dtype=np.int64)),
+    })
+    src = tmp_path / "plain.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    dst = str(tmp_path / "bloomed.parquet")
+    res = embed_blooms(str(src), dst, columns=["doc_id"])
+    assert res["n_blooms"] == 3  # one per row group
+
+    # cross-engine: both readers see identical data in the patched file
+    assert pq.read_table(dst).equals(tbl)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT count(*), min(n), max(n) FROM read_parquet('{dst}')"
+    ).fetchone()
+    assert got == (3000, 0, 2999)
+
+    # our reader: per-row-group blooms, correct membership
+    blooms = read_embedded_blooms(dst)
+    assert [b["row_group"] for b in blooms] == [0, 1, 2]
+    assert all(b["column"] == "doc_id" for b in blooms)
+    # rg1 holds doc-1000..doc-1999
+    b1 = blooms[1]
+    assert probe_embedded_bloom(b1, ["doc-1500"], "string").all()
+    miss = probe_embedded_bloom(
+        b1, [f"doc-{i}" for i in range(0, 500)], "string")
+    assert miss.sum() <= 15  # other row groups' keys ≈ all pruned
+
+
+def test_embed_blooms_then_prune(tmp_path):
+    """End-to-end: pyarrow-written parts + embed_blooms → the unified
+    prune consumer skips files by their embedded blooms."""
+    from parquet2_ray.sources.parquet_bloom import embed_blooms
+    from parquet2_ray.sources.parquet_interop import prune_files_by_bloom
+
+    for p in range(3):
+        t = pa.table({"doc_id": pa.array(
+            [f"p{p}-doc-{i}" for i in range(400)])})
+        raw = tmp_path / f"raw-{p}.parquet"
+        pq.write_table(t, raw)
+        embed_blooms(str(raw), str(tmp_path / f"part-{p}.parquet"))
+        raw.unlink()
+    kept = prune_files_by_bloom(str(tmp_path), ["p1-doc-7"])
+    assert kept == [str(tmp_path / "part-1.parquet")]
+    assert prune_files_by_bloom(str(tmp_path), ["absent-key"]) == []
