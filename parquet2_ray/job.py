@@ -61,7 +61,8 @@ def cmd_encode(args) -> dict:
 def cmd_decode(args) -> dict:
     from .sources.parquet_interop import container_to_parquet
 
-    return container_to_parquet(args.input, args.output)
+    return container_to_parquet(args.input, args.output,
+                                embed_blooms=args.embed_blooms)
 
 
 def cmd_dedup(args) -> dict:
@@ -125,6 +126,9 @@ def main(argv: list[str] | None = None) -> int:
     dec = sub.add_parser("decode")
     dec.add_argument("--input", required=True, help="container dir")
     dec.add_argument("--output", required=True, help="parquet output dir")
+    dec.add_argument("--embed-blooms", action="store_true",
+                     help="embed spec SBBF blooms in the parquet footers "
+                          "instead of writing sidecars")
 
     ver = sub.add_parser("verify")
     ver.add_argument("--container", required=True)

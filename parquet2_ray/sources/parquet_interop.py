@@ -75,12 +75,21 @@ def container_to_parquet(
     container_dir: str,
     out_dir: str,
     compression: str = "NONE",
+    embed_blooms: bool = False,
 ) -> dict:
     """Decode a P2R1 container into standard ``.parquet`` files.
 
     One output file per container partition (``part-<id>.parquet``),
     written by parallel tasks — already-written files are skipped
     (atomic rename), so a failed export resumes where it stopped.
+
+    ``embed_blooms=True`` writes the SBBF sketches as SPEC-EMBEDDED
+    parquet bloom filters inside each file (per row group, patched
+    into the footer via ``parquet_bloom.embed_blooms``) instead of
+    the ``_bloom.*.json`` sidecars — any engine implementing the
+    parquet bloom spec (reference bloom_filter/read.rs:14) consumes
+    them with no sidecar convention needed.
+
     Returns a summary {n_partitions, rows, parquet_bytes}.
     """
     import json
@@ -95,12 +104,14 @@ def container_to_parquet(
         from ..stages.encode import decode_partition_path
 
         out_rows = {"part_id": [], "rows": [], "parquet_bytes": [], "skipped": []}
-        for pid, path, n_rows, codecs_json in zip(
+        for pid, path, n_rows, codecs_json, bkey in zip(
                 batch["part_id"].to_pylist(), batch["path"].to_pylist(),
-                batch["n_rows"].to_pylist(), batch["codecs"].to_pylist()):
+                batch["n_rows"].to_pylist(), batch["codecs"].to_pylist(),
+                batch["bloom_key"].to_pylist()):
             dest = os.path.join(out_dir, f"part-{pid}.parquet")
             if os.path.exists(dest):
-                _write_bloom_sidecar(dest, blooms.get(pid))  # resume fill
+                if not embed_blooms:
+                    _write_bloom_sidecar(dest, blooms.get(pid))  # resume fill
                 out_rows["part_id"].append(pid)
                 # ledger row count, so a resumed export still reports
                 # the dataset total instead of undercounting skips
@@ -114,8 +125,16 @@ def container_to_parquet(
             # (selections can differ per partition)
             args = parquet_write_args_for(json.loads(codecs_json))
             pq.write_table(tbl, tmp, compression=compression, **args)
-            os.replace(tmp, dest)
-            _write_bloom_sidecar(dest, blooms.get(pid))
+            if embed_blooms:
+                from .parquet_bloom import embed_blooms as _embed
+
+                cols = [bkey] if bkey in tbl.column_names else None
+                _embed(tmp, tmp + ".b", columns=cols)
+                os.replace(tmp + ".b", dest)
+                os.remove(tmp)
+            else:
+                os.replace(tmp, dest)
+                _write_bloom_sidecar(dest, blooms.get(pid))
             out_rows["part_id"].append(pid)
             out_rows["rows"].append(tbl.num_rows)
             out_rows["parquet_bytes"].append(os.path.getsize(dest))
@@ -124,6 +143,7 @@ def container_to_parquet(
 
     items = [{"part_id": r["part_id"], "path": r["path"],
               "n_rows": r["n_rows"],
+              "bloom_key": r.get("bloom_key") or "",
               "codecs": (r["codecs"] if isinstance(r.get("codecs"), str)
                          else json.dumps(r.get("codecs") or {}))}
              for r in records]

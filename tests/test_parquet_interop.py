@@ -104,3 +104,60 @@ def test_bloom_sidecars_prune_interchange_files(tmp_path):
     from parquet2_ray.sources.parquet_interop import _bloom_sidecar_path
     os.remove(_bloom_sidecar_path(files[0]))
     assert files[0] in prune_files_by_bloom(out, ["no-such-doc-xyzzy"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_container_to_parquet_embedded_blooms(tmp_path):
+    """embed_blooms=True exports interchange files whose SBBF blooms
+    live IN the parquet footer (no sidecars): pyarrow/duckdb still read
+    the data, the embedded blooms prune, and the export stays resumable."""
+    import glob
+    import os
+
+    import duckdb
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.sources.parquet_bloom import read_embedded_blooms
+    from parquet2_ray.sources.parquet_interop import prune_files_by_bloom
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    src = tmp_path / "in.parquet"
+    tbl = make_tokens_table(4000, seed=11)
+    pq.write_table(tbl, src)
+    cont = str(tmp_path / "cont")
+    s = encode_dataset(str(src), cont,
+                       EncodeOptions(target_weight=150_000, sort_key="doc_id"))
+    out = str(tmp_path / "pq")
+    summary = container_to_parquet(cont, out, embed_blooms=True)
+    assert summary["n_partitions"] == s["n_partitions"]
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 2
+    # no sidecars anywhere; every file carries embedded blooms instead
+    assert glob.glob(f"{out}/_bloom.*") == []
+    for f in files:
+        embedded = read_embedded_blooms(f)
+        assert embedded and all(b["column"] == "doc_id" for b in embedded)
+
+    # cross-engine: both foreign readers see value-identical rows
+    got = pq.read_table(out).sort_by("doc_id")
+    orig = tbl.sort_by("doc_id")
+    assert got.select(orig.column_names).cast(orig.schema).equals(orig)
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{out}/part-*.parquet')"
+    ).fetchone()[0]
+    assert n == tbl.num_rows
+
+    # pruning consumes the embedded blooms (no sidecar path at all)
+    one = pq.read_table(files[0], columns=["doc_id"])["doc_id"][0].as_py()
+    kept = prune_files_by_bloom(out, [one])
+    assert files[0] in kept and len(kept) < len(files)
+    assert len(prune_files_by_bloom(out, ["no-such-doc-xyzzy"])) <= 1
+
+    # resumable: second export skips every file and writes no sidecars
+    summary2 = container_to_parquet(cont, out, embed_blooms=True)
+    assert summary2["skipped"] == s["n_partitions"]
+    assert glob.glob(f"{out}/_bloom.*") == []
