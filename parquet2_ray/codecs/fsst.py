@@ -99,21 +99,44 @@ class SymbolTable:
         return cls(symbols), pos
 
 
+# Below this size the pointer-doubling strategy wins: the frontier
+# walk's numpy-dispatch count (~tokens-per-chunk iterations × ~30 calls)
+# dwarfs its tiny per-lane arrays.  Above it, probing ONLY the walk's
+# visited positions beats the doubling path's probe-every-byte phase 1
+# (~3× the searchsorted volume).  Both emit bit-identical token streams
+# (equality-tested against a scalar greedy reference and each other).
+_DOUBLING_MAX = 120 << 10
+
+
 def _tokenize(
     table: SymbolTable, d: np.ndarray, chunk: int = CHUNK
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse ``d`` into tokens; returns (code, is_escape, literal) per
     token in stream order. Escape tokens emit (0xFF, literal).
 
-    Matches are probed lazily at the positions the lockstep walk
-    actually visits (~n / avg_symbol_len of them), never at every byte.
     Matches may not cross a chunk boundary or the end of the buffer, so
     the concatenated per-chunk token streams decode to exactly ``d``.
+    Greedy longest-match at every step; two equivalent vectorized
+    strategies, picked by buffer size (see ``_DOUBLING_MAX``).
     """
     n = d.size
     empty = np.empty(0, dtype=np.uint8)
     if n == 0:
         return empty, np.empty(0, dtype=bool), empty
+    if n <= _DOUBLING_MAX:
+        return _tokenize_doubling(table, d, chunk)
+    return _tokenize_walk(table, d, chunk)
+
+
+def _tokenize_walk(
+    table: SymbolTable, d: np.ndarray, chunk: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lockstep frontier walk: one lane per chunk; each iteration
+    advances every still-active lane by one token.  Matches are probed
+    lazily at the positions the walk actually visits (~n / avg_symbol_len
+    of them), never at every byte — the cheaper strategy for big
+    buffers, where probe volume dominates dispatch count."""
+    n = d.size
     padded = np.zeros(n + 8, dtype=np.uint8)
     padded[:n] = d
     # overlapping little-endian u64 view: the window word at position p
@@ -164,6 +187,68 @@ def _tokenize(
         np.concatenate(esc_parts)[order],
         np.concatenate(lit_parts)[order],
     )
+
+
+def _tokenize_doubling(
+    table: SymbolTable, d: np.ndarray, chunk: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Small-buffer strategy, two vectorized phases:
+
+    1. longest-match PRECOMPUTE at every byte position — the length
+       cascade runs ONCE over the whole buffer (8 shrinking passes),
+       not once per walk step;
+    2. parse-chain extraction by pointer doubling: ``next[i] = i +
+       len(i)``; marking reachable-from-chunk-start doubles the known
+       prefix of every chunk's chain each round, so ``log2(chunk)``
+       rounds replace ~tokens-per-chunk frontier steps.  Ascending
+       visited positions ARE stream order."""
+    n = d.size
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = d
+    win64 = np.ndarray(buffer=padded.data, dtype="<u8",
+                       shape=(n,), strides=(1,))
+    idx = np.arange(n, dtype=np.int64)
+    # bytes until the next parse boundary (chunk edge or buffer end)
+    room = np.minimum(chunk - (idx % chunk), n - idx)
+
+    # phase 1 — longest match at EVERY position (cascade, longest first)
+    L = np.zeros(n, dtype=np.int64)
+    code = np.full(n, ESCAPE, dtype=np.uint8)
+    unmatched = np.ones(n, dtype=bool)
+    for Lq in range(MAX_SYMBOL_LEN, 0, -1):
+        vals = table._by_len_vals[Lq]
+        if not vals.size:
+            continue
+        cand = np.flatnonzero(unmatched & (room >= Lq))
+        if not cand.size:
+            continue
+        wL = win64[cand] & _LEN_MASKS[Lq]
+        at = np.minimum(np.searchsorted(vals, wL), vals.size - 1)
+        hit = vals[at] == wL
+        if hit.any():
+            hp = cand[hit]
+            L[hp] = Lq
+            code[hp] = table._by_len_codes[Lq][at[hit]]
+            unmatched[hp] = False
+
+    # phase 2 — mark the greedy parse chain of every chunk
+    jump = np.empty(n + 1, dtype=np.int64)
+    np.minimum(idx + np.maximum(L, 1), n, out=jump[:n])
+    jump[n] = n  # fixpoint sentinel
+    visited = np.zeros(n + 1, dtype=bool)
+    visited[0:n:chunk] = True  # chunk starts
+    seen = int(visited.sum())
+    while True:
+        vi = np.flatnonzero(visited[:n])
+        visited[jump[vi]] = True
+        visited[n] = False
+        now = int(visited.sum())
+        if now == seen:  # every chain fully marked
+            break
+        seen = now
+        jump[:n] = jump[jump[:n]]  # path doubling
+    tok = np.flatnonzero(visited[:n])
+    return code[tok], L[tok] == 0, d[tok]
 
 
 def _encode_payload(table: SymbolTable, d: np.ndarray, chunk: int = CHUNK) -> np.ndarray:

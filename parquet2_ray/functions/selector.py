@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..codecs import column as col_mod
 
-__all__ = ["select_codec", "candidate_sizes", "SAMPLE_VALUES"]
+__all__ = ["select_codec", "select_and_encode", "candidate_sizes", "SAMPLE_VALUES"]
 
 SAMPLE_VALUES = 8192
 
@@ -72,20 +72,31 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray,
     transforms like BYTE_STREAM_SPLIT win where they should: BSS ties
     with PLAIN uncompressed, but its byte-plane grouping compresses far
     better, so it's only ever selected when the pipeline compresses."""
+    sizes, _ = _price_candidates(arr, compression, keep_encodes=False)
+    return sizes
+
+
+def _price_candidates(
+    arr: pa.Array | pa.ChunkedArray,
+    compression: str | None,
+    keep_encodes: bool,
+):
+    """Shared pricing core: returns ``(sizes, encodes_or_None)``.
+
+    ``encodes`` (codec → EncodedColumn of the sample, name ``"s"``) is
+    kept only when requested AND the sample is the whole column — the
+    only case a caller may reuse a priced encode as the final one."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
     candidates = col_mod.codecs_for_type(t)
-    if candidates == {"list"}:
-        return {"list": 0}
-    if candidates == {"struct"}:
-        return {"struct": 0}
-    if candidates == {"map"}:
-        return {"map": 0}
-    if candidates == {"decimal"}:
-        return {"decimal": 0}
+    for composite in ("list", "struct", "map", "decimal"):
+        if candidates == {composite}:
+            return {composite: 0}, None
     s = _sample(arr)
+    keep = keep_encodes and len(s) == len(arr)
     sizes: dict[str, int] = {}
+    encodes: dict[str, "col_mod.EncodedColumn"] = {}
     comp_codec = None
     if compression:
         from ..state.manifest import parse_compression
@@ -95,16 +106,19 @@ def candidate_sizes(arr: pa.Array | pa.ChunkedArray,
         comp_codec, _ = parse_compression(compression)
     for c in sorted(candidates):
         try:
-            payload = col_mod.encode_array("s", s, c).payload
+            enc = col_mod.encode_array("s", s, c)
         except (ValueError, TypeError, OverflowError):
             continue
+        payload = enc.payload
+        if keep:
+            encodes[c] = enc
         if comp_codec is not None:
             # writer keeps the compressed payload only when smaller
             comp = comp_codec.compress(payload, asbytes=True)
             sizes[c] = min(len(payload), len(comp))
         else:
             sizes[c] = len(payload)
-    return sizes
+    return sizes, (encodes if keep else None)
 
 
 def select_codec(arr: pa.Array | pa.ChunkedArray,
@@ -123,3 +137,36 @@ def select_codec(arr: pa.Array | pa.ChunkedArray,
     if not sizes:
         raise TypeError(f"no viable codec for type {t}")
     return min(sizes.items(), key=lambda kv: (kv[1], _PRIO.get(kv[0], 99)))[0]
+
+
+def select_and_encode(
+    name: str, arr: pa.Array | pa.ChunkedArray,
+    compression: str | None = None,
+):
+    """Pick the smallest-sample codec AND return the final encode when
+    pricing already produced it.
+
+    When the column fits inside the pricing sample (≤ SAMPLE_VALUES
+    values — pricing encoded the ENTIRE column under every candidate),
+    the winner's priced encode IS the final encode, so re-running
+    train + encode (expensive for FSST: symbol-table training plus the
+    lockstep parse) would be pure duplicate work.  Returns
+    ``(codec, EncodedColumn | None)``; None means the caller must
+    encode (sampled pricing, or a composite codec).
+
+    This is explicit dataflow, NOT a cache: repeated calls redo the
+    full work, so benchmark repeats stay honest."""
+    import dataclasses
+
+    t = arr.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)
+            or pa.types.is_decimal128(t)):
+        return select_codec(arr, compression=compression), None
+    sizes, encodes = _price_candidates(arr, compression, keep_encodes=True)
+    if not sizes:
+        raise TypeError(f"no viable codec for type {t}")
+    codec = min(sizes.items(), key=lambda kv: (kv[1], _PRIO.get(kv[0], 99)))[0]
+    if encodes is None or codec not in encodes:
+        return codec, None
+    return codec, dataclasses.replace(encodes[codec], name=name)

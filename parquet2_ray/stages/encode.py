@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..codecs import column as col_mod
-from ..functions.selector import select_codec
+from ..functions.selector import select_and_encode, select_codec
 from ..functions.stats import column_profile
 from ..state import manifest as mf
 
@@ -78,17 +78,28 @@ def encode_partition_table(
     # codec chosen ONCE per (partition, column) — also for every row-block
     # of a paged partition (single-codec-per-chunk, column_chunk.rs:109-122)
     t1 = time.time()
+    paged = bool(rows_per_block) and group.num_rows > rows_per_block
     codecs: dict[str, str] = {}
+    pre_enc: dict[str, col_mod.EncodedColumn] = {}
     profiles = []
     for name in group.column_names:
         arr = group[name].combine_chunks()
-        codecs[name] = ((forced_codecs or {}).get(name)
-                        or select_codec(arr, compression=compression))
+        forced = (forced_codecs or {}).get(name)
+        if forced:
+            codecs[name] = forced
+        elif paged:
+            codecs[name] = select_codec(arr, compression=compression)
+        else:
+            # small columns are priced WHOLE — reuse the winner's
+            # priced encode instead of re-running train+encode
+            codecs[name], enc = select_and_encode(
+                name, arr, compression=compression)
+            if enc is not None:
+                pre_enc[name] = enc
         profiles.append(column_profile(name, arr))
     tm["select_s"] = round(time.time() - t1, 4)
 
     t1 = time.time()
-    paged = bool(rows_per_block) and group.num_rows > rows_per_block
     encoded: list[col_mod.EncodedColumn] = []
     blocks: list[dict] = []
     if paged:
@@ -109,7 +120,7 @@ def encode_partition_table(
                            "stats": stats})
     else:
         for name in group.column_names:
-            encoded.append(col_mod.encode_array(
+            encoded.append(pre_enc.get(name) or col_mod.encode_array(
                 name, group[name].combine_chunks(), codecs[name],
                 compression=compression))
     tm["encode_s"] = round(time.time() - t1, 4)
