@@ -96,8 +96,14 @@ def cmd_prepare(args) -> dict:
     from .pipelines.prepare_pipeline import prepare_training_data
 
     ds = rd.read_parquet(args.input)
+    bench = None
+    if args.benchmark:
+        import pyarrow.parquet as pq
+
+        bench = pq.read_table(args.benchmark)["text"].to_pylist()
     return prepare_training_data(ds, args.output, max_len=args.max_len,
-                                 scrub=not args.no_scrub)
+                                 scrub=not args.no_scrub,
+                                 benchmark_texts=bench)
 
 
 def cmd_verify(args) -> dict:
@@ -150,6 +156,9 @@ def main(argv: list[str] | None = None) -> int:
     prep.add_argument("--output", required=True)
     prep.add_argument("--max-len", type=int, default=2048)
     prep.add_argument("--no-scrub", action="store_true")
+    prep.add_argument("--benchmark", default=None,
+                      help="parquet file of eval texts (column 'text'); "
+                           "contaminated docs are dropped before dedup")
 
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)

@@ -3,6 +3,8 @@ LLM corpus run executes, assembled from this engine's stages.
 
     documents (parquet / object store)
       → PII scrub                       (map-only, per-worker regexes)
+      → benchmark decontamination       (map-only, broadcast eval-set
+                                         window hashes — optional)
       → exact dedup                     (one 16 B/row hash exchange)
       → quality gate                    (map-only repetition signals)
       → tokenize                        (map-only, vocab-hash words)
@@ -38,6 +40,7 @@ def prepare_training_data(
     pad_id: int = 0,
     max_dup_line_frac: float = 0.9,
     scrub: bool = True,
+    benchmark_texts=None,
     nshards: int = 256,
     encode_opts=None,
 ) -> dict:
@@ -50,10 +53,16 @@ def prepare_training_data(
     import ray
 
     from ..sources.readers import _tokenize_batch
+    from ..stages.decontaminate import decontaminate
     from ..stages.dedup import exact_dedup
     from ..stages.packing import pack_sequences
     from ..stages.text import repetition_signals_batch, scrub_text_batch
     from .encode_pipeline import EncodeOptions, encode_dataset
+
+    if benchmark_texts:
+        # eval-set overlap removal BEFORE dedup: contaminated docs must
+        # not survive as the kept copy of a duplicate cluster
+        docs = decontaminate(docs, benchmark_texts, text_col="text")
 
     if scrub:
         # materialize once: the scrubbed dataset is consumed TWICE

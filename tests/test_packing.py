@@ -210,3 +210,27 @@ def test_prepare_training_data_end_to_end(ray_session, tmp_path):
                   texts[4]]
     expect = sum(len(t.split()) for t in kept_texts)
     assert int(dec["n_real"].sum()) == expect
+
+
+def test_prepare_with_benchmark_decontamination(ray_session, tmp_path):
+    """prepare_training_data(benchmark_texts=...) drops contaminated
+    docs BEFORE dedup, so a contaminated duplicate can't become the
+    kept copy."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.pipelines.prepare_pipeline import prepare_training_data
+
+    bench = ["the secret benchmark passage that must never leak into training"]
+    texts = {
+        0: "an ordinary training document with plenty of regular words here",
+        # contaminated (embeds the full benchmark passage)
+        1: "prefix words then " + bench[0] + " and suffix words after it",
+        2: "another clean document that should flow through the pipeline",
+    }
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    out = str(tmp_path / "prep-decon")
+    s = prepare_training_data(docs, out, max_len=16, nshards=2,
+                              benchmark_texts=bench)
+    assert s["kept_docs"] == 2  # doc 1 removed by decontamination
