@@ -10,6 +10,7 @@ from-the-spec compact encoder living only in this test).
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -296,3 +297,81 @@ def test_embed_blooms_then_prune(tmp_path):
     kept = prune_files_by_bloom(str(tmp_path), ["p1-doc-7"])
     assert kept == [str(tmp_path / "part-1.parquet")]
     assert prune_files_by_bloom(str(tmp_path), ["absent-key"]) == []
+
+
+@pytest.mark.parametrize("case", [
+    "nested", "decimal_ts", "nulls", "compressed", "v2_nodict", "wide"])
+def test_typed_footer_roundtrip_schema_zoo(tmp_path, case):
+    """The lossless thrift re-encode must survive every footer shape
+    pyarrow can write — nested types, decimals/timestamps, null-heavy
+    columns, compressed+stats footers, v2 data pages without
+    dictionaries, many-column files. A miss would corrupt any file
+    embed_blooms touches."""
+    import datetime
+    import decimal
+
+    import duckdb
+
+    from parquet2_ray.sources.parquet_bloom import (
+        typed_decode_struct,
+        typed_encode_struct,
+    )
+
+    n = 600
+    kw = {}
+    if case == "nested":
+        tbl = pa.table({
+            "l": pa.array([[i, i + 1]] * 1 if False else [[i, None, i]
+                           for i in range(n)],
+                          type=pa.list_(pa.int32())),
+            "s": pa.array([{"a": i, "b": [str(i)]} for i in range(n)],
+                          type=pa.struct([("a", pa.int64()),
+                                          ("b", pa.list_(pa.string()))])),
+            "m": pa.array([[(f"k{i}", i)] for i in range(n)],
+                          type=pa.map_(pa.string(), pa.int32())),
+        })
+    elif case == "decimal_ts":
+        tbl = pa.table({
+            "d": pa.array([decimal.Decimal(i) / 100 for i in range(n)],
+                          type=pa.decimal128(18, 4)),
+            "t": pa.array([datetime.datetime(2020, 1, 1)
+                           + datetime.timedelta(seconds=i)
+                           for i in range(n)], type=pa.timestamp("us")),
+            "dt": pa.array([datetime.date(2020, 1, 1)] * n),
+        })
+    elif case == "nulls":
+        tbl = pa.table({
+            "x": pa.array([None if i % 3 else i for i in range(n)],
+                          type=pa.int64()),
+            "y": pa.array([None] * n, type=pa.string()),
+        })
+    elif case == "compressed":
+        tbl = pa.table({"a": list(range(n)), "b": [f"v{i%7}" for i in range(n)]})
+        kw = {"compression": "zstd", "row_group_size": 150}
+    elif case == "v2_nodict":
+        tbl = pa.table({"a": list(range(n)), "b": [f"w{i}" for i in range(n)]})
+        kw = {"use_dictionary": False, "data_page_version": "2.0",
+              "column_encoding": {"a": "DELTA_BINARY_PACKED",
+                                  "b": "DELTA_LENGTH_BYTE_ARRAY"}}
+    else:  # wide
+        tbl = pa.table({f"c{i:03d}": list(range(60)) for i in range(80)})
+
+    src = tmp_path / "z.parquet"
+    pq.write_table(tbl, src, **kw)
+    data = open(src, "rb").read()
+    flen = int.from_bytes(data[-8:-4], "little")
+    fields, consumed = typed_decode_struct(data[-8 - flen:-8], 0)
+    assert consumed == flen
+    re_enc = typed_encode_struct(fields)
+    # decode∘encode must be a fixpoint even if byte layout could differ
+    fields2, c2 = typed_decode_struct(re_enc, 0)
+    assert c2 == len(re_enc) and fields2 == fields
+    dst = tmp_path / "z2.parquet"
+    with open(dst, "wb") as f:
+        f.write(data[:-8 - flen]); f.write(re_enc)
+        f.write(len(re_enc).to_bytes(4, "little")); f.write(b"PAR1")
+    got = pq.read_table(dst)
+    assert got.equals(tbl)
+    n_rows = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+    assert n_rows == tbl.num_rows
