@@ -292,10 +292,15 @@ def run_headline(tag: str, num_cpus: int) -> dict:
     # for ~25 MB blocks (O(blocks × n_parts) shard objects stay bounded)
     # fsync=False: single-disk journal contention is a sandbox artifact —
     # the production output store (object storage) has its own durability.
-    # target_weight scales with the corpus (≈256 partitions) the same way
-    # a 10^12-sequence job would size GB partitions, so per-partition
-    # overhead stays amortized at every bench size.
-    tw = max(2_000_000, BENCH_ROWS * 400 // 256)
+    # target_weight scales with the corpus (≈80 partitions ≈ 2.5 waves
+    # on the 32-CPU ceiling) the same way a 10^12-sequence job sizes GB
+    # partitions to a small wave-multiple of its worker count: measured
+    # at 200k rows / 32 CPUs, 42 partitions (1.3 waves) straggler-bound
+    # the encode phase at 1.5 s while 84 partitions packed it at 0.6 s;
+    # ≥2 waves lets early-finishing workers absorb the skewed tail.
+    # FIXED per corpus (not per cpu level) so --scaling still compares
+    # the identical job at both parallelism levels.
+    tw = max(1_000_000, BENCH_ROWS * 400 // 80)
     summary = encode_dataset(
         corpus, out,
         EncodeOptions(target_weight=tw, read_num_blocks=32,
