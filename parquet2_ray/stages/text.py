@@ -29,6 +29,7 @@ __all__ = [
     "scrub_text_batch",
     "chunk_documents_batch",
     "repetition_signals_batch",
+    "vocab_coverage",
 ]
 
 
@@ -343,3 +344,48 @@ def repetition_signals_batch(batch: pd.DataFrame,
         "dup_line_frac": dup_fracs,
         "top_ngram_frac": np.minimum(top_fracs, 1.0),
     })
+
+
+def vocab_coverage(ds, vocab_ids, tokens_col: str = "tokens"):
+    """Per-sequence out-of-vocabulary stats against a reference vocab.
+
+    The tokenizer-mismatch diagnostic a training-data pipeline runs
+    before committing a corpus: every sequence gets ``n_oov`` (token
+    ids not in ``vocab_ids``) and ``oov_frac``.  The vocab (≤ a few
+    million int32 ids — small by definition) is sorted and broadcast
+    ONCE via ``ray.put``; the corpus side is a map-only vectorized
+    membership pass over the flattened list<int32> values buffer —
+    searchsorted + one per-row ``add.reduceat``, no shuffle.
+    """
+    import ray
+
+    vs = np.unique(np.asarray(list(vocab_ids), dtype=np.int64))
+    ref = ray.put(vs)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(ref)
+        col = batch[tokens_col].combine_chunks()
+        la = col.cast(pa.large_list(col.type.value_type))
+        offs = np.frombuffer(la.buffers()[1], dtype=np.int64)[
+            la.offset : la.offset + len(la) + 1]
+        vals = la.values[offs[0] : offs[-1]].to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        n = len(la)
+        n_oov = np.zeros(n, dtype=np.int64)
+        if vals.size and vocab.size:
+            at = np.minimum(np.searchsorted(vocab, vals), vocab.size - 1)
+            oov = (vocab[at] != vals).astype(np.int64)
+            starts = np.clip(offs[:-1], 0, max(0, oov.size - 1))
+            n_oov = np.add.reduceat(oov, starts)
+            n_oov[offs[1:] == offs[:-1]] = 0  # reduceat quirk: empty rows
+        elif vals.size:
+            lens = np.diff(offs)
+            n_oov = lens.copy()  # empty vocab: everything is OOV
+        lens = np.diff(offs)
+        frac = np.divide(n_oov, lens, out=np.zeros(n, dtype=np.float64),
+                         where=lens > 0)
+        return batch.append_column(
+            "n_oov", pa.array(n_oov, type=pa.int64())
+        ).append_column("oov_frac", pa.array(frac, type=pa.float64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
