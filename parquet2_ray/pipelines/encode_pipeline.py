@@ -546,7 +546,8 @@ def encode_dataset(
 
     opts = opts or EncodeOptions()
     t0 = time.time()
-    os.makedirs(out_dir, exist_ok=True)
+    from ..state import fsio as _fsio
+    _fsio.ensure_dir(out_dir)
     plan_files: list | None = None
     input_fs = None
     ds: rd.Dataset | None = None

@@ -69,7 +69,7 @@ def encode_partition_table(
     prior = mf.load_manifest_record(out_dir, part_id) if resume else None
     if (prior is not None and prior.get("fingerprint") == fp
             and prior.get("encoding_opts") == enc_opts
-            and os.path.exists(path)):
+            and mf.fsio.exists(path)):
         rec = dict(prior)
         rec["skipped"] = True
         rec["wall_s"] = time.time() - t0

@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..codecs.column import EncodedColumn
+from . import fsio
 
 MAGIC = b"P2R1"
 
@@ -101,17 +102,10 @@ def _norm_type(t: pa.DataType) -> pa.DataType:
 
 
 def _atomic_write(path: str, data: bytes, fsync: bool = True) -> None:
-    """Atomic commit.  ``fsync=False`` skips crash-durability — only valid
-    when the output store provides its own (object storage with
-    checksummed upload) or for benchmarking: concurrent fsyncs on one
-    ext4 journal measured ~+0.35 s per partition commit at 16 writers."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-        f.flush()
-        if fsync:
-            os.fsync(f.fileno())
-    os.rename(tmp, path)
+    """Atomic commit via the fs-generic layer (state/fsio.py): local
+    paths keep write-temp + rename (+ optional fsync); object-store
+    URIs commit with one atomic PUT — see fsio docstring."""
+    fsio.atomic_write(path, data, fsync=fsync)
 
 
 _COMPRESSIONS = {"zstd", "lz4", "snappy", "gzip", "brotli"}
@@ -309,8 +303,8 @@ def read_partition_blocks(
     Returns (footer, per-block column lists, data_bytes_read) —
     ``data_bytes_read`` counts COLUMN PAYLOAD bytes only (the footer is
     fixed metadata cost, read once regardless of the predicate)."""
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    f, size = fsio.open_input(path)
+    try:
         f.seek(size - 8)
         tail = f.read(8)
         if tail[4:] != MAGIC:
@@ -338,12 +332,14 @@ def read_partition_blocks(
             meta = _project_meta(bm["columns"], columns)
             out.append(_cols_from_meta(meta, pread))
             bytes_read += sum(m["size"] for m in meta)
+    finally:
+        f.close()
     return footer, out, bytes_read
 
 
 def read_partition_footer(path: str) -> dict:
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    f, size = fsio.open_input(path)
+    try:
         f.seek(size - 8)
         tail = f.read(8)
         if tail[4:] != MAGIC:
@@ -351,11 +347,12 @@ def read_partition_footer(path: str) -> dict:
         flen = int.from_bytes(tail[:4], "little")
         f.seek(size - 8 - flen)
         return json.loads(f.read(flen))
+    finally:
+        f.close()
 
 
 def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
-    with open(path, "rb") as f:
-        blob = f.read()
+    blob = fsio.read_bytes(path)
     if blob[-4:] != MAGIC:
         raise ValueError(f"{path}: bad magic")
     flen = int.from_bytes(blob[-8:-4], "little")
@@ -393,7 +390,7 @@ def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
 
 def manifest_dir(out_dir: str) -> str:
     d = os.path.join(out_dir, "_manifest")
-    os.makedirs(d, exist_ok=True)
+    fsio.ensure_dir(d)
     return d
 
 
@@ -409,21 +406,17 @@ def load_manifest_record(out_dir: str, part_id: str) -> dict | None:
     """Read ONE partition's record — O(1) per encode task, so resume
     checks stay constant-cost at 10^5+ partitions."""
     path = os.path.join(out_dir, "_manifest", f"part-{part_id}.json")
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         return None
-    with open(path, "rb") as f:
-        return json.loads(f.read())
+    return json.loads(fsio.read_bytes(path))
 
 
 def load_manifest(out_dir: str) -> dict[str, dict]:
     d = os.path.join(out_dir, "_manifest")
     records: dict[str, dict] = {}
-    if not os.path.isdir(d):
-        return records
-    for name in sorted(os.listdir(d)):
+    for name in fsio.listdir(d):
         if name.startswith("part-") and name.endswith(".json"):
-            with open(os.path.join(d, name), "rb") as f:
-                r = json.loads(f.read())
+            r = json.loads(fsio.read_bytes(os.path.join(d, name)))
             records[r["part_id"]] = r
     return records
 
