@@ -38,6 +38,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from ..state import fsio
 from ..state import manifest as mf
 
 __all__ = ["container_to_parquet", "parquet_write_args_for",
@@ -98,7 +99,7 @@ def container_to_parquet(
                      key=lambda r: r["part_id"])
     if not records:
         raise ValueError(f"no committed partitions under {container_dir}")
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.ensure_dir(out_dir)
 
     def export(batch: pa.Table) -> pa.Table:
         from ..stages.encode import decode_partition_path
@@ -109,35 +110,42 @@ def container_to_parquet(
                 batch["n_rows"].to_pylist(), batch["codecs"].to_pylist(),
                 batch["bloom_key"].to_pylist()):
             dest = os.path.join(out_dir, f"part-{pid}.parquet")
-            if os.path.exists(dest):
+            if fsio.exists(dest):
                 if not embed_blooms:
                     _write_bloom_sidecar(dest, blooms.get(pid))  # resume fill
                 out_rows["part_id"].append(pid)
                 # ledger row count, so a resumed export still reports
                 # the dataset total instead of undercounting skips
                 out_rows["rows"].append(n_rows)
-                out_rows["parquet_bytes"].append(os.path.getsize(dest))
+                out_rows["parquet_bytes"].append(fsio.getsize(dest))
                 out_rows["skipped"].append(True)
                 continue
             tbl = decode_partition_path(path)
-            tmp = dest + ".tmp"
             # encodings follow THIS partition's auto-selected codecs
-            # (selections can differ per partition)
+            # (selections can differ per partition).  pyarrow writes +
+            # the bloom footer patch need a LOCAL seekable file; the
+            # finished bytes then commit through fsio (local: rename;
+            # object store: one atomic PUT) so out_dir may be any URI.
             args = parquet_write_args_for(json.loads(codecs_json))
-            pq.write_table(tbl, tmp, compression=compression, **args)
-            if embed_blooms:
-                from .parquet_bloom import embed_blooms as _embed
+            import tempfile
 
-                cols = [bkey] if bkey in tbl.column_names else None
-                _embed(tmp, tmp + ".b", columns=cols)
-                os.replace(tmp + ".b", dest)
-                os.remove(tmp)
-            else:
-                os.replace(tmp, dest)
+            with tempfile.TemporaryDirectory() as td:
+                tmp = os.path.join(td, "part.parquet")
+                pq.write_table(tbl, tmp, compression=compression, **args)
+                if embed_blooms:
+                    from .parquet_bloom import embed_blooms as _embed
+
+                    cols = [bkey] if bkey in tbl.column_names else None
+                    _embed(tmp, tmp + ".b", columns=cols)
+                    tmp = tmp + ".b"
+                with open(tmp, "rb") as f:
+                    blob = f.read()
+            fsio.atomic_write(dest, blob, fsync=False)
+            if not embed_blooms:
                 _write_bloom_sidecar(dest, blooms.get(pid))
             out_rows["part_id"].append(pid)
             out_rows["rows"].append(tbl.num_rows)
-            out_rows["parquet_bytes"].append(os.path.getsize(dest))
+            out_rows["parquet_bytes"].append(len(blob))
             out_rows["skipped"].append(False)
         return pa.table(out_rows)
 
@@ -182,12 +190,10 @@ def _write_bloom_sidecar(parquet_path: str, bloom: dict | None) -> None:
     if not bloom or not bloom.get("sbbf_b64"):
         return
     path = _bloom_sidecar_path(parquet_path)
-    if os.path.exists(path):
+    if fsio.exists(path):
         return
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(bloom, f, separators=(",", ":"))
-    os.replace(tmp, path)
+    fsio.atomic_write(
+        path, json.dumps(bloom, separators=(",", ":")).encode(), fsync=False)
 
 
 def load_bloom_sidecar(parquet_path: str) -> dict | None:
@@ -197,10 +203,9 @@ def load_bloom_sidecar(parquet_path: str) -> dict | None:
     import json
 
     path = _bloom_sidecar_path(parquet_path)
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         return None
-    with open(path) as f:
-        d = json.load(f)
+    d = json.loads(fsio.read_bytes(path))
     return {"column": d["column"], "type": d["type"],
             "bitset": base64.b64decode(d["sbbf_b64"])}
 
@@ -213,7 +218,7 @@ def prune_files_by_bloom(out_dir: str, values) -> list[str]:
     This is the read side of the bloom interop (reference
     bloom_filter/read.rs:14): the probe runs the spec's xxh64-over-
     PLAIN hash + salted SBBF block check, vectorized over values."""
-    import glob as _glob
+    import fnmatch
 
     import numpy as np
 
@@ -222,14 +227,17 @@ def prune_files_by_bloom(out_dir: str, values) -> list[str]:
     from .parquet_bloom import read_embedded_blooms
 
     keep: list[str] = []
-    for f in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet"))):
+    names = [n for n in fsio.listdir(out_dir)
+             if fnmatch.fnmatch(n, "part-*.parquet")]
+    for f in (os.path.join(out_dir, n) for n in names):
         sc = load_bloom_sidecar(f)
         if sc is None:
             # foreign files may carry SPEC-EMBEDDED blooms instead of
             # our sidecars — consume those through the thrift reader
             # (sources/parquet_bloom.py); no sketch of either kind ⇒
             # no claim ⇒ keep
-            embedded = read_embedded_blooms(f)
+            rfs, rp = fsio.resolve(f)
+            embedded = read_embedded_blooms(rp, filesystem=rfs)
             if not embedded:
                 keep.append(f)
                 continue
@@ -238,7 +246,8 @@ def prune_files_by_bloom(out_dir: str, values) -> list[str]:
             # inferred int64 width would false-negative and wrongly
             # prune a file that contains the value)
             try:
-                schema = pq.read_schema(f)
+                schema = (pq.read_schema(rp, filesystem=rfs) if rfs
+                          else pq.read_schema(rp))
             except Exception:
                 schema = None
             hit = False

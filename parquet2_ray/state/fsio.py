@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 
 __all__ = ["resolve", "atomic_write", "read_bytes", "open_input",
-           "exists", "listdir", "ensure_dir"]
+           "exists", "getsize", "listdir", "ensure_dir"]
 
 
 # one FileSystem instance per scheme://authority, reused across calls:
@@ -108,6 +108,13 @@ def exists(path: str) -> bool:
     from pyarrow import fs as pafs
 
     return f.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def getsize(path: str) -> int:
+    f, p = resolve(path)
+    if f is None:
+        return os.path.getsize(p)
+    return f.get_file_info(p).size
 
 
 def listdir(path: str) -> list[str]:

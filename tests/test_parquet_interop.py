@@ -161,3 +161,34 @@ def test_container_to_parquet_embedded_blooms(tmp_path):
     summary2 = container_to_parquet(cont, out, embed_blooms=True)
     assert summary2["skipped"] == s["n_partitions"]
     assert glob.glob(f"{out}/_bloom.*") == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_container_to_parquet_uri_out_dir(tmp_path):
+    """Interchange export through a pyarrow.fs URI out_dir: files land
+    via the fs layer (atomic PUT path for object stores), pruning and
+    resume work through the same URI space."""
+    from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+    from parquet2_ray.sources.parquet_interop import prune_files_by_bloom
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    src = tmp_path / "in.parquet"
+    tbl = make_tokens_table(2500, seed=17)
+    pq.write_table(tbl, src)
+    cont = str(tmp_path / "cont")
+    s = encode_dataset(str(src), cont,
+                       EncodeOptions(target_weight=200_000, sort_key="doc_id"))
+    out_uri = f"file://{tmp_path}/pq_uri"
+    summary = container_to_parquet(cont, out_uri, embed_blooms=True)
+    assert summary["n_partitions"] == s["n_partitions"]
+    got = pq.read_table(f"{tmp_path}/pq_uri").sort_by("doc_id")
+    orig = tbl.sort_by("doc_id")
+    assert got.select(orig.column_names).cast(orig.schema).equals(orig)
+    # prune through the URI
+    one = orig["doc_id"][0].as_py()
+    kept = prune_files_by_bloom(out_uri, [one])
+    assert 1 <= len(kept) < summary["n_partitions"]
+    assert all(k.startswith("file://") for k in kept)
+    # resume through the URI
+    assert container_to_parquet(cont, out_uri, embed_blooms=True)[
+        "skipped"] == s["n_partitions"]
