@@ -25,7 +25,8 @@ import ray.data as rd
 
 from ..functions.hashing import md5_hex
 
-__all__ = ["split_by_hash", "split_thresholds", "stratified_sample"]
+__all__ = ["split_by_hash", "split_thresholds", "stratified_sample",
+           "source_token_totals", "mix_sources"]
 
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
@@ -112,3 +113,87 @@ def stratified_sample(
               .groupby(group_col)
               .map_groups(topn, batch_format="pandas")
               .drop_columns(["_h8"]))
+
+
+def source_token_totals(ds: rd.Dataset, source_col: str = "source",
+                        weight_col: str = "n_tok") -> dict[str, int]:
+    """{source: total tokens} — per-batch partial sums combine before
+    the (sources-sized) groupby, so the exchange carries O(sources)
+    rows per block, never O(rows)."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([source_col, weight_col]).group_by(source_col)
+        return g.aggregate([(weight_col, "sum")]).rename_columns(
+            [source_col, "_w"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(source_col).aggregate(Sum("_w", alias_name="_w")))
+    out = {}
+    for row in agg.take_all():  # O(sources) rows — driver-safe
+        out[row[source_col]] = int(row["_w"])
+    return out
+
+
+def mix_sources(
+    ds: rd.Dataset,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    weight_col: str = "n_tok",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    upsample: bool = False,
+    totals: dict[str, int] | None = None,
+):
+    """Resample a multi-source corpus to per-source TOKEN budgets —
+    the training-mixture step (e.g. "100 B web, 30 B code, 5 B
+    wiki").  Returns ``(dataset, report)``.
+
+    Two passes, one of them tiny: (1) per-source token totals via a
+    partial-combine groupby (O(sources) exchange); (2) a map-only
+    keep/repeat pass where each doc's fate is a pure function of
+    ``md5(id, seed)`` against the source's computed rate — stable
+    under re-runs, repartitioning and resume, no shuffle of the data.
+
+    ``rate = budget / total``.  rate < 1 downsamples (keep iff
+    hash-fraction < rate; expected tokens = budget, binomial jitter —
+    an exact cut would need a global sort for zero gain at corpus
+    scale).  rate > 1 with ``upsample=True`` repeats each doc
+    ``floor(rate)`` times plus one more iff hash-fraction < frac(rate)
+    (epoch-style oversampling); without ``upsample`` rates cap at 1.
+    Sources absent from ``budgets`` are DROPPED (explicit mixtures
+    only).  The report records {source: {total, target, rate}}.
+    """
+    totals = totals or source_token_totals(ds, source_col, weight_col)
+    rates: dict[str, float] = {}
+    for src, target in budgets.items():
+        tot = totals.get(src, 0)
+        if tot <= 0:
+            rates[src] = 0.0
+            continue
+        r = target / tot
+        rates[src] = r if upsample else min(1.0, r)
+    report = {src: {"total": totals.get(src, 0), "target": budgets[src],
+                    "rate": round(rates[src], 6)} for src in budgets}
+
+    def resample(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        srcs = b[source_col].to_numpy(zero_copy_only=False)
+        rate = np.array([rates.get(s, 0.0) for s in srcs])
+        keys = [f"{seed}:{k}" for k in b[id_col].to_pylist()]
+        # hash-fraction in [0,1): first 8 md5 hex chars / 2^32 — the
+        # same engine-portable uniform used by split_by_hash
+        frac = np.array([int(h[:8], 16) for h in md5_hex(keys)],
+                        dtype=np.float64) / 2**32
+        copies = np.floor(rate).astype(np.int64) + (frac < rate % 1.0)
+        if not upsample:
+            copies = np.minimum(copies, 1)
+        if (copies <= 1).all():
+            return b.filter(pa.array(copies == 1))
+        idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), copies)
+        return b.take(pa.array(idx))
+
+    return ds.map_batches(resample, batch_format="pyarrow"), report
