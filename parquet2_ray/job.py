@@ -17,6 +17,10 @@ Subcommands:
 - ``decode``  — stream a container back out as standard parquet
   (sources/parquet_interop).
 - ``verify``  — bit-identity check of a container against its source.
+- ``dedup``   — exact + near-dup corpus dedup to parquet.
+- ``prepare`` — full training-data preparation (scrub → decontaminate →
+  dedup → gate → tokenize → pack → encode), optional --benchmark.
+- ``mix``     — per-source token-budget mixture resampling.
 
 Ray session ownership: inside a Ray Job the cluster is already up, so
 ``ray.init`` is guarded — this is one of the three places allowed to
@@ -106,6 +110,24 @@ def cmd_prepare(args) -> dict:
                                  benchmark_texts=bench)
 
 
+def cmd_mix(args) -> dict:
+    """Resample a multi-source corpus to per-source token budgets."""
+    import json as _json
+
+    import ray.data as rd
+
+    from .stages.sampling import mix_sources
+
+    ds = rd.read_parquet(args.input)
+    budgets = {k: int(v) for k, v in _json.loads(args.budgets).items()}
+    out, report = mix_sources(ds, budgets, source_col=args.source_col,
+                              weight_col=args.weight_col,
+                              id_col=args.id_col, seed=args.seed,
+                              upsample=args.upsample)
+    out.write_parquet(args.output)
+    return {"output": args.output, "mixture": report}
+
+
 def cmd_verify(args) -> dict:
     # distributed bit-identity proof: decode every committed partition,
     # recompute the canonical fingerprint, compare to the manifest
@@ -160,10 +182,23 @@ def main(argv: list[str] | None = None) -> int:
                       help="parquet file of eval texts (column 'text'); "
                            "contaminated docs are dropped before dedup")
 
+    mix = sub.add_parser("mix")
+    mix.add_argument("--input", required=True)
+    mix.add_argument("--output", required=True)
+    mix.add_argument("--budgets", required=True,
+                     help="JSON {source: target_tokens}, e.g. "
+                          "'{\"web\":1000000,\"code\":250000}'")
+    mix.add_argument("--source-col", default="source")
+    mix.add_argument("--weight-col", default="n_tok")
+    mix.add_argument("--id-col", default="doc_id")
+    mix.add_argument("--seed", type=int, default=0)
+    mix.add_argument("--upsample", action="store_true")
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
-           "dedup": cmd_dedup, "prepare": cmd_prepare}[args.cmd](args)
+           "dedup": cmd_dedup, "prepare": cmd_prepare,
+           "mix": cmd_mix}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 
