@@ -2,9 +2,14 @@
 LLM corpus run executes, assembled from this engine's stages.
 
     documents (parquet / object store)
-      → PII scrub                       (map-only, per-worker regexes)
       → benchmark decontamination       (map-only, broadcast eval-set
-                                         window hashes — optional)
+                                         window hashes — optional;
+                                         FIRST, on the raw text: the
+                                         eval set is raw, so matching
+                                         post-scrub text would miss
+                                         overlaps containing scrubbed
+                                         spans)
+      → PII scrub                       (map-only, per-worker regexes)
       → exact dedup                     (one 16 B/row hash exchange)
       → quality gate                    (map-only repetition signals)
       → tokenize                        (map-only, vocab-hash words)

@@ -420,10 +420,8 @@ def embed_blooms(src_path: str, dst_path: str,
                 body += header
                 body += bits
                 # patch/insert fields 14/15 keeping ascending id order
-                cm = [f for f in cm if f[0] not in (14, 15)]
-                tail = [f for f in cm if f[0] > 15]
-                cm = [f for f in cm if f[0] <= 15] + \
-                     [(14, 6, off), (15, 5, len(header) + len(bits))] + tail
+                cm = [f for f in cm if f[0] not in (14, 15)] + \
+                     [(14, 6, off), (15, 5, len(header) + len(bits))]
                 cm.sort(key=lambda f: f[0])
                 chunks[c_i] = [
                     (f, t, cm if f == 3 else v) for f, t, v in chunk]

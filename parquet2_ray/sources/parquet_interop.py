@@ -122,30 +122,44 @@ def container_to_parquet(
                 continue
             tbl = decode_partition_path(path)
             # encodings follow THIS partition's auto-selected codecs
-            # (selections can differ per partition).  pyarrow writes +
-            # the bloom footer patch need a LOCAL seekable file; the
-            # finished bytes then commit through fsio (local: rename;
-            # object store: one atomic PUT) so out_dir may be any URI.
+            # (selections can differ per partition)
             args = parquet_write_args_for(json.loads(codecs_json))
-            import tempfile
-
-            with tempfile.TemporaryDirectory() as td:
-                tmp = os.path.join(td, "part.parquet")
+            local_fs, dest_local = fsio.resolve(dest)
+            if local_fs is None and not embed_blooms:
+                # local fast path: stream straight to dest + rename —
+                # no whole-file buffering, one write
+                tmp = dest_local + ".tmp"
                 pq.write_table(tbl, tmp, compression=compression, **args)
-                if embed_blooms:
-                    from .parquet_bloom import embed_blooms as _embed
+                os.replace(tmp, dest_local)
+                nbytes = os.path.getsize(dest_local)
+            else:
+                # pyarrow writes + the bloom footer patch need a LOCAL
+                # seekable file; the finished bytes then commit through
+                # fsio (object store: one atomic PUT) so out_dir may be
+                # any URI
+                import tempfile
 
-                    cols = [bkey] if bkey in tbl.column_names else None
-                    _embed(tmp, tmp + ".b", columns=cols)
-                    tmp = tmp + ".b"
-                with open(tmp, "rb") as f:
-                    blob = f.read()
-            fsio.atomic_write(dest, blob, fsync=False)
+                with tempfile.TemporaryDirectory() as td:
+                    tmp = os.path.join(td, "part.parquet")
+                    pq.write_table(tbl, tmp, compression=compression, **args)
+                    if embed_blooms:
+                        from .parquet_bloom import embed_blooms as _embed
+
+                        # bloom ONLY the manifest's key column; a
+                        # container without one embeds nothing (parity
+                        # with the sidecar path, which writes nothing)
+                        cols = [bkey] if bkey in tbl.column_names else []
+                        _embed(tmp, tmp + ".b", columns=cols)
+                        tmp = tmp + ".b"
+                    with open(tmp, "rb") as f:
+                        blob = f.read()
+                fsio.atomic_write(dest, blob, fsync=False)
+                nbytes = len(blob)
             if not embed_blooms:
                 _write_bloom_sidecar(dest, blooms.get(pid))
             out_rows["part_id"].append(pid)
             out_rows["rows"].append(tbl.num_rows)
-            out_rows["parquet_bytes"].append(len(blob))
+            out_rows["parquet_bytes"].append(nbytes)
             out_rows["skipped"].append(False)
         return pa.table(out_rows)
 

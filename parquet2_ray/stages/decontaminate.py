@@ -82,8 +82,11 @@ def _tag_batch(batch: pa.Table, fp: np.ndarray, text_col: str,
             np.add.at(delta, lo, 1)
             np.add.at(delta, hi, -1)
             hit &= ~(np.cumsum(delta[:-1]) > 0)
-            starts = np.clip(offsets[:-1], 0, win.size - 1)
-            counts = np.add.reduceat(hit.astype(np.int64), starts)
+            # zero sentinel + clip to win.size: a trailing empty doc
+            # must not steal the preceding doc's final window hit
+            starts = np.clip(offsets[:-1], 0, win.size)
+            counts = np.add.reduceat(
+                np.append(hit.astype(np.int64), 0), starts)
             counts[~nonempty] = 0  # reduceat quirk on collapsed ranges
     return batch.append_column(
         "n_contam_windows", pa.array(counts, type=pa.int64())

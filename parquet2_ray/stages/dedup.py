@@ -163,12 +163,15 @@ def minhash_signatures_batch(
         np.add.at(delta, lo, 1)
         np.add.at(delta, hi, -1)
         cross = np.cumsum(delta[:-1]) > 0
-        starts = np.clip(offsets[:-1], 0, win.size - 1)
+        # sentinel element + clip to win.size (NOT size-1): a trailing
+        # empty doc must reduce over the sentinel, not steal the last
+        # window from the PRECEDING doc's segment
+        starts = np.clip(offsets[:-1], 0, win.size)
         umax = np.iinfo(np.uint64).max
         for p in range(num_perm):
             ph = (a[p] * win + b[p]) % np.uint64(_PRIME)  # wraps; uniform enough
             ph[cross] = umax
-            sigs[:, p] = np.minimum.reduceat(ph, starts)
+            sigs[:, p] = np.minimum.reduceat(np.append(ph, umax), starts)
         sigs[~nonempty, :] = umax
     return pa.table(
         {
@@ -322,7 +325,10 @@ def simhash_batch(
     bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     signed = bits.astype(np.int32) * 2 - 1
     bounds = np.concatenate([[0], np.cumsum(lens)])[:-1]
-    sums = np.add.reduceat(signed, bounds.clip(0, max(len(flat) - 1, 0)), axis=0)
+    # zero sentinel row + clip to len(flat): trailing empty docs must
+    # not steal the last token row from the preceding doc's segment
+    signed = np.vstack([signed, np.zeros((1, 64), dtype=np.int32)])
+    sums = np.add.reduceat(signed, bounds.clip(0, len(flat)), axis=0)
     sums[lens == 0] = -1  # empty docs → simhash 0
     sig_bits = (sums > 0).astype(np.uint8)
     sig = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).ravel()

@@ -51,9 +51,11 @@ def _doc_word_hashes(texts: pa.Array):
     flat = la.values[offs[0] : offs[-1]]
     offs = offs - offs[0]
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    # re-derive per-doc offsets after dropping empty tokens
-    counts = np.add.reduceat(nonempty.astype(np.int64),
-                             np.clip(offs[:-1], 0, max(0, len(flat) - 1))
+    # re-derive per-doc offsets after dropping empty tokens (zero
+    # sentinel + clip to len(flat): trailing empty docs must not steal
+    # the preceding doc's last word)
+    counts = np.add.reduceat(np.append(nonempty.astype(np.int64), 0),
+                             np.clip(offs[:-1], 0, len(flat))
                              ) if len(flat) else np.zeros(len(la), np.int64)
     if len(flat):
         counts[offs[1:] == offs[:-1]] = 0  # reduceat quirk: empty docs
@@ -157,9 +159,12 @@ def score_batch(batch: pa.Table, model: dict,
             is_start[starts] = True
             p[1:] = np.where(is_start[1:], p[1:], p_tail)
         lp = np.log10(np.maximum(p, floor))
-        st = np.clip(offs[:-1], 0, max(0, h.size - 1))
-        sums = np.add.reduceat(lp, st)
-        oov_sums = np.add.reduceat((c_uni == 0).astype(np.float64), st)
+        # zero sentinel + clip to h.size: trailing empty docs must not
+        # steal the preceding doc's last-token logprob
+        st = np.clip(offs[:-1], 0, h.size)
+        sums = np.add.reduceat(np.append(lp, 0.0), st)
+        oov_sums = np.add.reduceat(
+            np.append((c_uni == 0).astype(np.float64), 0.0), st)
         lens = np.diff(offs)
         empty = lens == 0
         sums[empty] = np.nan

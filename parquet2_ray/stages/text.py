@@ -375,8 +375,10 @@ def vocab_coverage(ds, vocab_ids, tokens_col: str = "tokens"):
         if vals.size and vocab.size:
             at = np.minimum(np.searchsorted(vocab, vals), vocab.size - 1)
             oov = (vocab[at] != vals).astype(np.int64)
-            starts = np.clip(offs[:-1], 0, max(0, oov.size - 1))
-            n_oov = np.add.reduceat(oov, starts)
+            # zero sentinel + clip to oov.size: a trailing empty row
+            # must not steal the preceding row's last token
+            starts = np.clip(offs[:-1], 0, oov.size)
+            n_oov = np.add.reduceat(np.append(oov, 0), starts)
             n_oov[offs[1:] == offs[:-1]] = 0  # reduceat quirk: empty rows
         elif vals.size:
             lens = np.diff(offs)
