@@ -1,0 +1,134 @@
+"""Ray Data ``Datasource`` for the P2R1 container.
+
+``decode_dataset`` (pipelines/encode_pipeline.py) streams containers
+through ``from_items + map_batches``; this module exposes the SAME
+read path through Ray Data's native datasource API, so a container
+plugs into ``ray.data.read_datasource`` like any built-in format:
+
+    import ray.data as rd
+    from parquet2_ray.sources.datasource import P2RDatasource
+
+    ds = rd.read_datasource(P2RDatasource(
+        "/data/tokens_enc",            # or any pyarrow.fs URI
+        columns=["doc_id", "n_tok"],   # projection pushdown
+        key_range=("doc_id", "a", "m"),  # bloom/min-max + page-index
+    ))
+
+What the datasource pushes down (all reusing the manifest machinery):
+
+- **partition pruning** on the driver: ``key_values`` probes each
+  partition's SBBF bloom; ``key_range`` checks recorded min/max — both
+  prune BEFORE any read task is launched, so the scheduler never sees
+  skipped partitions;
+- **block metadata**: every read task carries the manifest's exact row
+  count and raw byte size, so Ray's streaming executor plans memory
+  and progress from real numbers instead of guesses;
+- **projection + sub-partition ranges** inside each task: only the
+  named column chunks (and, for paged containers, only the row-blocks
+  whose page index overlaps the range) are read from storage.
+
+One read task per partition — the container's commit/retry unit; a
+partition is the atomic decode granule by design, so requested
+parallelism above the partition count cannot split further (Ray
+coalesces below it).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
+
+from ..state import manifest as mf
+
+__all__ = ["P2RDatasource"]
+
+
+def _read_one(path: str, key_range, columns) -> pa.Table:
+    """Decode one partition with projection + exact range semantics —
+    identical to decode_dataset's per-path transform."""
+    from ..stages.encode import decode_partition_path
+
+    if key_range is None:
+        return decode_partition_path(path, columns=columns)
+    kcol, lo, hi = key_range
+    read_cols = columns
+    if columns is not None and kcol not in columns:
+        read_cols = list(columns) + [kcol]
+    t = decode_partition_path(path, kcol, lo, hi, columns=read_cols)
+    m = None
+    if lo is not None:
+        m = pc.greater_equal(t[kcol], lo)
+    if hi is not None:
+        m2 = pc.less_equal(t[kcol], hi)
+        m = m2 if m is None else pc.and_(m, m2)
+    if m is not None:
+        t = t.filter(m)
+    if columns is not None and kcol not in columns:
+        t = t.drop_columns([kcol])
+    return t
+
+
+class P2RDatasource(Datasource):
+    """Read a P2R1 container through ``ray.data.read_datasource``."""
+
+    def __init__(
+        self,
+        container_dir: str,
+        columns: Optional[List[str]] = None,
+        key_values: Optional[Iterable] = None,
+        key_range: Optional[tuple] = None,
+    ):
+        if key_values is not None and key_range is not None:
+            raise ValueError("pass key_values OR key_range, not both")
+        from ..pipelines.encode_pipeline import (
+            prune_partitions,
+            prune_partitions_by_range,
+        )
+
+        records = mf.load_manifest(container_dir)
+        if not records:
+            raise FileNotFoundError(
+                f"no committed partitions under {container_dir}")
+        if key_values is not None:
+            keep = set(prune_partitions(container_dir, key_values))
+        elif key_range is not None:
+            keep = set(prune_partitions_by_range(container_dir, *key_range))
+        else:
+            keep = {r["path"] for r in records.values()}
+        self._parts = [r for r in sorted(records.values(),
+                                         key=lambda r: r["part_id"])
+                       if r["path"] in keep]
+        self._columns = columns
+        self._key_range = key_range
+        self._exact_rows = key_range is None
+
+    def get_name(self) -> str:
+        return "P2R1Container"
+
+    def estimate_inmemory_data_size(self) -> Optional[int]:
+        return sum(int(r.get("raw_bytes") or 0) for r in self._parts) or None
+
+    def get_read_tasks(self, parallelism: int) -> List[ReadTask]:
+        key_range, columns = self._key_range, self._columns
+        tasks: List[ReadTask] = []
+        for r in self._parts:
+            path = r["path"]
+            meta = BlockMetadata(
+                # exact from the lineage manifest when nothing filters
+                # rows; unknown (None) under a range predicate
+                num_rows=int(r["n_rows"]) if self._exact_rows else None,
+                size_bytes=int(r.get("raw_bytes") or 0) or None,
+                exec_stats=None,
+                input_files=[path],
+            )
+
+            def fn(path=path):
+                return [_read_one(path, key_range, columns)]
+
+            tasks.append(ReadTask(fn, meta))
+        return tasks

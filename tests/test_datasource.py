@@ -1,0 +1,70 @@
+"""P2RDatasource: the container through ray.data.read_datasource."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from parquet2_ray.sources.datasource import P2RDatasource
+
+
+@pytest.fixture(scope="module")
+def container(tmp_path_factory, ray_session):
+    from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    d = tmp_path_factory.mktemp("dsrc")
+    tbl = make_tokens_table(3000, seed=41)
+    pq.write_table(tbl, d / "in.parquet")
+    out = str(d / "cont")
+    encode_dataset(str(d / "in.parquet"), out,
+                   EncodeOptions(target_weight=150_000, sort_key="doc_id"))
+    return out, tbl
+
+
+def test_full_read_matches_decode_dataset(container, ray_session):
+    from parquet2_ray.pipelines.encode_pipeline import decode_dataset
+
+    out, tbl = container
+    via_dsrc = rd.read_datasource(P2RDatasource(out)).to_pandas()
+    via_decode = decode_dataset(out).to_pandas()
+    a = via_dsrc.sort_values("doc_id").reset_index(drop=True)
+    b = via_decode.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and len(a) == tbl.num_rows
+    # exact manifest row counts flow into block metadata (no range)
+    ds = rd.read_datasource(P2RDatasource(out))
+    assert ds.count() == tbl.num_rows
+
+
+def test_projection_pushdown(container, ray_session):
+    out, tbl = container
+    ds = rd.read_datasource(P2RDatasource(out, columns=["doc_id", "n_tok"]))
+    df = ds.to_pandas()
+    assert list(df.columns) == ["doc_id", "n_tok"]
+    assert df["n_tok"].sum() == tbl.to_pandas()["n_tok"].sum()
+
+
+def test_key_range_pushdown(container, ray_session):
+    out, tbl = container
+    ids = sorted(tbl["doc_id"].to_pylist())
+    lo, hi = ids[len(ids) // 4], ids[len(ids) // 2]
+    ds = rd.read_datasource(P2RDatasource(
+        out, columns=["n_tok"], key_range=("doc_id", lo, hi)))
+    got = ds.to_pandas()
+    ref = tbl.to_pandas()
+    ref = ref[(ref["doc_id"] >= lo) & (ref["doc_id"] <= hi)]
+    assert list(got.columns) == ["n_tok"]
+    assert sorted(got["n_tok"]) == sorted(ref["n_tok"])
+
+
+def test_key_values_bloom_prune(container, ray_session):
+    out, tbl = container
+    probe = tbl["doc_id"][0].as_py()
+    src = P2RDatasource(out, key_values=[probe])
+    total = P2RDatasource(out)
+    assert len(src._parts) < len(total._parts)  # pruning really happened
+    df = rd.read_datasource(src).to_pandas()
+    assert probe in set(df["doc_id"])
+    with pytest.raises(ValueError):
+        P2RDatasource(out, key_values=[1], key_range=("doc_id", None, None))
