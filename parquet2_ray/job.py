@@ -100,14 +100,19 @@ def cmd_prepare(args) -> dict:
     from .pipelines.prepare_pipeline import prepare_training_data
 
     ds = rd.read_parquet(args.input)
-    bench = None
-    if args.benchmark:
+    bench = lm_ref = None
+    if args.benchmark or args.lm_ref:
         import pyarrow.parquet as pq
 
-        bench = pq.read_table(args.benchmark)["text"].to_pylist()
+        if args.benchmark:
+            bench = pq.read_table(args.benchmark)["text"].to_pylist()
+        if args.lm_ref:
+            lm_ref = pq.read_table(args.lm_ref)["text"].to_pylist()
     return prepare_training_data(ds, args.output, max_len=args.max_len,
                                  scrub=not args.no_scrub,
-                                 benchmark_texts=bench)
+                                 benchmark_texts=bench,
+                                 lm_ref_texts=lm_ref,
+                                 lm_min_logprob=args.lm_min_logprob)
 
 
 def cmd_mix(args) -> dict:
@@ -181,6 +186,12 @@ def main(argv: list[str] | None = None) -> int:
     prep.add_argument("--benchmark", default=None,
                       help="parquet file of eval texts (column 'text'); "
                            "contaminated docs are dropped before dedup")
+    prep.add_argument("--lm-ref", default=None,
+                      help="parquet file of reference texts (column "
+                           "'text') for the CCNet-style LM quality gate")
+    prep.add_argument("--lm-min-logprob", type=float, default=None,
+                      help="drop docs whose mean log10 token probability "
+                           "under the reference LM is below this")
 
     mix = sub.add_parser("mix")
     mix.add_argument("--input", required=True)

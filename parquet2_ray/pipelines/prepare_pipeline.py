@@ -11,7 +11,9 @@ LLM corpus run executes, assembled from this engine's stages.
                                          spans)
       → PII scrub                       (map-only, per-worker regexes)
       → exact dedup                     (one 16 B/row hash exchange)
-      → quality gate                    (map-only repetition signals)
+      → quality gate                    (map-only repetition signals,
+                                         plus an optional CCNet-style
+                                         LM-logprob threshold)
       → tokenize                        (map-only, vocab-hash words)
       → pack to fixed max_len rows      (one shard shuffle + reshape)
       → encode into the P2R1 container  (the flagship encode pipeline:
@@ -46,6 +48,8 @@ def prepare_training_data(
     max_dup_line_frac: float = 0.9,
     scrub: bool = True,
     benchmark_texts=None,
+    lm_ref_texts=None,
+    lm_min_logprob: float | None = None,
     nshards: int = 256,
     encode_opts=None,
 ) -> dict:
@@ -60,6 +64,7 @@ def prepare_training_data(
     from ..sources.readers import _tokenize_batch
     from ..stages.decontaminate import decontaminate
     from ..stages.dedup import exact_dedup
+    from ..stages.lm import score_batch, train_ngram_lm
     from ..stages.packing import pack_sequences
     from ..stages.text import repetition_signals_batch, scrub_text_batch
     from .encode_pipeline import EncodeOptions, encode_dataset
@@ -101,6 +106,21 @@ def prepare_training_data(
         return b[sig["dup_line_frac"].to_numpy() <= max_dup_line_frac]
 
     gated = kept.map_batches(gate, batch_format="pandas")
+
+    if lm_ref_texts is not None and lm_min_logprob is not None:
+        # CCNet-style LM gate: the reference model is bounded by design
+        # (stages/lm.py) and broadcast once; scoring is map-only
+        lm_model = ray.put(train_ngram_lm(
+            pa.table({"text": pa.array(list(lm_ref_texts), pa.string())})))
+
+        def lm_gate(b: pa.Table) -> pa.Table:
+            scored = score_batch(b, ray.get(lm_model))
+            lp = scored["lm_logprob"]
+            keep = pc.and_kleene(pc.is_valid(lp),
+                                 pc.greater_equal(lp, lm_min_logprob))
+            return b.filter(pc.fill_null(keep, False))
+
+        gated = gated.map_batches(lm_gate, batch_format="pyarrow")
 
     # tokenize + pack — source column is optional for plain-text inputs
     def tok(b: pa.Table) -> pa.Table:

@@ -234,3 +234,32 @@ def test_prepare_with_benchmark_decontamination(ray_session, tmp_path):
     s = prepare_training_data(docs, out, max_len=16, nshards=2,
                               benchmark_texts=bench)
     assert s["kept_docs"] == 2  # doc 1 removed by decontamination
+
+
+def test_prepare_with_lm_gate(ray_session, tmp_path):
+    """prepare_training_data(lm_ref_texts, lm_min_logprob) drops docs
+    unlike the reference corpus."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parquet2_ray.pipelines.prepare_pipeline import prepare_training_data
+
+    ref = ["the cat sat on the mat and the dog ran over the rug"]
+    texts = {
+        0: "the cat sat on the mat",            # reference-like
+        1: "qz vx jk wq zz xq kj zv",           # gibberish, all OOV
+        2: "the dog ran over the rug",          # reference-like
+    }
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    out = str(tmp_path / "prep-lm")
+    s = prepare_training_data(docs, out, max_len=16, nshards=2,
+                              lm_ref_texts=ref, lm_min_logprob=-1.5)
+    # kept_docs counts DEDUP keepers (gates run later); the proof the
+    # gibberish doc was gated is token conservation in the container
+    from parquet2_ray.pipelines.encode_pipeline import decode_dataset
+
+    dec = decode_dataset(out).to_pandas()
+    expect = sum(len(texts[i].split()) for i in (0, 2))
+    assert int(dec["n_real"].sum()) == expect
+    assert s["kept_docs"] == 3  # dedup kept all three; the LM gate cut
