@@ -18,8 +18,10 @@ Subcommands:
   (sources/parquet_interop).
 - ``verify``  — bit-identity check of a container against its source.
 - ``dedup``   — exact + near-dup corpus dedup to parquet.
-- ``prepare`` — full training-data preparation (scrub → decontaminate →
-  dedup → gate → tokenize → pack → encode), optional --benchmark.
+- ``prepare`` — full training-data preparation (decontaminate [raw
+  text, so eval-set overlaps are matched pre-scrub] → scrub → dedup →
+  gates [repetition + optional LM logprob] → tokenize → pack →
+  encode); see --benchmark / --lm-ref / --lm-min-logprob.
 - ``mix``     — per-source token-budget mixture resampling.
 
 Ray session ownership: inside a Ray Job the cluster is already up, so
@@ -93,8 +95,12 @@ def cmd_dedup(args) -> dict:
 
 
 def cmd_prepare(args) -> dict:
-    """Full training-data preparation: scrub → dedup → gate →
-    tokenize → pack → encode container."""
+    """Full training-data preparation: decontaminate → scrub → dedup →
+    gates → tokenize → pack → encode container."""
+    if (args.lm_ref is None) != (args.lm_min_logprob is None):
+        raise SystemExit(
+            "--lm-ref and --lm-min-logprob must be passed together "
+            "(one without the other would silently skip the LM gate)")
     import ray.data as rd
 
     from .pipelines.prepare_pipeline import prepare_training_data

@@ -19,7 +19,8 @@ What the datasource pushes down (all reusing the manifest machinery):
 - **partition pruning** on the driver: ``key_values`` probes each
   partition's SBBF bloom; ``key_range`` checks recorded min/max — both
   prune BEFORE any read task is launched, so the scheduler never sees
-  skipped partitions;
+  skipped partitions.  Both are EXACT at row level too: surviving
+  partitions are filtered to the requested values/range in the task;
 - **block metadata**: every read task carries the manifest's exact row
   count and raw byte size, so Ray's streaming executor plans memory
   and progress from real numbers instead of guesses;
@@ -48,19 +49,26 @@ from ..state import manifest as mf
 __all__ = ["P2RDatasource"]
 
 
-def _read_one(path: str, key_range, columns) -> pa.Table:
-    """Decode one partition with projection + exact range semantics —
-    identical to decode_dataset's per-path transform."""
+def _read_one(path: str, key_range, key_filter, columns) -> pa.Table:
+    """Decode one partition with projection + exact predicate semantics
+    (range, or key-membership for ``key_values`` — partition pruning
+    alone would return every row of a bloom-surviving partition)."""
     from ..stages.encode import decode_partition_path
 
-    if key_range is None:
+    if key_range is None and key_filter is None:
         return decode_partition_path(path, columns=columns)
-    kcol, lo, hi = key_range
+    if key_range is not None:
+        kcol, lo, hi = key_range
+    else:
+        kcol, values = key_filter
+        lo = hi = None
     read_cols = columns
     if columns is not None and kcol not in columns:
         read_cols = list(columns) + [kcol]
     t = decode_partition_path(path, kcol, lo, hi, columns=read_cols)
     m = None
+    if key_filter is not None:
+        m = pc.is_in(t[kcol], value_set=pa.array(list(key_filter[1])))
     if lo is not None:
         m = pc.greater_equal(t[kcol], lo)
     if hi is not None:
@@ -94,8 +102,18 @@ class P2RDatasource(Datasource):
         if not records:
             raise FileNotFoundError(
                 f"no committed partitions under {container_dir}")
+        self._key_filter = None
         if key_values is not None:
             keep = set(prune_partitions(container_dir, key_values))
+            # exact row semantics need the bloomed key column: rows of
+            # bloom-surviving partitions are filtered to the value set
+            kcols = {r.get("bloom_key") for r in records.values()
+                     if r.get("bloom_key")}
+            if len(kcols) != 1:
+                raise ValueError(
+                    "key_values needs exactly one manifest bloom_key; "
+                    f"container has {sorted(kcols) or 'none'}")
+            self._key_filter = (kcols.pop(), list(key_values))
         elif key_range is not None:
             keep = set(prune_partitions_by_range(container_dir, *key_range))
         else:
@@ -105,7 +123,7 @@ class P2RDatasource(Datasource):
                        if r["path"] in keep]
         self._columns = columns
         self._key_range = key_range
-        self._exact_rows = key_range is None
+        self._exact_rows = key_range is None and self._key_filter is None
 
     def get_name(self) -> str:
         return "P2R1Container"
@@ -115,6 +133,7 @@ class P2RDatasource(Datasource):
 
     def get_read_tasks(self, parallelism: int) -> List[ReadTask]:
         key_range, columns = self._key_range, self._columns
+        key_filter = self._key_filter
         tasks: List[ReadTask] = []
         for r in self._parts:
             path = r["path"]
@@ -128,7 +147,7 @@ class P2RDatasource(Datasource):
             )
 
             def fn(path=path):
-                return [_read_one(path, key_range, columns)]
+                return [_read_one(path, key_range, key_filter, columns)]
 
             tasks.append(ReadTask(fn, meta))
         return tasks

@@ -126,9 +126,13 @@ def container_to_parquet(
             args = parquet_write_args_for(json.loads(codecs_json))
             local_fs, dest_local = fsio.resolve(dest)
             if local_fs is None and not embed_blooms:
-                # local fast path: stream straight to dest + rename —
-                # no whole-file buffering, one write
-                tmp = dest_local + ".tmp"
+                # local fast path: stream straight to a tmp + rename —
+                # no whole-file buffering, one write.  The tmp name is
+                # pid-unique (duplicate task execution must not
+                # interleave into one file) and '_'-prefixed (crash
+                # debris stays invisible to parquet dataset discovery)
+                d, base = os.path.split(dest_local)
+                tmp = os.path.join(d, f"_{base}.tmp.{os.getpid()}")
                 pq.write_table(tbl, tmp, compression=compression, **args)
                 os.replace(tmp, dest_local)
                 nbytes = os.path.getsize(dest_local)

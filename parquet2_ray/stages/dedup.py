@@ -168,10 +168,12 @@ def minhash_signatures_batch(
         # window from the PRECEDING doc's segment
         starts = np.clip(offsets[:-1], 0, win.size)
         umax = np.iinfo(np.uint64).max
+        phx = np.empty(win.size + 1, dtype=np.uint64)  # reused buffer
+        phx[-1] = umax  # sentinel stays put across permutations
         for p in range(num_perm):
-            ph = (a[p] * win + b[p]) % np.uint64(_PRIME)  # wraps; uniform enough
-            ph[cross] = umax
-            sigs[:, p] = np.minimum.reduceat(np.append(ph, umax), starts)
+            phx[:-1] = (a[p] * win + b[p]) % np.uint64(_PRIME)  # wraps; uniform enough
+            phx[:-1][cross] = umax
+            sigs[:, p] = np.minimum.reduceat(phx, starts)
         sigs[~nonempty, :] = umax
     return pa.table(
         {

@@ -41,7 +41,9 @@ def _doc_word_hashes(texts: pa.Array):
     """(word_hashes uint64, doc_offsets int64) — lowercased whitespace
     words of every doc, flattened; empty tokens removed."""
     lowered = pc.utf8_lower(texts.cast(pa.string()))
-    lists = pc.split_pattern(lowered, pattern=" ")
+    # TRUE whitespace split (newlines/tabs too — web text is full of
+    # them; a single-space split would glue 'mat.\nThe' into one token)
+    lists = pc.utf8_split_whitespace(lowered)
     la = lists.cast(pa.large_list(pa.string())) if not isinstance(
         lists.type, pa.LargeListType) else lists
     if isinstance(la, pa.ChunkedArray):

@@ -65,6 +65,6 @@ def test_key_values_bloom_prune(container, ray_session):
     total = P2RDatasource(out)
     assert len(src._parts) < len(total._parts)  # pruning really happened
     df = rd.read_datasource(src).to_pandas()
-    assert probe in set(df["doc_id"])
+    assert set(df["doc_id"]) == {probe}  # exact row semantics
     with pytest.raises(ValueError):
         P2RDatasource(out, key_values=[1], key_range=("doc_id", None, None))

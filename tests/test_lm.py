@@ -92,3 +92,14 @@ def test_train_from_dataset_matches_table():
     for k in ("uni_h", "uni_c", "bi_h", "bi_c"):
         assert (m1[k] == m2[k]).all()
     assert m1["total"] == m2["total"]
+
+
+def test_whitespace_tokenization_newlines_tabs():
+    """Web text splits on ALL whitespace — a single-space split would
+    glue 'mat.\\nThe' into one pseudo-token (review finding)."""
+    from parquet2_ray.stages.lm import _doc_word_hashes
+
+    h1, o1 = _doc_word_hashes(pa.array(["hello world two"]))
+    h2, o2 = _doc_word_hashes(pa.array(["hello\nworld\ttwo"]))
+    assert o1.tolist() == o2.tolist() == [0, 3]
+    assert h1.tolist() == h2.tolist()
