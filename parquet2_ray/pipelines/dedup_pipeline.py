@@ -34,21 +34,23 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["exact_removal_ids", "dedup_corpus"]
+__all__ = ["hash_ids", "removals_from_hashes", "exact_removal_ids",
+           "dedup_corpus"]
 
 
-def exact_removal_ids(
+def hash_ids(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     nshards: int = 1024,
 ) -> rd.Dataset:
-    """Ids of every row whose text equals an earlier (smaller-id) row's
-    text — one (id) row per removal.  Distinct texts colliding under
-    the 64-bit content hash would merge groups (~2^-64; the same
-    equivalence q_dedup_exact's oracle accepts)."""
+    """Narrow (h, id, shard) projection of the corpus — ~20 B/row.
+
+    Split out of :func:`exact_removal_ids` so a composite pipeline can
+    ``materialize()`` THIS (bounded) dataset once, count it for free,
+    and feed the shard groupby — instead of materializing the corpus
+    itself or re-running the upstream scrub lineage per consumer."""
     from ..functions.hashing import hash_strings
-    from ..stages.bucket_pairs import bucket_runs
 
     def add_h(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas().fillna("").to_numpy(dtype=object)
@@ -58,6 +60,17 @@ def exact_removal_ids(
             id_col: batch[id_col],
             "shard": pa.array((h % np.uint64(nshards)).astype(np.int32)),
         })
+
+    return ds.map_batches(add_h, batch_format="pyarrow")
+
+
+def removals_from_hashes(
+    hashed: rd.Dataset,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Duplicate ids from a :func:`hash_ids` dataset — every member of
+    a hash run except the smallest id, via ONE shard groupby."""
+    from ..stages.bucket_pairs import bucket_runs
 
     def rm(group: pa.Table) -> pa.Table:
         empty = group.select([id_col]).slice(0, 0)
@@ -75,8 +88,21 @@ def exact_removal_ids(
         keep = group.select([id_col]).take(pa.array(order[idx]))
         return keep
 
-    return (ds.map_batches(add_h, batch_format="pyarrow")
-            .groupby("shard").map_groups(rm, batch_format="pyarrow"))
+    return hashed.groupby("shard").map_groups(rm, batch_format="pyarrow")
+
+
+def exact_removal_ids(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nshards: int = 1024,
+) -> rd.Dataset:
+    """Ids of every row whose text equals an earlier (smaller-id) row's
+    text — one (id) row per removal.  Distinct texts colliding under
+    the 64-bit content hash would merge groups (~2^-64; the same
+    equivalence q_dedup_exact's oracle accepts)."""
+    return removals_from_hashes(
+        hash_ids(ds, text_col, id_col, nshards), id_col)
 
 
 def dedup_corpus(

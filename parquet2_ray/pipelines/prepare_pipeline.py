@@ -63,7 +63,6 @@ def prepare_training_data(
 
     from ..sources.readers import _tokenize_batch
     from ..stages.decontaminate import decontaminate
-    from ..stages.dedup import exact_dedup
     from ..stages.lm import score_batch, train_ngram_lm
     from ..stages.packing import pack_sequences
     from ..stages.text import repetition_signals_batch, scrub_text_batch
@@ -75,28 +74,36 @@ def prepare_training_data(
         docs = decontaminate(docs, benchmark_texts, text_col="text")
 
     if scrub:
-        # materialize once: the scrubbed dataset is consumed TWICE
-        # (dedup fold + keep_only semi-join) — without this, Ray Data
-        # re-executes the read+regex lineage per consumer, doubling the
-        # most expensive map stage; blocks live in the object store and
-        # spill, so residency is bounded
-        docs = docs.map_batches(scrub_text_batch,
-                                batch_format="pandas").materialize()
+        # deliberately NOT materialized: the scrubbed corpus is consumed
+        # twice (the dedup hash pass and the main anti-filter pass), and
+        # re-running the map-only deterministic scrub lineage is cheaper
+        # at 100 TB than a full-corpus object-store materialization.
+        # The dedup branch touches only the narrow hash projection below.
+        docs = docs.map_batches(scrub_text_batch, batch_format="pandas")
 
-    # exact dedup → keeper id set, broadcast once (8 B/id — the text
-    # never leaves the distributed plane); gather_small skips the
-    # schema-less empty blocks Ray aggregations can emit
+    # exact dedup → REMOVAL id set, broadcast once.  Removals are
+    # O(duplicates) — small by construction — unlike the keeper set,
+    # which is the corpus's whole distinct-document population and must
+    # never land on the driver.  Only the ~20 B/row (hash, id, shard)
+    # projection is materialized: its count is then metadata-free and
+    # the shard groupby reads it without re-running the scrub.
     from ..stages.dedup import gather_small
+    from .dedup_pipeline import hash_ids, removals_from_hashes
 
-    keepers = exact_dedup(docs, text_col="text", id_col="doc_id")
-    keep_tbl = gather_small(
-        keepers.select_columns(["doc_id"]),
-        pa.table({"doc_id": pa.array([], pa.int64())}))
-    keep_ref = ray.put(keep_tbl["doc_id"].combine_chunks())
-    n_keep = keep_tbl.num_rows
+    hashed = hash_ids(docs, text_col="text", id_col="doc_id",
+                      nshards=nshards).materialize()
+    n_docs = hashed.count()
+    hsch = hashed.schema()
+    id_type = hsch.types[list(hsch.names).index("doc_id")]
+    rm_tbl = gather_small(
+        removals_from_hashes(hashed, id_col="doc_id"),
+        pa.table({"doc_id": pa.array([], id_type)}))
+    rm_ref = ray.put(rm_tbl["doc_id"].combine_chunks())
+    n_keep = n_docs - rm_tbl.num_rows
 
     def keep_only(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(keep_ref)))
+        mask = pc.is_in(b["doc_id"], value_set=ray.get(rm_ref))
+        return b.filter(pc.invert(mask))
 
     kept = docs.map_batches(keep_only, batch_format="pyarrow")
 

@@ -93,6 +93,12 @@ class P2RDatasource(Datasource):
     ):
         if key_values is not None and key_range is not None:
             raise ValueError("pass key_values OR key_range, not both")
+        # materialize once up front: key_values is consumed twice below
+        # (partition pruning, then the exact row filter) — a generator
+        # input would be empty on the second pass and silently drop
+        # every row of the surviving partitions
+        if key_values is not None:
+            key_values = list(key_values)
         from ..pipelines.encode_pipeline import (
             prune_partitions,
             prune_partitions_by_range,

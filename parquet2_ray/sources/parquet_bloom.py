@@ -67,6 +67,13 @@ def _read_value(buf: bytes, pos: int, ftype: int):
         if size == 15:
             size, pos = _varint(buf, pos)
         out = []
+        if etype in (1, 2):
+            # list elements carry no field header: bools are one byte
+            # each (1=true), unlike the header-packed struct-field form
+            for _ in range(size):
+                out.append(buf[pos] == 1)
+                pos += 1
+            return out, pos
         for _ in range(size):
             v, pos = _read_value(buf, pos, etype)
             out.append(v)
@@ -171,8 +178,10 @@ def read_embedded_blooms(path: str, filesystem=None) -> list[dict]:
                 # unions: algorithm(2)=BLOCK(1), hash(3)=XXHASH(1),
                 # compression(4)=UNCOMPRESSED(1) — the only spec'd values
                 if set(hdr.get(2, {1: {}})) != {1} or \
-                        set(hdr.get(3, {1: {}})) != {1}:
-                    raise ValueError("unsupported bloom algorithm/hash")
+                        set(hdr.get(3, {1: {}})) != {1} or \
+                        set(hdr.get(4, {1: {}})) != {1}:
+                    raise ValueError(
+                        "unsupported bloom algorithm/hash/compression")
                 f.seek(off + hlen)
                 bitset = f.read(nbytes)
                 out.append({

@@ -272,13 +272,15 @@ def scrub_text_batch(batch: pd.DataFrame,
 
         compiled = _SCRUB_PATTERNS[rules] = [
             (name, re.compile(pat), repl) for name, pat, repl in rules]
+    # carry every input column through (provenance like ``source`` must
+    # survive the scrub); only ``text`` is rewritten, counters appended
+    out = batch.copy()
     text = batch["text"]
-    out = {"doc_id": batch["doc_id"]}
     for name, pat, repl in compiled:
         out[f"n_{name}"] = text.str.count(pat).fillna(0).astype("int64")
         text = text.str.replace(pat, repl, regex=True)
     out["text"] = text
-    return pd.DataFrame(out)
+    return out
 
 
 def chunk_documents_batch(batch: pd.DataFrame, chunk_chars: int = 1000,

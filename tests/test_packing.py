@@ -122,8 +122,11 @@ def test_scrub_text_batch(ray_session):
         "doc_id": [1, 2],
         "text": ["mail me at a.b@example.com or visit https://x.io/page now",
                  "call +1 (555) 123-4567 twice, no pii here otherwise"],
+        "source": ["web", "books"],
     })
     out = scrub_text_batch(df)
+    # pass-through columns (provenance) survive the scrub untouched
+    assert out["source"].tolist() == ["web", "books"]
     assert out["n_email"].tolist() == [1, 0]
     assert out["n_url"].tolist() == [1, 0]
     assert out["n_phone"].tolist() == [0, 1]

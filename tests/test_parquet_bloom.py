@@ -187,6 +187,20 @@ def test_compact_struct_scalar_types():
     assert pos == len(buf)
 
 
+def test_compact_struct_bool_list():
+    """list<bool> elements are one byte each on the wire (no field
+    header) — the untyped decoder must consume them, or the rest of the
+    struct desyncs."""
+    buf = _enc_struct([
+        (1, 9, _enc_list(1, [b"\x01", b"\x02", b"\x01"])),  # spec: 1=true 2=false
+        (2, 6, _zz(77)),  # field AFTER the list proves no desync
+    ])
+    d, pos = compact_struct(buf, 0)
+    assert d[1] == [True, False, True]
+    assert d[2] == 77
+    assert pos == len(buf)
+
+
 def test_prune_consumes_embedded_blooms(tmp_path):
     """prune_files_by_bloom falls through to spec-embedded blooms when
     no sidecar exists — the unified foreign-file consumer."""
