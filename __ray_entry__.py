@@ -10,8 +10,8 @@ Each ``queries()`` entry maps to operators in SURVEY.md §2:
 - q_codec_*              individual codec roundtrips driven through
                          map_batches (E1-E17)
 - q_stats_lineitem       per-column statistics partial→final fold (A1/A2)
-- q_group_source_stats   grouped aggregation over documents
-- q_filter_events        predicate pushdown at the read (T1/S6)
+- q_pack_sequences       sequence packing into fixed-len rows (P23)
+- q_lookup_rows          bloom+page-index+projection point lookup (P25)
 - q_dedup_exact          exact dedup (hash-groupby, training-data op)
 - q_text_metrics/q_text_quality/q_lang_id  text analysis ops
 - q_ann_topk             brute-force cosine similarity search
@@ -629,6 +629,68 @@ def q_filter_events(sf_dir: str):
     return ds
 
 
+def q_pack_sequences(sf_dir: str):
+    """P23 sequence packing under a full SQL oracle: tokenize documents
+    (keeping the integer doc_id so the shard hash is SQL-expressible),
+    route docs to ``shard_of(doc_id) % 8``, pack each shard's
+    doc-ordered token stream into fixed 64-token rows with pad_id=0.
+    DuckDB rebuilds the identical rows from flatten(list(tokens ORDER
+    BY doc_id)) + list slicing — every token exactly once, in order."""
+    from parquet2_ray.sources.readers import _word_token_ids
+    from parquet2_ray.stages.packing import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def tok(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas()
+        words = texts.str.split()
+        lens = words.str.len().fillna(0).astype(np.int32).to_numpy()
+        flat = [w for ws in words for w in (ws or ())]
+        ids = _word_token_ids(flat) if flat else np.empty(0, dtype=np.int32)
+        offsets = np.zeros(len(b) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(ids, type=pa.int32()))
+        return pa.table({"doc_id": b["doc_id"], "tokens": tokens})
+
+    packed = pack_sequences(ds.map_batches(tok, batch_format="pyarrow"),
+                            max_len=64, nshards=8)
+
+    def cast_list(b: pa.Table) -> pa.Table:
+        # large_list (the 10^12-token engine type) → list for the
+        # driver's schema compare against DuckDB's list<int32>
+        i = b.column_names.index("tokens")
+        return b.set_column(i, "tokens", b["tokens"].cast(pa.list_(pa.int32())))
+
+    return packed.map_batches(cast_list, batch_format="pyarrow")
+
+
+def q_lookup_rows(sf_dir: str):
+    """P25 point lookup: manifest-bloom partition pruning + page-index
+    row-block pruning + projection + exact vectorized is_in — the
+    "fetch these ids out of 100 TB" shape, oracled by an IN (...)."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+        lookup_rows,
+    )
+
+    out = _out_dir(sf_dir, "documents_paged")
+    encode_dataset(
+        f"{sf_dir}/documents.parquet", out,
+        EncodeOptions(group_col="source", weight_col="n_chars",
+                      sort_key="doc_id", target_weight=2_000_000,
+                      rows_per_block=64),
+    )
+    return lookup_rows(out, "doc_id", _LOOKUP_IDS,
+                       columns=["doc_id", "lang", "source", "n_chars"])
+
+
+_LOOKUP_IDS = [3, 97, 151, 263, 449]
+
+
 def q_dedup_exact(sf_dir: str):
     from parquet2_ray.stages.dedup import exact_dedup
 
@@ -909,7 +971,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     exact twins q_ann_topk / q_embed_neardup are oracled here).
     q_decode_projection is subsumed by q_decode_projected_range
     (projection + range pruning in one read); the five single-metric
-    text queries merged into q_text_metrics / q_text_quality."""
+    text queries merged into q_text_metrics / q_text_quality.  Round 4
+    retired q_filter_events (its read-predicate pushdown is exercised
+    harder by q_asof_join/q_range_join's pushed scans and by
+    q_lookup_rows) and q_group_source_stats (plain groupby aggregate,
+    subsumed by q_stats_lineitem + q_top_tokens' partial-agg folds) to
+    free slots for q_pack_sequences (P23) and q_lookup_rows (P25)."""
     return {
         "q_tokens_flagship": q_tokens_flagship,
         "q_roundtrip_documents": q_roundtrip_documents,
@@ -949,8 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_mean": q_rolling_mean,
         "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
-        "q_group_source_stats": q_group_source_stats,
-        "q_filter_events": q_filter_events,
+        "q_pack_sequences": q_pack_sequences,
+        "q_lookup_rows": q_lookup_rows,
         "q_dedup_exact": q_dedup_exact,
         "q_dup_tiles": q_dup_tiles,
         "q_text_metrics": q_text_metrics,
@@ -966,6 +1033,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from parquet2_ray.stages.text import BPE_PATTERN
+
+    # sequence packing (q_pack_sequences): same token ids as the
+    # flagship, shard_of()'s golden-ratio hash in HUGEINT math, then
+    # per-shard doc-ordered concatenation re-sliced into 64-token rows
+    pack_sql = """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> ''),
+                     w -> CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                          % 50257 AS INTEGER)) AS tokens,
+                 CAST((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                      % 18446744073709551616 AS UBIGINT) AS hm
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, tokens, CAST((hm >> 33) % 8 AS BIGINT) AS shard
+          FROM tok
+        ), fl AS (
+          SELECT shard, flatten(list(tokens ORDER BY doc_id)) AS flat
+          FROM sh GROUP BY shard
+        ), rws AS (
+          SELECT shard, flat, len(flat) AS n,
+                 unnest(range(CAST(ceil(len(flat) / 64.0) AS BIGINT))) AS i
+          FROM fl WHERE len(flat) > 0
+        )
+        SELECT CAST(shard AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS seq_id,
+               list_concat(flat[i*64+1 : least((i+1)*64, n)],
+                   list_transform(
+                       range(CAST((i+1)*64 AS BIGINT) - least((i+1)*64, n)),
+                       x -> CAST(0 AS INTEGER))) AS tokens,
+               CAST(least(64, n - i*64) AS BIGINT) AS n_real
+        FROM rws
+    """
 
     stats_union = " UNION ALL ".join(
         f"SELECT '{c}' AS \"column\", CAST(min({c}) AS DOUBLE) AS min_v, "
@@ -1183,10 +1283,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events "
             "FROM s GROUP BY user_id, session_id"),
         "q_stats_lineitem": stats_union,
-        "q_group_source_stats": (
-            "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
-            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
-            "FROM documents GROUP BY source"
+        "q_pack_sequences": pack_sql,
+        "q_lookup_rows": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            f"WHERE doc_id IN ({', '.join(str(i) for i in _LOOKUP_IDS)})"
         ),
         "q_embed_neardup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id "
@@ -1202,10 +1302,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT vec_id, embedding, "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax "
             "FROM embeddings)"
-        ),
-        "q_filter_events": (
-            "SELECT event_id, event_type, value FROM events "
-            "WHERE event_type = 'click'"
         ),
         "q_dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
