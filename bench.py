@@ -41,7 +41,11 @@ import time
 
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("P2R_BENCH_ROWS", "200000"))
+# headline corpus: 2.5M rows ≈ 1 GTok (VERDICT r3 #7: the 80 MTok
+# corpus finished in ~2 s, so fixed costs + host noise drowned engine
+# deltas; at 1 GTok the encode compute dominates — same corpus the
+# --scaling mode already used)
+BENCH_ROWS = int(os.environ.get("P2R_BENCH_ROWS", "2500000"))
 SCRATCH = "/tmp/p2r_bench"
 # encoded-container output goes to tmpfs: this VM's virtio disk throttles
 # to ~10 MB/s under load (measured: 400 MB buffered write = 56 s), which
@@ -78,6 +82,8 @@ TIMED_QUERIES = [
     "q_top_tokens",
     "q_distinct_users",
     "q_value_quantiles",
+    "q_pack_sequences",
+    "q_lookup_rows",
 ]
 
 
@@ -333,7 +339,22 @@ def _consume(result) -> int:
     return result.count()  # ray.data.Dataset — executes the pipeline
 
 
-def run_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
+def _query_marker() -> dict:
+    """Cheap in-run host-health stamp taken right before a query's
+    repeats (VERDICT r3 #3: per-query walls were unadjudicable without
+    one).  spin = single-core CPU rate (healthy ≈5 Mops on this box);
+    stream = single-proc DRAM stream rate in GB/s — the axis the
+    shared host actually degrades on."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 0.3:
+        x += 1
+    spin = round(x / (time.time() - t0) / 1e6, 2)
+    return {"spin_mops": spin, "stream_gbs": round(_stream_burn(0.4), 2)}
+
+
+def run_queries(sf_dir: str,
+                names: list[str]) -> tuple[dict[str, float], dict]:
     import __ray_entry__ as entrymod
 
     import shutil
@@ -348,6 +369,7 @@ def run_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
     # this shared host read as 1.5-3× regressions that vanish on re-run
     repeats = int(os.environ.get("P2R_QUERY_REPEATS", "2"))
     out: dict[str, float] = {}
+    markers: dict[str, dict] = {}
 
     def _clear_scratch():
         # container-building queries resume from committed partitions
@@ -361,15 +383,16 @@ def run_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
         shutil.rmtree(os.path.join(entrymod.SCRATCH, h), ignore_errors=True)
 
     for name in names:
-        best = None
+        mk = _query_marker()
+        walls = []
         for _ in range(repeats):
             _clear_scratch()
             t0 = time.time()
             _consume(resolve(name)(sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-    return out
+            walls.append(round(time.time() - t0, 3))
+        out[name] = min(walls)
+        markers[name] = dict(mk, walls=walls)
+    return out, markers
 
 
 def main() -> None:
@@ -476,8 +499,8 @@ def main() -> None:
             r = run_headline(f"c{args.cpus}_{i}", args.cpus)
             if hl is None or r["wall_s"] < hl["wall_s"]:
                 hl = r
-        queries = {} if args.headline_only else run_queries(
-            args.sf_dir, TIMED_QUERIES)
+        queries, query_markers = ({}, {}) if args.headline_only else \
+            run_queries(args.sf_dir, TIMED_QUERIES)
         print(json.dumps({
             "metric": "flagship_encode_wall_s",
             "value": round(hl["wall_s"], 3),
@@ -507,6 +530,10 @@ def main() -> None:
                 hl["tokens_per_sec"] * max(1.0, 0.86 / stream_eff)
                 if stream_eff else hl["tokens_per_sec"]),
             "prefault_s": prefault_s,
+            # per-query host stamps (spin/stream taken just before each
+            # query's repeats, plus every wall) — makes individual query
+            # regressions adjudicable against the host window
+            "query_markers": query_markers,
         }))
     finally:
         ray.shutdown()
