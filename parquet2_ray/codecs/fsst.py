@@ -17,8 +17,12 @@ at ~0.15 MB/s — VERDICT.md "What's wrong" #1):
 
 - *Match table*: symbols are packed little-endian into uint64 values
   grouped by length; for every input position one 8-byte window word is
-  assembled (8 shifted adds), then 8 ``searchsorted`` probes find the
-  longest matching symbol per position — all O(n) NumPy.
+  gathered from an overlapping u64 view, then probed per length against
+  a PERFECT HASH table (multiply-shift, retried odd multiplier until
+  collision-free at build time) — one gather + one compare per probe.
+  Round 4 measured the previous ``searchsorted`` probes at ~60% of
+  encode wall; the hash probe lifted the kernel 22 → 38 MB/s/core on
+  the documents column, tokens bit-identical.
 - *Parse*: greedy longest-match has a sequential dependency (the match
   at position i determines position i+1), but ANY parse whose symbol
   concatenation reproduces the input is a valid FSST stream. We force
@@ -58,6 +62,36 @@ def _pack_le(sym: bytes) -> int:
     return int.from_bytes(sym.ljust(8, b"\x00"), "little")
 
 
+def _build_perfect_hash(vals: np.ndarray, codes: np.ndarray) -> tuple:
+    """Collision-free multiply-shift hash table for ≤255 uint64 keys.
+
+    Deterministic (fixed seed): retries odd multipliers, escalating the
+    table size, until every key lands in its own slot — ≤255 keys in
+    ≥2× slots succeeds within a few tries in practice.  Empty slots are
+    filled with vals[0], a REAL key: a probe that lands on an empty
+    slot can then never false-match, because any window equal to that
+    key hashes to the key's own (occupied) slot, not the empty one —
+    so ``slot_vals[h(w)] == w`` is exact with no sentinel compare."""
+    n = max(int(vals.size), 1)
+    bits = max(int(np.ceil(np.log2(n * 2))), 2)
+    rng = np.random.RandomState(0x5F5F)
+    while bits <= 20:
+        size = 1 << bits
+        shift = np.uint64(64 - bits)
+        for _ in range(64):
+            mult = np.uint64(int(rng.randint(1, 1 << 62)) * 2 + 1)
+            with np.errstate(over="ignore"):
+                h = ((vals * mult) >> shift).astype(np.int64)
+            if np.unique(h).size == vals.size:
+                slot_vals = np.full(size, vals[0], dtype=np.uint64)
+                slot_codes = np.full(size, codes[0], dtype=np.uint8)
+                slot_vals[h] = vals
+                slot_codes[h] = codes
+                return mult, shift, slot_vals, slot_codes
+        bits += 1
+    raise RuntimeError("no perfect hash found")  # unreachable for ≤255 keys
+
+
 class SymbolTable:
     """Immutable trained symbol table with vectorized match tables."""
 
@@ -80,6 +114,14 @@ class SymbolTable:
             vals.sort()
             self._by_len_vals.append(np.array([v for v, _ in vals], dtype=np.uint64))
             self._by_len_codes.append(np.array([c for _, c in vals], dtype=np.uint8))
+        # perfect-hash probe tables: (mult, shift, slot_vals, slot_codes)
+        # per length — one multiply-shift gather + one compare replaces
+        # the binary search on every tokenizer probe
+        self._ph: dict[int, tuple] = {}
+        for L in range(1, MAX_SYMBOL_LEN + 1):
+            if self._by_len_vals[L].size:
+                self._ph[L] = _build_perfect_hash(
+                    self._by_len_vals[L], self._by_len_codes[L])
 
     def serialize(self) -> bytes:
         out = bytearray(uleb_encode(len(self.symbols)))
@@ -143,9 +185,7 @@ def _tokenize_walk(
     # becomes ONE gather (vs 8 shifted byte gathers)
     win64 = np.ndarray(buffer=padded.data, dtype="<u8",
                        shape=(n,), strides=(1,))
-    lengths_desc = [
-        L for L in range(MAX_SYMBOL_LEN, 0, -1) if table._by_len_vals[L].size
-    ]
+    lengths_desc = sorted(table._ph, reverse=True)
 
     n_chunks = (n + chunk - 1) // chunk
     pos = np.arange(n_chunks, dtype=np.int64) * chunk
@@ -165,14 +205,15 @@ def _tokenize_walk(
             cand = np.flatnonzero((L_here == 0) & (room >= L))
             if cand.size == 0:
                 continue
-            vals = table._by_len_vals[L]
+            mult, shift, slot_vals, slot_codes = table._ph[L]
             wL = w[cand] & _LEN_MASKS[L]
-            idx = np.minimum(np.searchsorted(vals, wL), vals.size - 1)
-            hit = vals[idx] == wL
+            with np.errstate(over="ignore"):
+                h = ((wL * mult) >> shift).astype(np.int64)
+            hit = slot_vals[h] == wL
             if hit.any():
                 hit_pos = cand[hit]
                 L_here[hit_pos] = L
-                code_here[hit_pos] = table._by_len_codes[L][idx[hit]]
+                code_here[hit_pos] = slot_codes[h[hit]]
         esc = L_here == 0
         rows_parts.append(active)
         code_parts.append(code_here)
@@ -215,20 +256,19 @@ def _tokenize_doubling(
     L = np.zeros(n, dtype=np.int64)
     code = np.full(n, ESCAPE, dtype=np.uint8)
     unmatched = np.ones(n, dtype=bool)
-    for Lq in range(MAX_SYMBOL_LEN, 0, -1):
-        vals = table._by_len_vals[Lq]
-        if not vals.size:
-            continue
+    for Lq in sorted(table._ph, reverse=True):
         cand = np.flatnonzero(unmatched & (room >= Lq))
         if not cand.size:
             continue
+        mult, shift, slot_vals, slot_codes = table._ph[Lq]
         wL = win64[cand] & _LEN_MASKS[Lq]
-        at = np.minimum(np.searchsorted(vals, wL), vals.size - 1)
-        hit = vals[at] == wL
+        with np.errstate(over="ignore"):
+            at = ((wL * mult) >> shift).astype(np.int64)
+        hit = slot_vals[at] == wL
         if hit.any():
             hp = cand[hit]
             L[hp] = Lq
-            code[hp] = table._by_len_codes[Lq][at[hit]]
+            code[hp] = slot_codes[at[hit]]
             unmatched[hp] = False
 
     # phase 2 — mark the greedy parse chain of every chunk
