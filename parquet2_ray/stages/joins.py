@@ -30,7 +30,8 @@ Partitioning assumption (documented per the custom-operator contract):
 one shard must fit a worker heap — shards hold ~(rows_left + rows_right)
 / nshards rows; raise ``nshards`` with corpus size.  Hot keys salt
 naturally for ``range_join`` (bucket is part of the shuffle key); for
-``asof_join`` a single pathological key still lands on one shard.
+``asof_join`` pass ``salt_buckets=n`` to time-bucket pathological keys
+(see the docstring) — otherwise a single hot key lands on one shard.
 """
 
 from __future__ import annotations
@@ -68,6 +69,29 @@ def _valid_keys(t: pa.Table, by: str, on: str) -> pa.ChunkedArray:
     return pc.and_(pc.is_valid(t[by]), pc.is_valid(t[on]))
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _mix2_shard(keys: np.ndarray, buckets: np.ndarray,
+                nshards: int) -> np.ndarray:
+    """Shard hash over a (key, bucket) pair — the salted twin of
+    ``shard_of``; every operator that co-locates on (key, bucket)
+    agrees on this one definition."""
+    h = (keys.astype(np.uint64) * _GOLD) ^ (
+        buckets.astype(np.uint64) * _MIX2)
+    return (((h >> np.uint64(29)) * _GOLD >> np.uint64(33))
+            % np.uint64(nshards)).astype(np.int64)
+
+
+def _scalar_us(v) -> int:
+    """int64-microsecond value of an aggregate result (int or
+    timestamp-like)."""
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -78,6 +102,8 @@ def asof_join(
     suffix: str = "_r",
     how: str = "inner",
     nshards: int = 64,
+    salt_buckets: int | None = None,
+    hot_threshold: int | None = None,
 ) -> rd.Dataset:
     """For each left row, the single right row of the same ``by`` key
     with the greatest ``on`` ≤ left's ``on`` (backward as-of, exact
@@ -88,6 +114,22 @@ def asof_join(
     When two right rows share an exact (by, on) pair the winner is
     unspecified (same as SQL engines) — dedupe upstream if a
     deterministic winner matters (e.g. keep max id per (by, on)).
+
+    Hot-key salting (``salt_buckets=n``): a pathological key (one user
+    = half the corpus) otherwise lands every one of its rows on a
+    single shard.  With salting enabled the operator first counts rows
+    per key (map-combined groupby — the hot key shrinks to one row per
+    block) and gathers only keys above ``hot_threshold`` (default
+    ``total_rows // nshards``; by pigeonhole at most ``~2·nshards``
+    keys can exceed it, so the driver set is provably tiny).  Hot-key
+    rows are then routed by ``(key, time_bucket)`` — the ``on`` range
+    of the LEFT side split into ``n`` equal buckets — while every
+    other key keeps the plain ``shard_of`` route in the SAME exchange.
+    Backward as-of stays exact because each hot key's latest right row
+    *before* each bucket is replicated into that bucket as a carry
+    (O(n) rows per hot key); a left row's true match is either in its
+    own bucket or is exactly that carry.  Cost: two extra column-
+    projected scans (key counts; left min/max of ``on``).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -110,6 +152,56 @@ def asof_join(
     def _empty() -> pa.Table:
         return pa.table({c: pa.nulls(0, out_type[c]) for c in out_cols})
 
+    # ---- hot-key salting setup (eager, BEFORE any map_batches closure
+    # is built, so the captured tmin/width/hot set are final values) ----
+    nsalt = int(salt_buckets) if salt_buckets else 1
+    hot_sorted = None
+    tmin = width = 0
+    if nsalt > 1:
+        keyed = (left.select_columns([by])
+                     .union(right.select_columns([by]))
+                     .groupby(by).count())
+        if hot_threshold is not None:
+            thresh = int(hot_threshold)
+        else:
+            thresh = max((left.count() + right.count()) // nshards, 1)
+        cname = next(c for c in keyed.columns() if c != by)
+
+        def _hot_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t[cname], thresh)).select([by])
+
+        hot_rows = keyed.map_batches(
+            _hot_only, batch_format="pyarrow").take_all()
+        hot = np.array(sorted(r[by] for r in hot_rows), dtype=np.int64)
+        if hot.size:
+            from ray.data.aggregate import Max, Min
+            mm = left.select_columns([on]).aggregate(Min(on), Max(on))
+            lo, hi = mm[f"min({on})"], mm[f"max({on})"]
+            if lo is None or hi is None:
+                hot = hot[:0]           # empty left: salting is moot
+            else:
+                tmin = _scalar_us(lo)
+                width = max((_scalar_us(hi) - tmin) // nsalt + 1, 1)
+        if hot.size:
+            hot_sorted = hot
+        else:
+            nsalt = 1
+
+    def _is_hot(keys: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(hot_sorted, keys)
+        return (pos < hot_sorted.size) & (
+            hot_sorted[np.minimum(pos, hot_sorted.size - 1)] == keys)
+
+    def _bucket_us(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            if col.type.unit != "us":
+                col = col.cast(pa.timestamp("us"))
+            col = col.view(pa.int64())
+        ts = pc.fill_null(col, tmin).to_numpy(zero_copy_only=False)
+        return np.clip((ts.astype(np.int64) - tmin) // width, 0, nsalt - 1)
+
     def _finish(t: pa.Table, side: int) -> pa.Table:
         t = t.select(out_cols)
         # null keys can't hash — fill IN ARROW (a numpy fill would
@@ -117,9 +209,15 @@ def asof_join(
         # shard 0 rows are key-filtered again at merge
         keys = pc.fill_null(t[by], 0).combine_chunks().to_numpy(
             zero_copy_only=False)
+        sh = shard_of(keys, nshards)
+        if nsalt > 1:
+            ishot = _is_hot(keys)
+            if ishot.any():
+                bkt = _bucket_us(t[on])
+                sh = np.where(ishot, _mix2_shard(keys, bkt, nshards), sh)
         return (t.append_column("_side", pa.array(
                     np.full(t.num_rows, side, dtype=np.int8)))
-                 .append_column("_shard", pa.array(shard_of(keys, nshards))))
+                 .append_column("_shard", pa.array(sh)))
 
     def prep_left(b: pa.Table) -> pa.Table:
         b = b.select(lcols)
@@ -127,7 +225,7 @@ def asof_join(
             b = b.append_column(name, pa.nulls(b.num_rows, rtype[name]))
         return _finish(b, 0)
 
-    def prep_right(b: pa.Table) -> pa.Table:
+    def _harmonize_right(b: pa.Table) -> pa.Table:
         out = {by: b[by], on: b[on], f"{on}{suffix}": b[on]}
         for c in rvals:
             out[f"{c}{suffix}"] = b[c]
@@ -135,7 +233,71 @@ def asof_join(
         for c in lcols:
             if c not in t.column_names:
                 t = t.append_column(c, pa.nulls(t.num_rows, ltype[c]))
-        return _finish(t, 1)
+        return t
+
+    def prep_right(b: pa.Table) -> pa.Table:
+        return _finish(_harmonize_right(b), 1)
+
+    def cand_right(b: pa.Table) -> pa.Table:
+        # per-batch partial: each hot (key, bucket)'s max-`on` right
+        # row survives — carries are built from these winners only, so
+        # the carry groupby exchanges O(hot_keys × nsalt) rows per block
+        t = _harmonize_right(b).select(out_cols)
+        t = t.filter(_valid_keys(t, by, on))
+        if t.num_rows:
+            t = t.filter(pa.array(_is_hot(_np_key(t[by]))))
+        if t.num_rows == 0:
+            return t.append_column("_bkt", pa.nulls(0, pa.int64()))
+        keys = _np_key(t[by])
+        ts = _ts_us_np(t[on])
+        bkt = _bucket_us(t[on])
+        order = np.lexsort((ts, bkt, keys))
+        k_s, b_s = keys[order], bkt[order]
+        last = np.r_[(k_s[1:] != k_s[:-1]) | (b_s[1:] != b_s[:-1]), True]
+        win = order[last]
+        return (t.take(pa.array(win))
+                 .append_column("_bkt", pa.array(bkt[win], type=pa.int64())))
+
+    def expand_carries(g: pa.Table) -> pa.Table:
+        # one hot key's per-block bucket winners: emit, for every later
+        # bucket b, the latest winner strictly before b — the right row
+        # a left row in b falls back to when its own bucket has no
+        # earlier-or-equal right row.  ≤ nsalt-1 rows per hot key out.
+        keys = _np_key(g[by])
+        ts = _ts_us_np(g[on])
+        bkt = _np_key(g["_bkt"])
+        order = np.lexsort((ts, bkt, keys))
+        k_s = keys[order]
+        segs = np.r_[0, np.flatnonzero(k_s[1:] != k_s[:-1]) + 1, k_s.size]
+        idx_parts, bkt_parts = [], []
+        for s, e in zip(segs[:-1], segs[1:]):
+            seg = order[s:e]
+            sb, st = bkt[seg], ts[seg]
+            lastb = np.r_[sb[1:] != sb[:-1], True]
+            ub = sb[lastb]               # unique buckets, ascending
+            best = seg[lastb]            # each bucket's max-ts row
+            targets = np.arange(ub[0] + 1, nsalt, dtype=np.int64)
+            if targets.size == 0:
+                continue
+            # bucket(ts) is monotone in ts, so the running best is the
+            # latest bucket's winner; running argmax kept for clip edges
+            bt = st[lastb]
+            newmax = bt >= np.maximum.accumulate(bt)
+            fidx = np.maximum.accumulate(
+                np.where(newmax, np.arange(bt.size), -1))
+            runbest = best[fidx]
+            j = np.searchsorted(ub, targets, side="left") - 1
+            idx_parts.append(runbest[j])
+            bkt_parts.append(targets)
+        take = (np.concatenate(idx_parts) if idx_parts
+                else np.empty(0, dtype=np.int64))
+        bk2 = (np.concatenate(bkt_parts) if bkt_parts
+               else np.empty(0, dtype=np.int64))
+        out = g.select(out_cols).take(pa.array(take, type=pa.int64()))
+        sh = _mix2_shard(keys[take], bk2, nshards)
+        return (out.append_column("_side", pa.array(
+                    np.ones(take.size, dtype=np.int8)))
+                   .append_column("_shard", pa.array(sh)))
 
     def merge(group: pa.Table) -> pa.Table:
         lmask = pc.equal(group["_side"], 0)
@@ -191,6 +353,11 @@ def asof_join(
 
     u = (left.map_batches(prep_left, batch_format="pyarrow")
              .union(right.map_batches(prep_right, batch_format="pyarrow")))
+    if nsalt > 1:
+        carries = (right.map_batches(cand_right, batch_format="pyarrow")
+                        .groupby(by)
+                        .map_groups(expand_carries, batch_format="pyarrow"))
+        u = u.union(carries)
     return u.groupby("_shard").map_groups(merge, batch_format="pyarrow")
 
 
@@ -222,12 +389,6 @@ def range_join(
     hi_us = np.int64(hi_s) * 1_000_000
     w = hi_us - lo_us
 
-    def _shard2(keys, buckets):
-        h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
-            buckets.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
-        return (((h >> np.uint64(29)) * np.uint64(0x9E3779B97F4A7C15)
-                 >> np.uint64(33)) % np.uint64(nshards)).astype(np.int64)
-
     def _prep(b: pa.Table, id_col: str, side: int) -> pa.Table:
         b = b.filter(_valid_keys(b, by, on))  # NULL keys never match
         ts = _ts_us_np(b[on])
@@ -250,7 +411,7 @@ def range_join(
             "_ts": pa.array(tt, type=pa.int64()),
             "_bkt": pa.array(bb, type=pa.int64()),
             "_side": pa.array(np.full(len(kk), side, dtype=np.int8)),
-            "_shard": pa.array(_shard2(kk, bb)),
+            "_shard": pa.array(_mix2_shard(kk, bb, nshards)),
         })
 
     def merge(group: pa.Table) -> pa.Table:

@@ -155,6 +155,102 @@ def test_asof_join_random_matches_duckdb(ray_session):
     pt.assert_frame_equal(a, b, check_dtype=False)
 
 
+def _skewed_events(seed=7, n=3000, hot_user=7):
+    """50% of rows on one user — the pathological-key shape; unique
+    seconds across both sides so as-of winners are deterministic."""
+    rng = np.random.default_rng(seed)
+    secs = rng.choice(400_000, size=2 * n, replace=False)
+    users = rng.integers(0, 25, n)
+    users[rng.random(n) < 0.5] = hot_user
+    left = _events(np.arange(n), secs[:n], users, rng.normal(size=n))
+    rusers = rng.integers(0, 25, n)
+    rusers[rng.random(n) < 0.5] = hot_user
+    right = _events(np.arange(n, 2 * n), secs[n:], rusers,
+                    rng.normal(size=n))
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_asof_join_salted_skewed_matches_duckdb(ray_session, how):
+    left, right = _skewed_events()
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    how=how, nshards=16, salt_buckets=8).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    jk = "ASOF JOIN" if how == "inner" else "ASOF LEFT JOIN"
+    o = con.execute(f"""
+        SELECT l.event_id, l.ts, l.user_id, l.value,
+               r.ts AS ts_r, r.event_id AS event_id_r, r.value AS value_r
+        FROM l {jk} r
+        ON l.user_id = r.user_id AND l.ts >= r.ts""").fetchdf()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = o[cols].sort_values(cols).reset_index(drop=True)
+    pt.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_asof_join_salted_carry_spans_many_buckets(ray_session):
+    # the ONLY right row sits in bucket 0; every left row in every
+    # later bucket must still find it via the replicated carry
+    left = _events(np.arange(1, 9), [100, 200, 300, 400, 500, 600, 700,
+                                     800], [7] * 8, np.arange(8.0))
+    right = _events([99], [1], [7], [42.0])
+    out = (asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                     left_cols=["event_id", "ts", "user_id", "value"],
+                     right_cols=["user_id", "ts", "event_id", "value"],
+                     nshards=8, salt_buckets=8, hot_threshold=0)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == list(range(1, 9))
+    assert out["event_id_r"].tolist() == [99] * 8
+    assert out["value_r"].tolist() == [42.0] * 8
+
+
+def test_asof_join_salted_noop_without_hot_keys(ray_session):
+    # uniform keys: auto threshold finds nothing hot, output identical
+    rng = np.random.default_rng(11)
+    n = 800
+    secs = rng.choice(100_000, size=2 * n, replace=False)
+    left = _events(np.arange(n), secs[:n], rng.integers(0, 200, n),
+                   rng.normal(size=n))
+    right = _events(np.arange(n, 2 * n), secs[n:],
+                    rng.integers(0, 200, n), rng.normal(size=n))
+    kw = dict(left_cols=["event_id", "ts", "user_id", "value"],
+              right_cols=["user_id", "ts", "event_id", "value"],
+              nshards=16)
+    plain = (asof_join(rd.from_arrow(left), rd.from_arrow(right), **kw)
+             .to_pandas().sort_values("event_id").reset_index(drop=True))
+    salted = (asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                        salt_buckets=8, **kw)
+              .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pt.assert_frame_equal(plain[sorted(plain.columns)],
+                          salted[sorted(salted.columns)],
+                          check_dtype=False)
+
+
+def test_asof_join_salt_routing_balances_hot_key():
+    # the exchange-routing math the operator uses: with one key holding
+    # half the rows, plain shard_of lands them all on ONE shard wall;
+    # the (key, bucket) route spreads them across ~salt_buckets shards
+    from parquet2_ray.functions.hashing import shard_of
+    from parquet2_ray.stages.joins import _mix2_shard
+    rng = np.random.default_rng(3)
+    n, nshards, nsalt = 20_000, 16, 8
+    keys = rng.integers(0, 25, n)
+    keys[rng.random(n) < 0.5] = 7
+    ts = rng.integers(0, 1_000_000, n)
+    width = 1_000_000 // nsalt + 1
+    plain = np.bincount(shard_of(keys, nshards), minlength=nshards)
+    bkt = np.clip(ts // width, 0, nsalt - 1)
+    salted_sh = np.where(keys == 7, _mix2_shard(keys, bkt, nshards),
+                         shard_of(keys, nshards))
+    salted = np.bincount(salted_sh, minlength=nshards)
+    assert plain.max() > 0.5 * n          # the pathology is real
+    assert salted.max() < 0.5 * plain.max()
+
+
 # ---- deterministic hash split (stages/sampling.py) ----
 
 def test_split_thresholds():
