@@ -241,6 +241,18 @@ def write_partition_file_paged(
     return len(blob)
 
 
+def _decompress_payload(comp: str, payload: bytes, size: int) -> bytes:
+    """Decompress one column payload.  ``lz4`` routes through the
+    Hadoop-frame sniffer (reference compression.rs:195-198): this
+    engine writes the LZ4 frame format, but a foreign producer on the
+    legacy codec id may have used the Hadoop Lz4Codec framing."""
+    if comp == "lz4":
+        from .lz4_legacy import decompress_lz4_any
+
+        return decompress_lz4_any(payload, size)
+    return pa.Codec(comp).decompress(payload, size, asbytes=True)
+
+
 def _cols_from_meta(col_meta: list[dict], blob_read) -> list[EncodedColumn]:
     """Materialize EncodedColumns from footer col_meta via ``blob_read
     (offset, size) -> bytes`` (whole-buffer slice or file pread)."""
@@ -250,8 +262,8 @@ def _cols_from_meta(col_meta: list[dict], blob_read) -> list[EncodedColumn]:
         meta = m.get("meta", {})
         comp = meta.get("compression")
         if comp:
-            payload = pa.Codec(comp).decompress(
-                payload, meta["uncompressed_size"], asbytes=True)
+            payload = _decompress_payload(
+                comp, payload, meta["uncompressed_size"])
             meta = {k: v for k, v in meta.items()
                     if k not in ("compression", "uncompressed_size")}
         cols.append(EncodedColumn(
@@ -368,11 +380,8 @@ def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
         if comp:
             # reference C2/C4 decompress-at-read
             # (/root/reference/src/compression.rs:134-225)
-            import pyarrow as _pa
-
-            payload = _pa.Codec(comp).decompress(
-                payload, meta["uncompressed_size"], asbytes=True
-            )
+            payload = _decompress_payload(
+                comp, payload, meta["uncompressed_size"])
             meta = {k: v for k, v in meta.items()
                     if k not in ("compression", "uncompressed_size")}
         cols.append(
