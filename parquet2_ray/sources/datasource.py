@@ -28,10 +28,12 @@ What the datasource pushes down (all reusing the manifest machinery):
   named column chunks (and, for paged containers, only the row-blocks
   whose page index overlaps the range) are read from storage.
 
-One read task per partition — the container's commit/retry unit; a
-partition is the atomic decode granule by design, so requested
-parallelism above the partition count cannot split further (Ray
-coalesces below it).
+One read task per partition by default — the container's commit/retry
+unit.  When the requested parallelism exceeds the partition count,
+PAGED partitions fan out further: their footer's row-block list splits
+into contiguous block-range read tasks (each reading only its own byte
+sub-ranges), so one huge partition no longer serializes the scan.
+Single-block partitions stay atomic (Ray coalesces below it).
 """
 
 from __future__ import annotations
@@ -49,14 +51,17 @@ from ..state import manifest as mf
 __all__ = ["P2RDatasource"]
 
 
-def _read_one(path: str, key_range, key_filter, columns) -> pa.Table:
-    """Decode one partition with projection + exact predicate semantics
-    (range, or key-membership for ``key_values`` — partition pruning
-    alone would return every row of a bloom-surviving partition)."""
+def _read_one(path: str, key_range, key_filter, columns,
+              block_range=None) -> pa.Table:
+    """Decode one partition (or one block-range slice of a paged
+    partition) with projection + exact predicate semantics (range, or
+    key-membership for ``key_values`` — partition pruning alone would
+    return every row of a bloom-surviving partition)."""
     from ..stages.encode import decode_partition_path
 
     if key_range is None and key_filter is None:
-        return decode_partition_path(path, columns=columns)
+        return decode_partition_path(path, columns=columns,
+                                     block_range=block_range)
     if key_range is not None:
         kcol, lo, hi = key_range
     else:
@@ -65,7 +70,8 @@ def _read_one(path: str, key_range, key_filter, columns) -> pa.Table:
     read_cols = columns
     if columns is not None and kcol not in columns:
         read_cols = list(columns) + [kcol]
-    t = decode_partition_path(path, kcol, lo, hi, columns=read_cols)
+    t = decode_partition_path(path, kcol, lo, hi, columns=read_cols,
+                              block_range=block_range)
     m = None
     if key_filter is not None:
         m = pc.is_in(t[kcol], value_set=pa.array(list(key_filter[1])))
@@ -141,19 +147,54 @@ class P2RDatasource(Datasource):
         key_range, columns = self._key_range, self._columns
         key_filter = self._key_filter
         tasks: List[ReadTask] = []
+        # requested parallelism above the partition count fans paged
+        # partitions out into contiguous block-range read tasks (one
+        # footer read per partition on the driver — same O(partitions)
+        # metadata pass the pruning already makes); single-block
+        # partitions stay atomic
+        per = (-(-parallelism // len(self._parts))
+               if parallelism > len(self._parts) else 1)
         for r in self._parts:
             path = r["path"]
-            meta = BlockMetadata(
-                # exact from the lineage manifest when nothing filters
-                # rows; unknown (None) under a range predicate
-                num_rows=int(r["n_rows"]) if self._exact_rows else None,
-                size_bytes=int(r.get("raw_bytes") or 0) or None,
-                exec_stats=None,
-                input_files=[path],
-            )
+            n_rows = int(r["n_rows"])
+            raw_bytes = int(r.get("raw_bytes") or 0)
+            blocks = None
+            if per > 1:
+                footer = mf.read_partition_footer(path)
+                if footer.get("paged") and len(footer["blocks"]) > 1:
+                    blocks = footer["blocks"]
+            if blocks is None:
+                meta = BlockMetadata(
+                    # exact from the lineage manifest when nothing
+                    # filters rows; unknown (None) under a predicate
+                    num_rows=n_rows if self._exact_rows else None,
+                    size_bytes=raw_bytes or None,
+                    exec_stats=None,
+                    input_files=[path],
+                )
 
-            def fn(path=path):
-                return [_read_one(path, key_range, key_filter, columns)]
+                def fn(path=path):
+                    return [_read_one(path, key_range, key_filter, columns)]
 
-            tasks.append(ReadTask(fn, meta))
+                tasks.append(ReadTask(fn, meta))
+                continue
+            nb = len(blocks)
+            nt = min(per, nb)
+            bounds = [round(i * nb / nt) for i in range(nt + 1)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rows = sum(int(b["num_rows"]) for b in blocks[s:e])
+                meta = BlockMetadata(
+                    num_rows=rows if self._exact_rows else None,
+                    # raw bytes prorated by the slice's row share
+                    size_bytes=(raw_bytes * rows // n_rows
+                                if raw_bytes and n_rows else None),
+                    exec_stats=None,
+                    input_files=[path],
+                )
+
+                def fn(path=path, s=s, e=e):
+                    return [_read_one(path, key_range, key_filter,
+                                      columns, block_range=(s, e))]
+
+                tasks.append(ReadTask(fn, meta))
         return tasks

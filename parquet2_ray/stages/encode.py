@@ -214,6 +214,7 @@ def _record_table(rec: dict) -> pa.Table:
 def decode_partition_path(
     path: str, key_col: str | None = None, lo=None, hi=None,
     columns: list[str] | None = None,
+    block_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Read + decode one container file back to a pyarrow Table.
 
@@ -227,13 +228,14 @@ def decode_partition_path(
     decoded (column projection — reference ColumnIterator,
     src/read/column/mod.rs:22-205)."""
     footer, block_cols, _ = mf.read_partition_blocks(
-        path, key_col, lo, hi, columns=columns)
+        path, key_col, lo, hi, columns=columns, block_range=block_range)
     tables = []
     for cols in block_cols:
         arrays = [col_mod.decode_array(c) for c in cols]
         tables.append(pa.table({c.name: a for c, a in zip(cols, arrays)}))
     if not tables:  # every block pruned — empty table, schema from footer meta
-        proto = footer["blocks"][0]["columns"]
+        proto = (footer["blocks"][0]["columns"] if footer.get("paged")
+                 else footer["columns"])
         if columns is not None:
             want = set(columns)
             proto = [m for m in proto if m["name"] in want]

@@ -305,6 +305,7 @@ def _project_meta(col_meta: list[dict], columns) -> list[dict]:
 def read_partition_blocks(
     path: str, column: str | None = None, lo=None, hi=None,
     columns: list[str] | None = None,
+    block_range: tuple[int, int] | None = None,
 ) -> tuple[dict, list[list[EncodedColumn]], int]:
     """Read a paged container, decoding ONLY the row-blocks whose page
     index overlaps [lo,hi] on ``column`` (all blocks when no predicate)
@@ -312,6 +313,9 @@ def read_partition_blocks(
     Byte-ranges of skipped blocks and non-projected columns are never
     read from disk
     (/root/reference/src/read/page/indexed_reader.rs:25-209).
+    ``block_range=(start, stop)`` restricts to that half-open slice of
+    the footer's block list — the fan-out handle that lets one huge
+    paged partition split across several read tasks.
     Returns (footer, per-block column lists, data_bytes_read) —
     ``data_bytes_read`` counts COLUMN PAYLOAD bytes only (the footer is
     fixed metadata cost, read once regardless of the predicate)."""
@@ -332,13 +336,18 @@ def read_partition_blocks(
 
         if not footer.get("paged"):
             # single-block container: treat as one all-covering block
+            if block_range is not None and block_range[0] > 0:
+                return footer, [], 0
             meta = _project_meta(footer["columns"], columns)
             cols = _cols_from_meta(meta, pread)
             bytes_read += sum(m["size"] for m in meta)
             return footer, [cols], bytes_read
 
         out = []
-        for bm in footer["blocks"]:
+        for bi, bm in enumerate(footer["blocks"]):
+            if block_range is not None and not (
+                    block_range[0] <= bi < block_range[1]):
+                continue
             if column is not None and not block_overlaps(bm, column, lo, hi):
                 continue
             meta = _project_meta(bm["columns"], columns)

@@ -58,6 +58,55 @@ def test_key_range_pushdown(container, ray_session):
     assert sorted(got["n_tok"]) == sorted(ref["n_tok"])
 
 
+@pytest.fixture(scope="module")
+def paged_container(tmp_path_factory, ray_session):
+    from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    d = tmp_path_factory.mktemp("dsrc_paged")
+    tbl = make_tokens_table(3000, seed=43)
+    pq.write_table(tbl, d / "in.parquet")
+    out = str(d / "cont")
+    # few partitions, many row-blocks per partition
+    encode_dataset(str(d / "in.parquet"), out,
+                   EncodeOptions(target_weight=2_000_000, sort_key="doc_id",
+                                 rows_per_block=128))
+    return out, tbl
+
+
+def test_paged_partition_fans_out_read_tasks(paged_container, ray_session):
+    from parquet2_ray.pipelines.encode_pipeline import decode_dataset
+
+    out, tbl = paged_container
+    src = P2RDatasource(out)
+    nparts = len(src._parts)
+    tasks = src.get_read_tasks(4 * nparts)
+    assert len(tasks) > nparts          # block-range fan-out happened
+    # metadata stays exact: task row counts sum to the corpus
+    assert sum(t.metadata.num_rows for t in tasks) == tbl.num_rows
+    # and the fanned-out read returns the same rows
+    via_dsrc = (rd.read_datasource(P2RDatasource(out),
+                                   override_num_blocks=4 * nparts)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    via_decode = (decode_dataset(out).to_pandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+    assert via_dsrc.equals(via_decode) and len(via_dsrc) == tbl.num_rows
+
+
+def test_paged_fanout_with_key_range(paged_container, ray_session):
+    out, tbl = paged_container
+    ids = sorted(tbl["doc_id"].to_pylist())
+    lo, hi = ids[len(ids) // 4], ids[len(ids) // 2]
+    src = P2RDatasource(out, columns=["n_tok"],
+                        key_range=("doc_id", lo, hi))
+    got = (rd.read_datasource(src,
+                              override_num_blocks=8 * len(src._parts))
+           .to_pandas())
+    ref = tbl.to_pandas()
+    ref = ref[(ref["doc_id"] >= lo) & (ref["doc_id"] <= hi)]
+    assert sorted(got["n_tok"]) == sorted(ref["n_tok"])
+
+
 def test_key_values_bloom_prune(container, ray_session):
     out, tbl = container
     probe = tbl["doc_id"][0].as_py()
