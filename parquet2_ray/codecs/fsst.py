@@ -221,13 +221,23 @@ def _tokenize_walk(
         lit_parts.append(d[p])
         pos[active] = p + np.maximum(L_here, 1)
         active = active[pos[active] < ends[active]]
+    # (step, chunk) → (chunk, step) stream order WITHOUT a sort: the
+    # active set only ever shrinks, so the token appended for chunk c
+    # at iteration k is exactly c's k-th token — its destination is
+    # start-of-chunk-c + k, a direct O(tokens) scatter (the stable
+    # argsort this replaces was ~40% of encode wall)
     rows = np.concatenate(rows_parts)
-    order = np.argsort(rows, kind="stable")  # (chunk, step) → stream order
-    return (
-        np.concatenate(code_parts)[order],
-        np.concatenate(esc_parts)[order],
-        np.concatenate(lit_parts)[order],
-    )
+    counts = np.bincount(rows, minlength=n_chunks)
+    starts = np.zeros(n_chunks + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    dest = np.concatenate([starts[a] + k for k, a in enumerate(rows_parts)])
+    code = np.empty(rows.size, dtype=np.uint8)
+    esc = np.empty(rows.size, dtype=bool)
+    lit = np.empty(rows.size, dtype=np.uint8)
+    code[dest] = np.concatenate(code_parts)
+    esc[dest] = np.concatenate(esc_parts)
+    lit[dest] = np.concatenate(lit_parts)
+    return code, esc, lit
 
 
 def _tokenize_doubling(
