@@ -97,6 +97,27 @@ def metrics(out_dir: str) -> dict:
     return total
 
 
+def schema(out_dir: str) -> str:
+    """Print the dataset's schema in the parquet "message" DSL
+    (reference io_message — the interchange dialect every parquet tool
+    prints), reconstructed from one committed partition footer."""
+    import pyarrow as pa
+
+    from .codecs.column import str_to_type
+    from .sources.message_schema import format_message
+
+    records = mf.load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    first = records[min(records)]
+    footer = mf.read_partition_footer(first["path"])
+    cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+            else footer["columns"])
+    sch = pa.schema([pa.field(m["name"], str_to_type(m["arrow_type"]))
+                     for m in cols])
+    return format_message(sch, name="dataset")
+
+
 def dump(out_dir: str, limit: int = 10) -> list[dict]:
     from .stages.encode import decode_partition_path
 
@@ -114,7 +135,7 @@ def dump(out_dir: str, limit: int = 10) -> list[dict]:
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="parquet2_ray.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("rowcount", "meta", "metrics", "dump"):
+    for name in ("rowcount", "meta", "metrics", "schema", "dump"):
         p = sub.add_parser(name)
         p.add_argument("out_dir")
         if name == "dump":
@@ -126,6 +147,8 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(meta(args.out_dir), indent=2, default=str))
     elif args.cmd == "metrics":
         print(json.dumps(metrics(args.out_dir), indent=2, default=str))
+    elif args.cmd == "schema":
+        print(schema(args.out_dir))
     else:
         for row in dump(args.out_dir, args.limit):
             print(json.dumps(row, default=str))
