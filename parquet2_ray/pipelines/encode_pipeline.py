@@ -39,6 +39,7 @@ Scale notes (100 TB / 256 nodes):
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -312,11 +313,25 @@ def _assign_parts(batch: pa.Table, plan_ref, group_col: str | None,
     return batch.append_column(PART_COL, pa.array(part, type=pa.int32()))
 
 
+_IPC_COMPRESSION = os.environ.get("P2R_IPC_COMPRESSION") or None
+
+
 def _ipc_bytes(tbl: pa.Table) -> bytes:
     """Arrow-IPC serialize (IPC truncates sliced buffers — a pickled slice
-    would ship the whole parent block, ~100× amplification)."""
+    would ship the whole parent block, ~100× amplification).  Optional
+    buffer compression (P2R_IPC_COMPRESSION=lz4|zstd) trades abundant
+    CPU for exchange bandwidth; readers sniff it from the IPC metadata,
+    no read-side change.  Measured OFF by default on this box
+    (interleaved A/B, 160 MTok / 16 CPUs, 3 trials each: off
+    2.52-2.99 s vs lz4 3.03-3.26 s): the encode stage re-reads each
+    shard exactly once from shared memory, so the decompress cost
+    outweighs the bandwidth saved here; on a real cluster whose
+    exchange crosses NICs the knob flips the other way, hence env
+    rather than removal."""
     sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, tbl.schema) as w:
+    opts = (pa.ipc.IpcWriteOptions(compression=_IPC_COMPRESSION)
+            if _IPC_COMPRESSION else None)
+    with pa.ipc.new_stream(sink, tbl.schema, options=opts) as w:
         w.write_table(tbl)
     return sink.getvalue().to_pybytes()
 
