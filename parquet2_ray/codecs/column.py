@@ -155,8 +155,9 @@ def _enc_rle(v: np.ndarray) -> bytes:
     ref = int(v.min()) if len(v) else 0
     rng = int(v.max()) - ref if len(v) else 0
     if len(v) and v.dtype.itemsize <= 4 and rng < 2**31:
-        # stay in the narrow dtype (int32 tokens never touch int64)
-        residual = v - v.dtype.type(ref)
+        # stay in the narrow dtype (int32 tokens never touch int64);
+        # ref == 0 (token ids start at 0) skips a full-column temp
+        residual = v if ref == 0 else v - v.dtype.type(ref)
         if np.issubdtype(residual.dtype, np.signedinteger):
             residual = residual.view(np.dtype(f"<u{residual.dtype.itemsize}"))
     else:

@@ -66,17 +66,46 @@ def encode(values: np.ndarray, num_bits: int) -> bytes:
         # all values are zero by definition; decoder emits zeros for an
         # empty buffer (reference mod.rs:238-249)
         return b""
-    # run segmentation
-    change = np.flatnonzero(np.diff(v) != 0) + 1
-    run_starts = np.concatenate([[0], change])
-    run_lengths = np.diff(np.concatenate([run_starts, [n]]))
-    long_mask = run_lengths >= 2 * MIN_RLE_RUN  # only clearly-profitable runs
+    # Run segmentation.  Only runs of >= 2*MIN_RLE_RUN matter, so we
+    # enumerate the SPARSE side of the neighbor-equality mask instead of
+    # always materializing every run boundary: token streams are nearly
+    # run-free (measured 11.2M runs in a 12.5M-value partition), where
+    # flatnonzero over change points built ~270 MB of int64 temps to
+    # find zero long runs; level/padding columns are the mirror image.
+    # A single count picks the cheap side.  (Direct neighbor compare,
+    # not np.diff(v) != 0 — diff materializes a full-width temp where
+    # the compare emits only the 1-byte bool mask.)
+    eq = v[1:] == v[:-1]
+    n_repeats = int(np.count_nonzero(eq))
+    if n_repeats < 2 * MIN_RLE_RUN - 1:
+        long_starts = np.empty(0, dtype=np.int64)
+        long_lengths = long_starts
+    elif n_repeats <= (n - 1) - n_repeats:
+        # repeats are sparse: runs = maximal consecutive blocks in the
+        # (small) repeat-position list; a block rep[i..j] of contiguous
+        # indices means v[rep[i] .. rep[j]+1] are all equal
+        rep = np.flatnonzero(eq)
+        brk = np.flatnonzero(rep[1:] != rep[:-1] + 1) + 1
+        bstart = np.concatenate([[0], brk])
+        bend = np.concatenate([brk, [rep.size]]) - 1
+        long_starts = rep[bstart]
+        long_lengths = rep[bend] - rep[bstart] + 2
+        keep = long_lengths >= 2 * MIN_RLE_RUN
+        long_starts, long_lengths = long_starts[keep], long_lengths[keep]
+    else:
+        # change points are the sparse side (run-heavy data)
+        change = np.flatnonzero(~eq) + 1
+        run_starts = np.concatenate([[0], change])
+        run_lengths = np.diff(np.concatenate([run_starts, [n]]))
+        long_mask = run_lengths >= 2 * MIN_RLE_RUN
+        long_starts = run_starts[long_mask]
+        long_lengths = run_lengths[long_mask]
 
     # segments: (is_rle, start, length); bit-packed lengths padded to ×8
     segs: list[tuple[bool, int, int]] = []
     pos = 0
-    if long_mask.any():
-        for start, length in zip(run_starts[long_mask], run_lengths[long_mask]):
+    if long_starts.size:
+        for start, length in zip(long_starts, long_lengths):
             start, length = int(start), int(length)
             if start < pos:  # run partially consumed by alignment steal
                 length -= pos - start

@@ -122,6 +122,28 @@ def test_hybrid_rle_single_value():
     assert hybrid_rle.decode(out, 2, 1).tolist() == [3]
 
 
+def test_hybrid_rle_segmentation_branches():
+    # encode() picks a segmentation strategy from the repeat count
+    # (none-possible / sparse-repeats / dense-changes); all three must
+    # produce the same stream, exercised around the 2*MIN_RLE_RUN
+    # profitability threshold at start/middle/end positions
+    M = 2 * hybrid_rle.MIN_RLE_RUN
+    base = (np.arange(100) % 97 + 100).astype(np.uint64)  # run-free filler
+    for d in (-1, 0, 1):
+        run = np.full(M + d, 7, dtype=np.uint64)
+        for v in (
+            np.concatenate([run, base]),          # sparse-repeats branch
+            np.concatenate([base, run, base]),
+            np.concatenate([base, run]),
+            np.concatenate([run, run + 1, base]), # adjacent distinct runs
+            np.repeat(base[: M + d], M),          # dense-changes branch
+            base,                                 # no long run possible
+        ):
+            nb = int(v.max()).bit_length()
+            out = hybrid_rle.encode(v, nb)
+            assert hybrid_rle.decode(out, nb, len(v)).tolist() == v.tolist()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_hybrid_rle_mixed_fuzz(seed):
     rng = np.random.default_rng(seed)
