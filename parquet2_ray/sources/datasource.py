@@ -153,7 +153,7 @@ class P2RDatasource(Datasource):
         # metadata pass the pruning already makes); single-block
         # partitions stay atomic
         per = (-(-parallelism // len(self._parts))
-               if parallelism > len(self._parts) else 1)
+               if parallelism > len(self._parts) > 0 else 1)
         for r in self._parts:
             path = r["path"]
             n_rows = int(r["n_rows"])

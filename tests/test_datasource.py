@@ -117,3 +117,13 @@ def test_key_values_bloom_prune(container, ray_session):
     assert set(df["doc_id"]) == {probe}  # exact row semantics
     with pytest.raises(ValueError):
         P2RDatasource(out, key_values=[1], key_range=("doc_id", None, None))
+
+
+def test_key_values_prune_everything(container, ray_session):
+    # a probe absent from every partition prunes ALL of them; the read
+    # must return zero rows, not divide by zero in the fan-out math
+    out, tbl = container
+    src = P2RDatasource(out, key_values=["zzz/nonexistent/doc"])
+    assert src._parts == []
+    assert src.get_read_tasks(32) == []
+    assert rd.read_datasource(src).count() == 0
