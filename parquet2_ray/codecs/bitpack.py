@@ -140,8 +140,14 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int,
         want = np.dtype(dtype) if dtype is not None else np.dtype(np.uint64)
         if nb == ct.itemsize:
             # zero-copy reinterpret; callers treat unpack results as
-            # read-only (they copy via astype/assignment downstream)
-            flat = buf[: length * nb].view(ct)
+            # read-only (they copy via astype/assignment downstream).
+            # An unaligned ndarray slice can't view a wider dtype —
+            # fall back to a one-copy frombuffer for that rare shape.
+            sl = buf[: length * nb]
+            try:
+                flat = sl.view(ct)
+            except ValueError:
+                flat = np.frombuffer(sl.tobytes(), dtype=ct)
         else:
             wide = np.zeros((length, ct.itemsize), dtype=np.uint8)
             wide[:, :nb] = buf[: length * nb].reshape(length, nb)
