@@ -198,6 +198,12 @@ def test_bitpack_byte_multiple_fast_path_matches_bit_layout():
         assert got == ref[: len(got)] and len(got) == v.size * w // 8
         back = bitpack.unpack(got, w, v.size)
         assert (back == (v & np.uint64((1 << w) - 1))).all()
+    # misaligned ndarray input: the zero-copy view can't reinterpret a
+    # slice whose start isn't container-aligned — must still decode
+    v = np.arange(100, dtype=np.uint64) * 3
+    p = bitpack.pack(v, 16)
+    arr = np.frombuffer(b"x" + p, dtype=np.uint8)[1:]
+    assert (bitpack.unpack(arr, 16, 100) == v).all()
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
