@@ -110,7 +110,9 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int,
     ``dtype``: output dtype (default uint64 for backward compatibility).
     Pass the container dtype (e.g. uint32 for num_bits ≤ 32) to skip the
     final widening copy — internally all lane ops already run in the
-    smallest container ≥ num_bits.
+    smallest container ≥ num_bits.  At byte-multiple widths with
+    ``bytes`` input and container dtype the result is a READ-ONLY
+    zero-copy view of the input; copy before mutating.
 
     Error semantics mirror the reference decoder
     (/root/reference/src/encoding/bitpacked/decode.rs:22-40): an empty
@@ -139,15 +141,19 @@ def unpack(packed: bytes | np.ndarray, num_bits: int, length: int,
         nb = w // 8
         want = np.dtype(dtype) if dtype is not None else np.dtype(np.uint64)
         if nb == ct.itemsize:
-            # zero-copy reinterpret; callers treat unpack results as
-            # read-only (they copy via astype/assignment downstream).
-            # An unaligned ndarray slice can't view a wider dtype —
-            # fall back to a one-copy frombuffer for that rare shape.
+            # zero-copy reinterpret, but ONLY off immutable bytes input
+            # (the result is then read-only and cannot alias a caller's
+            # reusable read buffer); bytearray/ndarray inputs copy so
+            # the historical fresh-array contract holds for them.  An
+            # unaligned slice can't view a wider dtype — copy there too.
             sl = buf[: length * nb]
-            try:
-                flat = sl.view(ct)
-            except ValueError:
-                flat = np.frombuffer(sl.tobytes(), dtype=ct)
+            if isinstance(packed, bytes):
+                try:
+                    flat = sl.view(ct)
+                except ValueError:  # misaligned slice can't widen
+                    flat = sl.copy().view(ct)
+            else:
+                flat = sl.copy().view(ct)  # fresh + writable + aligned
         else:
             wide = np.zeros((length, ct.itemsize), dtype=np.uint8)
             wide[:, :nb] = buf[: length * nb].reshape(length, nb)

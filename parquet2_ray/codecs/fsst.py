@@ -95,7 +95,9 @@ def _build_perfect_hash(vals: np.ndarray, codes: np.ndarray) -> tuple:
         slot_vals[h] = vals
         slot_codes[h] = codes
         return mult, shift, slot_vals, slot_codes
-    bits = max(int(np.ceil(2 * np.log2(n))) if n > 1 else 2, 2)
+    # birthday-sized start, clamped so the escalation loop always runs
+    # (symbol tables cap at 255 keys/length → bits ≤ 16 in practice)
+    bits = min(max(int(np.ceil(2 * np.log2(n))) if n > 1 else 2, 2), 20)
     rng = np.random.RandomState(0x5F5F)
     while bits <= 20:
         size = 1 << bits

@@ -204,6 +204,14 @@ def test_bitpack_byte_multiple_fast_path_matches_bit_layout():
     p = bitpack.pack(v, 16)
     arr = np.frombuffer(b"x" + p, dtype=np.uint8)[1:]
     assert (bitpack.unpack(arr, 16, 100) == v).all()
+    # mutable inputs must yield a fresh writable result (no aliasing of
+    # a caller's reusable read buffer); only bytes input may be a
+    # read-only zero-copy view
+    ba = bytearray(p)
+    u = bitpack.unpack(ba, 16, 100, dtype=np.uint16)
+    u += 1
+    ba[0] ^= 0xFF
+    assert u[0] == v[0] + 1 and u[1] == v[1] + 1
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
