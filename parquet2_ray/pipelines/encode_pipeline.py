@@ -315,6 +315,89 @@ def _assign_parts(batch: pa.Table, plan_ref, group_col: str | None,
 
 _IPC_COMPRESSION = os.environ.get("P2R_IPC_COMPRESSION") or None
 
+# Wire narrowing: exchange shards ship integer columns at the smallest
+# width their values fit (tokens are int32 on disk but < 2^16 in every
+# real vocab → uint16 halves the exchange's dominant column).  The
+# original type rides as field metadata and the reduce side widens
+# back before encoding, so partition bytes/fingerprints are unchanged.
+# Narrowing is per split task — shards of one partition may arrive at
+# different widths; widening restores one common schema before concat.
+# At 100 TB the exchange is the scarcest resource (NIC bytes on a real
+# cluster, DRAM bandwidth on this box) — this is the classic
+# shuffle-compression trade at zero decompression cost.
+_WIRE_KEY = b"p2r_wire"
+_NARROW_OFF = os.environ.get("P2R_WIRE_NARROW", "1") == "0"
+
+
+def _narrow_for_wire(tbl: pa.Table) -> pa.Table:
+    if _NARROW_OFF or tbl.num_rows == 0:
+        return tbl
+    changed = False
+    cols, fields = [], []
+    for f in tbl.schema:
+        col = tbl[f.name]
+        t = f.type
+        inner = None
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            inner = t.value_type
+        target = None
+        check = inner if inner is not None else t
+        if check in (pa.int32(), pa.int64()):
+            mm = pc.min_max(
+                pc.list_flatten(col) if inner is not None else col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None and lo >= 0:
+                if hi < 1 << 8:
+                    target = pa.uint8()
+                elif hi < 1 << 16:
+                    target = pa.uint16()
+                elif check == pa.int64() and hi < 1 << 32:
+                    target = pa.uint32()
+            elif lo is not None and check == pa.int64() and \
+                    -(1 << 31) <= lo and hi < 1 << 31:
+                target = pa.int32()
+        if target is None:
+            cols.append(col)
+            fields.append(f)
+            continue
+        if inner is not None:
+            new_t = (pa.list_(target) if pa.types.is_list(t)
+                     else pa.large_list(target))
+        else:
+            new_t = target
+        cols.append(col.cast(new_t))
+        fields.append(pa.field(f.name, new_t,
+                               metadata={_WIRE_KEY: str(check).encode()}))
+        changed = True
+    if not changed:
+        return tbl
+    return pa.table(cols, schema=pa.schema(fields))
+
+
+def _widen_from_wire(tbl: pa.Table) -> pa.Table:
+    changed = False
+    cols, fields = [], []
+    for f in tbl.schema:
+        meta = f.metadata or {}
+        orig = meta.get(_WIRE_KEY)
+        if orig is None:
+            cols.append(tbl[f.name])
+            fields.append(f)
+            continue
+        vt = {"int32": pa.int32(), "int64": pa.int64()}[orig.decode()]
+        if pa.types.is_list(f.type):
+            new_t = pa.list_(vt)
+        elif pa.types.is_large_list(f.type):
+            new_t = pa.large_list(vt)
+        else:
+            new_t = vt
+        cols.append(tbl[f.name].cast(new_t))
+        fields.append(pa.field(f.name, new_t))
+        changed = True
+    if not changed:
+        return tbl
+    return pa.table(cols, schema=pa.schema(fields))
+
 
 def _ipc_bytes(tbl: pa.Table) -> bytes:
     """Arrow-IPC serialize (IPC truncates sliced buffers — a pickled slice
@@ -343,7 +426,7 @@ def _split_core(block: pa.Table, plan: PartitionPlan, group_col, weight_col,
     out: list = [None] * n_parts
     part = _part_ids(block, plan, group_col, weight_col)
     order = np.argsort(part, kind="stable")
-    tbl = block.take(pa.array(order))
+    tbl = _narrow_for_wire(block.take(pa.array(order)))
     sorted_part = part[order]
     uniq, starts = np.unique(sorted_part, return_index=True)
     bounds = np.append(starts, len(sorted_part))
@@ -363,7 +446,7 @@ def _split_core_coarse(block: pa.Table, plan: PartitionPlan, group_col,
     tblp = block.append_column(PART_COL, pa.array(part, type=pa.int32()))
     grp = part // fan
     order = np.argsort(grp, kind="stable")
-    tbl = tblp.take(pa.array(order))
+    tbl = _narrow_for_wire(tblp.take(pa.array(order)))
     sg = grp[order]
     uniq, starts = np.unique(sg, return_index=True)
     bounds = np.append(starts, len(sg))
@@ -478,7 +561,8 @@ def _encode_group(out_dir: str, sort_key, weight_col,
     canonical order, atomic commit, per-partition resume — so retry
     granularity is unchanged; only shard granularity is coarser."""
     tables = [
-        pa.ipc.open_stream(s).read_all() for s in shards if s is not None
+        _widen_from_wire(pa.ipc.open_stream(s).read_all())
+        for s in shards if s is not None
     ]
     if not tables:
         return []
@@ -517,7 +601,8 @@ def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
     """Exchange reduce side: reassemble one partition from its shards and
     encode/commit it. Deterministic + atomic commit ⇒ safe under retry."""
     tables = [
-        pa.ipc.open_stream(s).read_all() for s in shards if s is not None
+        _widen_from_wire(pa.ipc.open_stream(s).read_all())
+        for s in shards if s is not None
     ]
     if not tables:
         return {}
