@@ -495,10 +495,27 @@ def main() -> None:
         # contaminated estimate (same policy as --scaling)
         repeats = int(os.environ.get("P2R_HEADLINE_REPEATS", "2"))
         hl = None
-        for i in range(repeats):
+        hl_markers = []
+        best_marker = None
+        # + up to 2 ADAPTIVE extra repeats: a host-degradation phase can
+        # outlast back-to-back repeats (observed: 57 s vs 11 s for the
+        # IDENTICAL job+bytes an hour apart).  If the best run's
+        # just-before spin marker is under 4.5 Mops (healthy ≈5-7 on
+        # this box, degraded ≈2.5-3.2), the number says more about the
+        # co-tenant than the engine — spend ≤2 more runs for a cleaner
+        # sample.  All markers are recorded either way.
+        i = 0
+        while i < repeats:
+            mk = _query_marker()
             r = run_headline(f"c{args.cpus}_{i}", args.cpus)
+            hl_markers.append(dict(mk, wall_s=round(r["wall_s"], 3)))
             if hl is None or r["wall_s"] < hl["wall_s"]:
                 hl = r
+                best_marker = mk
+            i += 1
+            if (i == repeats and repeats < 4
+                    and best_marker["spin_mops"] < 4.5):
+                repeats += 1
         queries, query_markers = ({}, {}) if args.headline_only else \
             run_queries(args.sf_dir, TIMED_QUERIES)
         print(json.dumps({
@@ -534,6 +551,9 @@ def main() -> None:
             # query's repeats, plus every wall) — makes individual query
             # regressions adjudicable against the host window
             "query_markers": query_markers,
+            # spin/stream just before each headline repeat + its wall —
+            # the best-of-N choice is auditable against host health
+            "headline_markers": hl_markers,
         }))
     finally:
         ray.shutdown()
