@@ -566,7 +566,9 @@ def _encode_group(out_dir: str, sort_key, weight_col,
     ]
     if not tables:
         return []
-    full = pa.concat_tables(tables).combine_chunks()
+    # stay chunked through the group-order take (one gather instead of
+    # combine + take = two full copies of the group)
+    full = pa.concat_tables(tables)
     part = full[PART_COL].combine_chunks().to_numpy()
     order = np.argsort(part, kind="stable")
     tbl = full.take(pa.array(order))
@@ -606,7 +608,10 @@ def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
     ]
     if not tables:
         return {}
-    full = pa.concat_tables(tables).combine_chunks()
+    # stay chunked: encode_partition_table combine_chunks()es after its
+    # canonical sort anyway — combining here double-materializes the
+    # whole partition
+    full = pa.concat_tables(tables)
     full = full.append_column(
         PART_COL, pa.array(np.full(full.num_rows, part_id, dtype=np.int32))
     )
