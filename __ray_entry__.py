@@ -168,6 +168,43 @@ def q_codec_plain_ba(sf_dir: str):
     return _codec_roundtrip(sf_dir, "documents", "lang", "plain_byte_array")
 
 
+def q_incremental_dedup(sf_dir: str):
+    """P38 incremental dedup under a full SQL oracle: the documents
+    table is the HISTORICAL corpus (hash index built from it, one
+    shard groupby); the ingest INCREMENT is a derived view where every
+    3rd doc re-arrives verbatim (must drop — its text is in history)
+    and the rest arrive with perturbed text (must keep), ids shifted
+    past the corpus.  Returns the increment ids that must drop.  The
+    probe touches only the 8 B/doc index shards, not the corpus."""
+    import shutil
+
+    from parquet2_ray.pipelines.incremental_dedup import (
+        incremental_removal_ids,
+        write_hash_index,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    m_off = docs.max("doc_id") + 1
+
+    def make_increment(b: pa.Table) -> pa.Table:
+        # derived ingest increment: every 3rd doc re-arrives verbatim
+        # (must drop — text already in history), the rest arrive with
+        # perturbed text (must keep); ids shifted past the corpus
+        ids = b["doc_id"].to_pandas()
+        txt = b["text"].to_pandas()
+        dup = (ids % 3) == 0
+        txt = txt.where(dup, txt + "-" + ids.astype(str))
+        return pa.table({"doc_id": pa.array(ids + m_off, pa.int64()),
+                         "text": pa.array(txt)})
+
+    new = docs.map_batches(make_increment, batch_format="pyarrow")
+    idx = _out_dir(sf_dir, "hash_index_p38")
+    shutil.rmtree(idx, ignore_errors=True)  # stale shards would poison
+    write_hash_index(docs, idx, nshards=16)
+    return incremental_removal_ids(new, idx)
+
+
 def q_codec_delta_length(sf_dir: str):
     return _codec_roundtrip(sf_dir, "documents", "text", "delta_length_byte_array")
 
@@ -992,7 +1029,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_codec_delta": q_codec_delta,
         "q_codec_rle": q_codec_rle,
         "q_codec_dict_binary": q_codec_dict_binary,
-        "q_codec_plain_ba": q_codec_plain_ba,
+        # q_codec_plain_ba retired r4 (PLAIN byte-array is enforced by
+        # test_baselines per-column caps + every string roundtrip) to
+        # free the slot for P38 under the 50-row driver cap
+        "q_incremental_dedup": q_incremental_dedup,
         "q_codec_delta_length": q_codec_delta_length,
         "q_codec_delta_ba": q_codec_delta_ba,
         "q_codec_fsst": q_codec_fsst,
@@ -1204,7 +1244,17 @@ def oracle_sql() -> dict[str, str]:
         "q_codec_delta": "SELECT l_orderkey FROM lineitem",
         "q_codec_rle": "SELECT l_partkey FROM lineitem",
         "q_codec_dict_binary": "SELECT l_returnflag FROM lineitem",
-        "q_codec_plain_ba": "SELECT lang FROM documents",
+        "q_incremental_dedup": (
+            "WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents), "
+            "new AS (SELECT doc_id + m.off AS doc_id, "
+            "        CASE WHEN doc_id % 3 = 0 THEN text "
+            "             ELSE text || '-' || CAST(doc_id AS VARCHAR) END "
+            "        AS text FROM documents, m) "
+            "SELECT n.doc_id FROM new n "
+            "WHERE EXISTS (SELECT 1 FROM documents o WHERE o.text = n.text) "
+            "   OR EXISTS (SELECT 1 FROM new x WHERE x.text = n.text "
+            "              AND x.doc_id < n.doc_id)"
+        ),
         "q_codec_delta_length": "SELECT text FROM documents",
         "q_codec_delta_ba": "SELECT event_type FROM events",
         "q_codec_fsst": "SELECT text FROM documents",
