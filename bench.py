@@ -505,6 +505,7 @@ def main() -> None:
         # co-tenant than the engine — spend ≤2 more runs for a cleaner
         # sample.  All markers are recorded either way.
         i = 0
+        extras = 0
         while i < repeats:
             mk = _query_marker()
             r = run_headline(f"c{args.cpus}_{i}", args.cpus)
@@ -513,9 +514,10 @@ def main() -> None:
                 hl = r
                 best_marker = mk
             i += 1
-            if (i == repeats and repeats < 4
+            if (i == repeats and extras < 2
                     and best_marker["spin_mops"] < 4.5):
                 repeats += 1
+                extras += 1
         queries, query_markers = ({}, {}) if args.headline_only else \
             run_queries(args.sf_dir, TIMED_QUERIES)
         print(json.dumps({

@@ -366,8 +366,14 @@ def _narrow_for_wire(tbl: pa.Table) -> pa.Table:
         else:
             new_t = target
         cols.append(col.cast(new_t))
-        fields.append(pa.field(f.name, new_t,
-                               metadata={_WIRE_KEY: str(check).encode()}))
+        # keep nullability AND any prior field metadata: the widened
+        # field must equal the original exactly, or shards narrowed in
+        # some blocks but not others fail the reduce-side concat
+        # (nullable vs non-nullable int32 is a schema mismatch)
+        meta = dict(f.metadata or {})
+        meta[_WIRE_KEY] = str(check).encode()
+        fields.append(pa.field(f.name, new_t, nullable=f.nullable,
+                               metadata=meta))
         changed = True
     if not changed:
         return tbl
@@ -392,7 +398,9 @@ def _widen_from_wire(tbl: pa.Table) -> pa.Table:
         else:
             new_t = vt
         cols.append(tbl[f.name].cast(new_t))
-        fields.append(pa.field(f.name, new_t))
+        rest = {k: v for k, v in meta.items() if k != _WIRE_KEY}
+        fields.append(pa.field(f.name, new_t, nullable=f.nullable,
+                               metadata=rest or None))
         changed = True
     if not changed:
         return tbl

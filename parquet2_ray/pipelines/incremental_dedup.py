@@ -99,11 +99,28 @@ def write_hash_index(
 
     written = (hashed.groupby("shard")
                .map_groups(write_shard, batch_format="pyarrow"))
-    total = int(written.sum("n") or 0)
-    fsio.atomic_write(index_dir.rstrip("/") + "/_meta.json",
-                      json.dumps({"nshards": nshards,
-                                  "total": total}).encode(), fsync=False)
+    counts = {int(r["shard"]): int(r["n"]) for r in written.take_all()}
+    # overwrite EVERY shard slot: a reused index_dir may hold shards
+    # from a previous corpus, and a shard this corpus never hashed
+    # into would silently keep the stale hashes (false removals)
+    for s in range(nshards):
+        if s not in counts:
+            _write_shard_file(_shard_path(index_dir, s),
+                              np.empty(0, dtype=np.uint64))
+            counts[s] = 0
+    total = sum(counts.values())
+    _write_meta(index_dir, nshards, counts)
     return total
+
+
+def _write_meta(index_dir: str, nshards: int, counts: dict) -> None:
+    fsio.atomic_write(
+        index_dir.rstrip("/") + "/_meta.json",
+        json.dumps({"nshards": nshards,
+                    "total": sum(counts.values()),
+                    "shard_counts": {str(k): v for k, v in
+                                     sorted(counts.items())}}).encode(),
+        fsync=False)
 
 
 def _index_meta(index_dir: str) -> dict:
@@ -133,12 +150,20 @@ def incremental_removal_ids(
         in_index = (pos < seen.size) & (
             seen[np.minimum(pos, max(seen.size - 1, 0))] == h) \
             if seen.size else np.zeros(h.size, dtype=bool)
-        # in-increment dedupe: keep the smallest id per hash
+        # in-increment dedupe: keep the smallest id per hash — run
+        # segmentation shared with the batch dedup path (bucket_runs
+        # returns multi-member runs of the (h, id)-sorted keys; every
+        # member after a run's first is a duplicate)
+        from ..stages.bucket_pairs import bucket_runs
+
         order = np.lexsort((ids, h))
-        first_of_run = np.r_[True, h[order][1:] != h[order][:-1]]
-        keeper = np.zeros(h.size, dtype=bool)
-        keeper[order[first_of_run]] = True
-        drop = in_index | ~keeper
+        starts, cnts = bucket_runs(h[order])
+        dup_tail = np.zeros(h.size + 1, dtype=np.int8)
+        dup_tail[starts + 1] += 1
+        np.subtract.at(dup_tail, starts + cnts, 1)
+        not_keeper = np.zeros(h.size, dtype=bool)
+        not_keeper[order] = np.cumsum(dup_tail[:-1]) > 0
+        drop = in_index | not_keeper
         if not drop.any():
             return empty
         return pa.table({id_col: group[id_col].filter(pa.array(drop))})
@@ -161,29 +186,27 @@ def append_hash_index(
 
     def merge_shard(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64())})
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
         shard = int(group["shard"][0].as_py())
         path = _shard_path(index_dir, shard)
         h = np.unique(np.concatenate(
             [_read_shard_file(path),
              group["h"].combine_chunks().to_numpy()]))
         _write_shard_file(path, h)
-        return pa.table({"n": pa.array([h.size], pa.int64())})
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "n": pa.array([h.size], pa.int64())})
 
     merged = (hashed.groupby("shard")
               .map_groups(merge_shard, batch_format="pyarrow"))
-    merged.materialize()  # ensure every shard rewrite committed
-    # untouched shards keep their prior counts; recount via footers
-    total = 0
-    for s in range(nshards):
-        p = _shard_path(index_dir, s)
-        if fsio.exists(p):
-            total += pq.read_table(
-                pa.BufferReader(fsio.read_bytes(p))).num_rows
-    fsio.atomic_write(index_dir.rstrip("/") + "/_meta.json",
-                      json.dumps({"nshards": nshards,
-                                  "total": total}).encode(), fsync=False)
-    return total
+    # untouched shards keep their prior meta counts — the append stays
+    # O(touched shards), never a full-index scan
+    counts = {int(k): int(v) for k, v in
+              meta.get("shard_counts", {}).items()}
+    for r in merged.take_all():
+        counts[int(r["shard"])] = int(r["n"])
+    _write_meta(index_dir, nshards, counts)
+    return sum(counts.values())
 
 
 def incremental_dedup(

@@ -58,6 +58,18 @@ def test_append_is_idempotent_and_counts_distinct(index, ray_session):
     assert t1 == t2 == 3 + 1  # history's 3 + omega, stable on re-run
 
 
+def test_rebuild_in_reused_dir_clears_stale_shards(tmp_path, ray_session):
+    # rebuilding an index over a reused directory must not leak the old
+    # corpus's hashes — every shard slot is overwritten
+    d = str(tmp_path / "hidx3")
+    write_hash_index(_corpus([1], ["ghost"]), d, nshards=8)
+    write_hash_index(_corpus([2], ["real"]), d, nshards=8)
+    new = _corpus([10, 11], ["ghost", "real"])
+    rm = sorted(r["doc_id"] for r in
+                incremental_removal_ids(new, d).take_all())
+    assert rm == [11]  # "ghost" is NOT in the rebuilt index
+
+
 def test_matches_batch_dedup_semantics(index, ray_session, tmp_path):
     # incremental(old, new) must equal batch-dedup(old ∪ new) restricted
     # to the increment: same min-id keeper, same hash equivalence

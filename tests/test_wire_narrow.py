@@ -68,6 +68,22 @@ def test_narrow_noops_cheaply():
     assert _narrow_for_wire(empty) is empty
 
 
+def test_non_nullable_fields_survive_mixed_width_concat():
+    # a REQUIRED int column narrowed in one shard but not another must
+    # still concat after widening — nullability (and field metadata)
+    # ride through narrow/widen unchanged
+    sch = pa.schema([pa.field("v", pa.int32(), nullable=False,
+                              metadata={b"k": b"orig"})])
+    a = pa.table([pa.array([1, 200], pa.int32())], schema=sch)   # uint8
+    b = pa.table([pa.array([1, 70000], pa.int32())], schema=sch)  # stays
+    wa, wb = _widen_from_wire(_narrow_for_wire(a)), \
+        _widen_from_wire(_narrow_for_wire(b))
+    merged = pa.concat_tables([wa, wb])
+    f = merged.schema.field("v")
+    assert not f.nullable and f.metadata == {b"k": b"orig"}
+    assert merged["v"].to_pylist() == [1, 200, 1, 70000]
+
+
 def test_shards_of_different_widths_concat_after_widen():
     # two shards of one partition narrowed independently to DIFFERENT
     # widths must land on one schema after widening
