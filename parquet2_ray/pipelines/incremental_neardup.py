@@ -204,6 +204,7 @@ def incremental_neardup_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    join_partitions: int = 16,
 ) -> rd.Dataset:
     """Increment ids whose signature-estimated Jaccard against ANY
     indexed historical doc is ≥ ``threshold``.  Candidate generation is
@@ -270,7 +271,7 @@ def incremental_neardup_ids(
 
     pairs = cands.join(
         sig_new.map_batches(sig_to_bin, batch_format="pyarrow"),
-        join_type="inner", num_partitions=16, on=(id_col,))
+        join_type="inner", num_partitions=join_partitions, on=(id_col,))
 
     def verify(g: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], pa.int64())})
