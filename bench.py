@@ -84,6 +84,7 @@ TIMED_QUERIES = [
     "q_value_quantiles",
     "q_pack_sequences",
     "q_lookup_rows",
+    "q_incremental_dedup",
 ]
 
 
