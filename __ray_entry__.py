@@ -185,7 +185,13 @@ def q_incremental_dedup(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    m_off = docs.max("doc_id") + 1
+    # id offset from parquet row-group statistics — one footer read on
+    # the driver instead of a whole Ray max() aggregate pipeline
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    col = next(i for i in range(md.num_columns)
+               if md.schema.column(i).name == "doc_id")
+    m_off = max(md.row_group(g).column(col).statistics.max
+                for g in range(md.num_row_groups)) + 1
 
     def make_increment(b: pa.Table) -> pa.Table:
         # derived ingest increment: every 3rd doc re-arrives verbatim
