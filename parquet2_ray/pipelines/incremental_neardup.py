@@ -290,8 +290,15 @@ def incremental_neardup_ids(
         if not ok.any():
             return empty
         col = g["sigbin"].combine_chunks()
-        nsig = np.vstack([np.frombuffer(col[i].as_py(), np.uint64)
-                          for i in range(len(col))])
+        # zero-copy unpack of the fixed-size-binary signature column:
+        # one frombuffer over the values buffer (respecting the array
+        # offset), not a per-row as_py() loop — this is the hot path
+        # when the candidate-pair set is large
+        width = col.type.byte_width // 8
+        nsig = np.frombuffer(
+            col.buffers()[1], dtype=np.uint64,
+            count=(col.offset + len(col)) * width,
+        ).reshape(-1, width)[col.offset:]
         est = (nsig[ok] == hsig[pos[ok]]).mean(axis=1)
         hit = est >= threshold
         ids = g[id_col].combine_chunks().to_numpy(
