@@ -689,7 +689,10 @@ def q_pack_sequences(sf_dir: str):
         texts = b["text"].to_pandas()
         words = texts.str.split()
         lens = words.str.len().fillna(0).astype(np.int32).to_numpy()
-        flat = [w for ws in words for w in (ws or ())]
+        # NULL text rows yield NaN from .str.split() — a truthy float,
+        # so `ws or ()` alone would iterate it and raise
+        flat = [w for ws in words
+                for w in (ws if isinstance(ws, list) else ())]
         ids = _word_token_ids(flat) if flat else np.empty(0, dtype=np.int32)
         offsets = np.zeros(len(b) + 1, dtype=np.int32)
         np.cumsum(lens, out=offsets[1:])

@@ -97,6 +97,19 @@ def _meta(d: str) -> dict:
     return json.loads(fsio.read_bytes(d.rstrip("/") + "/_meta.json"))
 
 
+def _write_neardup_meta(d: str, p: dict, counts: dict) -> None:
+    """Persist index params + per-sig-shard row counts: appends update
+    only touched shards' counts, so the total never needs a full
+    signature-store scan (same discipline as incremental_dedup)."""
+    fsio.atomic_write(
+        d.rstrip("/") + "/_meta.json",
+        json.dumps(dict(
+            p, total=sum(counts.values()),
+            sig_shard_counts={str(k): v for k, v in
+                              sorted(counts.items())})).encode(),
+        fsync=False)
+
+
 def _signatures(ds: rd.Dataset, text_col: str, id_col: str,
                 p: dict) -> rd.Dataset:
     return ds.map_batches(
@@ -175,26 +188,31 @@ def write_minhash_index(
 
     def write_sig_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64())})
+            return pa.table({"sshard": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
         s = int(g["sshard"][0].as_py())
         order = pa.compute.sort_indices(
             g, sort_keys=[(id_col, "ascending")])
         _write_pq(_sig_path(index_dir, s),
                   g.select([id_col, "sig"]).take(order))
-        return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+        return pa.table({"sshard": pa.array([s], pa.int32()),
+                         "n": pa.array([g.num_rows], pa.int64())})
 
     done_s = (sig_ds.map_batches(add_sig_shard, batch_format="pyarrow")
               .groupby("sshard")
               .map_groups(write_sig_shard, batch_format="pyarrow"))
-    total = int(done_s.sum("n") or 0)
+    counts = {int(r["sshard"]): int(r["n"]) for r in done_s.take_all()}
     empty_sig = pa.table({id_col: pa.array([], pa.int64()),
                           "sig": pa.array([], pa.list_(pa.uint64()))})
+    # EVERY slot the new corpus didn't write is overwritten empty — a
+    # reused directory must not keep a previous corpus's sig shards
+    # (the band store already overwrites all nshards slots above)
     for s in range(sig_shards):
-        if not fsio.exists(_sig_path(index_dir, s)):
+        if s not in counts:
             _write_pq(_sig_path(index_dir, s), empty_sig)
-    fsio.atomic_write(index_dir.rstrip("/") + "/_meta.json",
-                      json.dumps(dict(p, total=total)).encode(),
-                      fsync=False)
+            counts[s] = 0
+    total = sum(counts.values())
+    _write_neardup_meta(index_dir, p, counts)
     return total
 
 
@@ -211,7 +229,11 @@ def incremental_neardup_ids(
     banded (a pair sharing no band is never tested — standard LSH
     recall); verification needs only stored signatures."""
     p = _meta(index_dir)
-    sig_new = _signatures(new_ds, text_col, id_col, p)
+    # materialized: the signature stage (tokenize + MinHash, the most
+    # expensive map of the probe) feeds BOTH the band probe and the
+    # verify join — unmaterialized it would re-execute per consumer.
+    # Bounded: increment-sized, 8·num_perm B + id per row.
+    sig_new = _signatures(new_ds, text_col, id_col, p).materialize()
 
     def probe_bands(g: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], pa.int64()),
@@ -262,8 +284,13 @@ def incremental_neardup_ids(
     # Acero rejects list-typed join payloads, so the signature rides as
     # fixed-size binary (zero-copy repack of the uint64 matrix)
     def sig_to_bin(t: pa.Table) -> pa.Table:
+        width = p["num_perm"] * 8
+        if t.num_rows == 0:
+            # _sig_matrix's reshape would raise on an empty block
+            return pa.table({
+                id_col: t[id_col],
+                "sigbin": pa.array([], pa.binary(width))})
         m = np.ascontiguousarray(_sig_matrix(t))
-        width = m.shape[1] * 8 if m.size else p["num_perm"] * 8
         arr = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(width), len(m),
             [None, pa.py_buffer(m.tobytes())])
@@ -353,7 +380,8 @@ def append_minhash_index(
 
     def merge_sig_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return pa.table({"n": pa.array([], pa.int64())})
+            return pa.table({"sshard": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
         s = int(g["sshard"][0].as_py())
         add = g.select([id_col, "sig"])
         old = _read_pq(_sig_path(index_dir, s))
@@ -367,17 +395,26 @@ def append_minhash_index(
         keep = np.r_[True, ii[1:] != ii[:-1]]
         merged = merged.filter(pa.array(keep))
         _write_pq(_sig_path(index_dir, s), merged)
-        return pa.table({"n": pa.array([merged.num_rows], pa.int64())})
+        return pa.table({"sshard": pa.array([s], pa.int32()),
+                         "n": pa.array([merged.num_rows], pa.int64())})
 
     done = (sig_ds.map_batches(add_sig_shard, batch_format="pyarrow")
             .groupby("sshard")
             .map_groups(merge_sig_shard, batch_format="pyarrow"))
-    added = int(done.sum("n") or 0)
-    total = 0
-    for s in range(p["sig_shards"]):
-        t = _read_pq(_sig_path(index_dir, s))
-        total += t.num_rows if t is not None else 0
-    fsio.atomic_write(index_dir.rstrip("/") + "/_meta.json",
-                      json.dumps(dict(p, total=total)).encode(),
-                      fsync=False)
-    return total
+    # untouched shards keep their prior meta counts — O(touched shards),
+    # never a full signature-store scan.  A pre-counts index (meta
+    # without sig_shard_counts) is seeded with one full scan, once.
+    if "sig_shard_counts" in p:
+        counts = {int(k): int(v)
+                  for k, v in p["sig_shard_counts"].items()}
+    else:
+        counts = {}
+        for s in range(p["sig_shards"]):
+            t = _read_pq(_sig_path(index_dir, s))
+            counts[s] = t.num_rows if t is not None else 0
+    for r in done.take_all():
+        counts[int(r["sshard"])] = int(r["n"])
+    params = {k: v for k, v in p.items()
+              if k not in ("total", "sig_shard_counts")}
+    _write_neardup_meta(index_dir, params, counts)
+    return sum(counts.values())

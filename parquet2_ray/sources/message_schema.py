@@ -362,6 +362,10 @@ def _ann_and_phys(t: pa.DataType) -> tuple[str, str | None]:
     if pa.types.is_date32(t):
         return "INT32", "DATE"
     if pa.types.is_time32(t):
+        # parquet TIME(INT32) is millis-only: time32('s') has no
+        # lossless message form — raise rather than silently reunit
+        if t.unit != "ms":
+            raise MessageError(f"time32 unit {t.unit} not expressible")
         return "INT32", "TIME(MILLIS,false)"
     if pa.types.is_time64(t):
         unit = {"us": "MICROS", "ns": "NANOS"}[t.unit]

@@ -47,8 +47,10 @@ from ..functions.hashing import shard_of
 __all__ = ["asof_join", "range_join"]
 
 
-def _ts_us_np(col) -> np.ndarray:
-    """int64-microsecond view of a (null-free) timestamp/int column."""
+def _ts_us_np(col, fill: int | None = None) -> np.ndarray:
+    """int64-microsecond view of a timestamp/int column.  Null-free
+    input unless ``fill`` is given (applied AFTER the int64 view, so
+    the fill value is always interpreted as microseconds)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
@@ -56,6 +58,8 @@ def _ts_us_np(col) -> np.ndarray:
         if t.unit != "us":
             col = col.cast(pa.timestamp("us"))
         col = col.view(pa.int64())
+    if fill is not None:
+        col = pc.fill_null(col, fill)
     return col.to_numpy(zero_copy_only=False)
 
 
@@ -158,25 +162,37 @@ def asof_join(
     hot_sorted = None
     tmin = width = 0
     if nsalt > 1:
+        # materialize the tiny distinct-key table ONCE: both the total
+        # (threshold denominator) and the hot filter read it, and the
+        # alternative — left.count() + right.count() — re-executes both
+        # full input lineages just for a scalar
         keyed = (left.select_columns([by])
                      .union(right.select_columns([by]))
-                     .groupby(by).count())
+                     .groupby(by).count()
+                     .materialize())
+        cname = next(c for c in keyed.columns() if c != by)
         if hot_threshold is not None:
             thresh = int(hot_threshold)
         else:
-            thresh = max((left.count() + right.count()) // nshards, 1)
-        cname = next(c for c in keyed.columns() if c != by)
+            thresh = max(int(keyed.sum(cname) or 0) // nshards, 1)
 
         def _hot_only(t: pa.Table) -> pa.Table:
             return t.filter(pc.greater(t[cname], thresh)).select([by])
 
         hot_rows = keyed.map_batches(
             _hot_only, batch_format="pyarrow").take_all()
-        hot = np.array(sorted(r[by] for r in hot_rows), dtype=np.int64)
+        # null keys hash as 0 in _finish — fold a hot null group into
+        # key 0 (sorted() over a None-bearing list would raise)
+        hot = np.unique(np.array(
+            [0 if r[by] is None else r[by] for r in hot_rows],
+            dtype=np.int64))
         if hot.size:
             from ray.data.aggregate import Max, Min
             mm = left.select_columns([on]).aggregate(Min(on), Max(on))
-            lo, hi = mm[f"min({on})"], mm[f"max({on})"]
+            # Dataset.aggregate returns None for an EMPTY dataset —
+            # guard before subscripting
+            lo = mm[f"min({on})"] if mm else None
+            hi = mm[f"max({on})"] if mm else None
             if lo is None or hi is None:
                 hot = hot[:0]           # empty left: salting is moot
             else:
@@ -193,13 +209,9 @@ def asof_join(
             hot_sorted[np.minimum(pos, hot_sorted.size - 1)] == keys)
 
     def _bucket_us(col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_timestamp(col.type):
-            if col.type.unit != "us":
-                col = col.cast(pa.timestamp("us"))
-            col = col.view(pa.int64())
-        ts = pc.fill_null(col, tmin).to_numpy(zero_copy_only=False)
+        # reuse the shared timestamp→int64-us conversion; null times
+        # (key-filtered again at merge) land in bucket 0 via the fill
+        ts = _ts_us_np(col, fill=tmin)
         return np.clip((ts.astype(np.int64) - tmin) // width, 0, nsalt - 1)
 
     def _finish(t: pa.Table, side: int) -> pa.Table:

@@ -80,3 +80,35 @@ def test_append_is_idempotent(index, ray_session):
     t1 = append_minhash_index(inc, index)
     t2 = append_minhash_index(inc, index)
     assert t1 == t2 == 3
+
+
+def test_empty_blocks_in_increment(index, ray_session):
+    # an increment containing empty blocks must flow through the
+    # signature, band-probe, and verify-join stages without error
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    new = _corpus([60], [BASE]).union(empty)
+    rm = [r["doc_id"] for r in
+          incremental_neardup_ids(new, index, threshold=0.7).take_all()]
+    assert rm == [60]
+
+
+def test_rebuild_over_reused_dir_drops_stale_shards(tmp_path, ray_session):
+    # rebuilding an index in a reused directory must not keep sig
+    # shards from the previous corpus (every slot is overwritten)
+    d = str(tmp_path / "mhidx2")
+    total1 = write_minhash_index(_corpus([1, 2], [BASE, OTHER]), d,
+                                 nshards=8, sig_shards=8)
+    assert total1 == 2
+    # second corpus routes to different sig shards (ids 3,4 vs 1,2)
+    total2 = write_minhash_index(_corpus([3], [OTHER]), d,
+                                 nshards=8, sig_shards=8)
+    assert total2 == 1
+    # the stale id-1 BASE signature must be gone: a BASE near-copy in
+    # the increment is NOT flagged against the rebuilt index
+    rm = incremental_neardup_ids(_corpus([70], [BASE]), d,
+                                 threshold=0.7).take_all()
+    assert rm == []
+    # and append's meta-count bookkeeping agrees with the store
+    assert append_minhash_index(_corpus([80], [BASE]), d) == 2

@@ -404,3 +404,42 @@ def test_stratified_sample_small_groups_kept_whole(ray_session):
     })
     got = stratified_sample(rd.from_arrow(tbl), n_per_group=10).to_pandas()
     assert len(got) == 3  # groups smaller than n are kept in full
+
+
+def test_asof_join_salted_null_key_hot_group(ray_session):
+    # a null-key group large enough to clear the hot threshold must not
+    # crash hot-key detection (nulls hash as key 0 in the exchange);
+    # null-key rows still never match
+    n = 40
+    left = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": _ts(*range(100, 100 + n)),
+        "user_id": pa.array([None] * (n - 2) + [5, 5], type=pa.int64()),
+        "value": pa.array(np.ones(n)),
+    })
+    right = _events([10, 11], [90, 101], [5, 5], [8.0, 9.0])
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    nshards=4, salt_buckets=4, hot_threshold=5).to_pandas()
+    # only the two non-null user-5 rows match (events at t=138,139)
+    assert sorted(out["event_id"].tolist()) == [n - 2, n - 1]
+
+
+def test_asof_join_salted_empty_left_hot_right(ray_session):
+    # empty left + a right-side key that clears the hot threshold:
+    # the min/max aggregate over the empty left returns None — salting
+    # must disable itself, not crash
+    left = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64()),
+    })
+    right = _events([10, 11, 12], [50, 60, 70], [5, 5, 5],
+                    [1.0, 2.0, 3.0])
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_cols=["event_id", "ts", "user_id", "value"],
+                    right_cols=["user_id", "ts", "event_id", "value"],
+                    nshards=2, salt_buckets=4, hot_threshold=1).to_pandas()
+    assert len(out) == 0

@@ -228,3 +228,10 @@ def test_tools_schema_subcommand(tmp_path, ray_session):
     # footer records arrow types, not nullability)
     for name in tbl.schema.names:
         assert back.field(name).type == tbl.schema.field(name).type
+
+
+def test_format_rejects_inexpressible_time_unit():
+    # parquet TIME(INT32) is millis-only: time32('s') must raise, not
+    # silently render as TIME(MILLIS) (a unit reinterpretation)
+    with pytest.raises(MessageError):
+        format_message(pa.schema([pa.field("t", pa.time32("s"))]))
