@@ -61,6 +61,11 @@ def cmd_encode(args) -> dict:
         target_weight=args.target_weight,
         compression=args.compression,
     )
+    if getattr(args, "append", False):
+        from .pipelines.append_pipeline import append_dataset
+
+        return append_dataset(args.input, args.output, opts,
+                              append_id=getattr(args, "append_id", None))
     return encode_dataset(args.input, args.output, opts)
 
 
@@ -161,6 +166,14 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--sort-key", default="doc_id")
     enc.add_argument("--target-weight", type=int, default=4_000_000)
     enc.add_argument("--compression", default=None)
+    enc.add_argument("--append", action="store_true",
+                     help="incremental ingest: add the input's partitions "
+                          "to an EXISTING container after its committed "
+                          "ones (crash-safe reserved id range; the encode "
+                          "side of the incremental dedup/near-dup family)")
+    enc.add_argument("--append-id", default=None,
+                     help="stable identity of this increment for resume "
+                          "(default: hash of the resolved input files)")
 
     dec = sub.add_parser("decode")
     dec.add_argument("--input", required=True, help="container dir")

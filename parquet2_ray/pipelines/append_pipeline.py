@@ -1,0 +1,166 @@
+"""Incremental container ingest: append an increment's partitions to an
+EXISTING encoded container without touching (or re-reading) the
+committed ones — the encode-side completion of the incremental family
+(P38 ``incremental_dedup``, P39 ``incremental_neardup``: dedup the
+increment against history, then ``append_dataset`` the survivors).
+
+Semantics: each append is a self-contained partition family.  The
+increment is planned over ITSELF (its own source/weight quantiles) and
+its partitions commit under global ids starting past every id any
+previous run — committed or in-flight-crashed — could have used.
+Readers need no special handling: ``decode_dataset``, the Datasource,
+and bloom/range pruning all iterate manifest records per partition.
+
+Crash-safe id allocation: ``base = max(committed id, reserved id) + 1``
+alone would SHIFT ids on a resumed append (a crash mid-append commits
+some partitions, raising the max), so a re-run could re-encode the same
+rows under fresh ids — duplicating data.  Instead each append first
+reserves its id range in an ``_appends.json`` session ledger keyed by a
+deterministic ``append_id`` (hash of the resolved input files + sizes);
+a re-run of the same increment finds its session, reuses its base, and
+the per-partition fingerprint resume skips what already committed.
+One appender per container at a time (the ledger update is
+read-modify-write); concurrent appends of DIFFERENT increments must be
+serialized by the caller.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import replace
+
+import ray.data as rd
+
+from ..state import fsio
+from ..state import manifest as mf
+from .encode_pipeline import EncodeOptions, encode_dataset
+
+__all__ = ["append_dataset"]
+
+
+def _ledger_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_appends.json")
+
+
+def _load_sessions(out_dir: str) -> list[dict]:
+    p = _ledger_path(out_dir)
+    if not fsio.exists(p):
+        return []
+    return json.loads(fsio.read_bytes(p))
+
+
+def _input_append_id(input_path, filesystem) -> str:
+    """Deterministic identity of a path increment: sha256 over the
+    resolved (path, size) list — the same files re-run hash the same,
+    so a crashed append resumes its reserved id range."""
+    from ..sources.readers import resolve_input_files
+
+    fs, files = resolve_input_files(input_path, filesystem)
+    h = hashlib.sha256()
+    for f, info in zip(files, fs.get_file_info(files)):
+        h.update(f.encode())
+        h.update(b"\0")
+        h.update(str(info.size or 0).encode())
+        h.update(b"\0")
+    return h.hexdigest()[:32]
+
+
+def append_dataset(
+    input_path: str | list[str] | rd.Dataset,
+    out_dir: str,
+    opts: EncodeOptions | None = None,
+    columns: list[str] | None = None,
+    filesystem=None,
+    append_id: str | None = None,
+) -> dict:
+    """Append an increment to an existing container (or create it).
+
+    ``append_id`` identifies the increment for resume: defaults to a
+    content hash of the resolved input files for path inputs; REQUIRED
+    for Dataset inputs (a Dataset has no stable identity to hash — an
+    append without one cannot resume into its reserved id range).
+    Returns the increment's encode summary plus combined container
+    totals under ``"container"``.
+    """
+    opts = opts or EncodeOptions()
+    if isinstance(input_path, rd.Dataset):
+        if append_id is None:
+            raise ValueError(
+                "append_dataset with a Dataset input needs an explicit "
+                "append_id (stable across retries) for crash-safe id "
+                "allocation; path inputs derive one from file contents")
+    elif append_id is None:
+        append_id = _input_append_id(input_path, filesystem)
+
+    fsio.ensure_dir(out_dir)
+    sessions = _load_sessions(out_dir)
+    mine = next((s for s in sessions if s["append_id"] == append_id), None)
+    if mine is not None:
+        # resume: reuse the reserved base — per-partition fingerprint
+        # resume then skips whatever already committed
+        base = int(mine["base"])
+    else:
+        pending = next((s for s in sessions
+                        if s.get("n_parts") is None), None)
+        if pending is not None:
+            # another increment reserved a base but never finalized its
+            # range (crashed mid-encode): its extent is unknown, so a
+            # new base cannot be allocated safely past it
+            raise RuntimeError(
+                f"container has an unfinished append "
+                f"{pending['append_id']!r} (base {pending['base']}): "
+                "resume it (same input / append_id) before appending "
+                "a different increment")
+        records = mf.load_manifest(out_dir)
+        committed_max = max(
+            (int(pid[1:]) for pid in records), default=-1)
+        reserved_max = max(
+            (int(s["base"]) + int(s["n_parts"]) - 1 for s in sessions),
+            default=-1)
+        base = max(committed_max, reserved_max) + 1
+        # reserve BEFORE encoding (two-phase): a crash mid-encode raises
+        # committed_max, and recomputing the base on the re-run would
+        # shift ids and duplicate the increment's rows under fresh names
+        mine = {"append_id": append_id, "base": base, "n_parts": None}
+        sessions.append(mine)
+        fsio.atomic_write(_ledger_path(out_dir),
+                          json.dumps(sessions, indent=1).encode(),
+                          fsync=opts.fsync)
+
+    run_opts = replace(opts, id_offset=base)
+    summary = encode_dataset(input_path, out_dir, run_opts,
+                             columns=columns, filesystem=filesystem)
+
+    n_parts = int(summary["plan"]["n_parts"])
+    if mine.get("n_parts") is None:
+        # finalize the reservation with the realized extent
+        mine["n_parts"] = n_parts
+        fsio.atomic_write(_ledger_path(out_dir),
+                          json.dumps(sessions, indent=1).encode(),
+                          fsync=opts.fsync)
+    elif int(mine["n_parts"]) != n_parts:
+        raise RuntimeError(
+            f"append {append_id!r} re-ran with a different plan "
+            f"({n_parts} partitions, reserved {mine['n_parts']}): the "
+            "increment's content changed under a reused append_id — "
+            "give the changed input a new id")
+
+    # the global manifest written by encode_dataset covers only this
+    # increment; refold it over ALL committed partitions (O(partitions)
+    # driver-side records, no data read)
+    records = mf.load_manifest(out_dir)
+    combined = {
+        "n_partitions": len(records),
+        "n_rows": int(sum(r["n_rows"] for r in records.values())),
+        "n_weight": int(sum(r.get("n_weight", 0) for r in records.values())),
+        "raw_bytes": int(sum(r["raw_bytes"] for r in records.values())),
+        "encoded_bytes": int(sum(r["encoded_bytes"]
+                                 for r in records.values())),
+        "appends": [dict(s) for s in _load_sessions(out_dir)],
+        "out_dir": out_dir,
+    }
+    mf.write_global_manifest(out_dir, combined)
+    return dict(summary, container=combined, append_id=append_id,
+                id_offset=base)

@@ -69,6 +69,11 @@ class EncodeOptions:
     forced_codecs: dict[str, str] = field(default_factory=dict)
     resume: bool = True
     max_partitions: int = 100_000
+    # global partition-id offset: plan-local ids 0..n_parts-1 commit as
+    # id_offset..id_offset+n_parts-1.  Used by append_dataset to add an
+    # increment's partitions after an existing container's without
+    # touching (or re-reading) the committed ones.
+    id_offset: int = 0
     # parallelism override for path inputs; None → auto.  On the default
     # fused path this is the target number of fused read+split tasks
     # (auto: ≈2/CPU bounded by row-group count); on the Dataset path
@@ -562,7 +567,7 @@ def _pack_rg_items(file_meta: list, target_tasks: int,
 @ray.remote
 def _encode_group(out_dir: str, sort_key, weight_col,
                   forced_codecs, resume, compression, fsync,
-                  rows_per_block, *shards) -> list:
+                  rows_per_block, id_offset, *shards) -> list:
     """Level-2 reduce of the hierarchical exchange: reassemble one group
     of partitions from its coarse shards and encode each partition.
     Each partition keeps the flat path's contract — deterministic
@@ -581,6 +586,11 @@ def _encode_group(out_dir: str, sort_key, weight_col,
     order = np.argsort(part, kind="stable")
     tbl = full.take(pa.array(order))
     sp = part[order]
+    if id_offset:
+        # shards carry plan-LOCAL ids; commit under the global ids
+        sp = sp + np.int32(id_offset)
+        tbl = tbl.set_column(tbl.column_names.index(PART_COL), PART_COL,
+                             pa.array(sp.astype(np.int32)))
     uniq, starts = np.unique(sp, return_index=True)
     bounds = np.append(starts, len(sp))
     recs = []
@@ -801,7 +811,8 @@ def encode_dataset(
             _encode_group.remote(
                 out_dir, sort_key, weight_col, opts.forced_codecs,
                 opts.resume, opts.compression, opts.fsync,
-                opts.rows_per_block, *[m[g] for m in shard_refs],
+                opts.rows_per_block, opts.id_offset,
+                *[m[g] for m in shard_refs],
             )
             for g in range(n_out)
         ]
@@ -810,8 +821,9 @@ def encode_dataset(
     else:
         rec_refs = [
             _encode_part.remote(
-                p, out_dir, sort_key, weight_col, opts.forced_codecs,
-                opts.resume, opts.compression, opts.fsync, opts.rows_per_block,
+                opts.id_offset + p, out_dir, sort_key, weight_col,
+                opts.forced_codecs, opts.resume, opts.compression,
+                opts.fsync, opts.rows_per_block,
                 *[m[p] for m in shard_refs],
             )
             for p in range(n_parts)

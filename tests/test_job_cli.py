@@ -63,3 +63,26 @@ def test_job_dedup_and_prepare(tmp_path, capsys):
                  "--max-len", "32"]) == 0
     prep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert prep["kept_docs"] == 2 and prep["packed_rows"] >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_encode_append(tmp_path, capsys):
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    day0, day1 = tmp_path / "d0.parquet", tmp_path / "d1.parquet"
+    pq.write_table(make_tokens_table(800, seed=5), day0)
+    pq.write_table(make_tokens_table(300, seed=6), day1)
+    cont = str(tmp_path / "cont")
+    assert main(["encode", "--input", str(day0), "--output", cont,
+                 "--target-weight", "200000", "--append"]) == 0
+    s0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["encode", "--input", str(day1), "--output", cont,
+                 "--target-weight", "200000", "--append"]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["id_offset"] == s0["container"]["n_partitions"]
+    assert s1["container"]["n_rows"] == 1100
+    # full-container verify covers both increments
+    assert main(["verify", "--container", cont]) == 0
+    ver = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ver["n_bad"] == 0
+    assert ver["n_partitions"] == s1["container"]["n_partitions"]
