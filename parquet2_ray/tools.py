@@ -97,6 +97,33 @@ def metrics(out_dir: str) -> dict:
     return total
 
 
+def stats(out_dir: str, columns: list[str] | None = None) -> dict:
+    """Statistics-only aggregates from the manifest: per-column
+    count / null_count / min / max folded across every committed
+    partition's lineage profiles — an O(partitions) driver read with
+    ZERO data decoded.  The aggregate-pushdown analog of answering
+    ``SELECT count(*), min(c), max(c)`` from row-group statistics:
+    at 100 TB these are manifest-record reads, not a scan.  ``sum`` is
+    only available for the container's weight column (``n_weight`` is
+    part of each lineage record); other sums need a real decode."""
+    from .functions.stats import fold_profiles
+
+    records = mf.load_manifest(out_dir)
+    by_col: dict[str, list] = {}
+    for r in records.values():
+        for p in r.get("profiles", []):
+            if columns is None or p["column"] in columns:
+                by_col.setdefault(p["column"], []).append(p)
+    folded = {c: fold_profiles(ps) for c, ps in sorted(by_col.items())}
+    return {
+        "n_partitions": len(records),
+        "n_rows": int(sum(r["n_rows"] for r in records.values())),
+        "weight_sum": int(sum(r.get("n_weight") or 0
+                              for r in records.values())),
+        "columns": folded,
+    }
+
+
 def schema(out_dir: str) -> str:
     """Print the dataset's schema in the parquet "message" DSL
     (reference io_message — the interchange dialect every parquet tool
@@ -135,11 +162,14 @@ def dump(out_dir: str, limit: int = 10) -> list[dict]:
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="parquet2_ray.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("rowcount", "meta", "metrics", "schema", "dump"):
+    for name in ("rowcount", "meta", "metrics", "schema", "dump", "stats"):
         p = sub.add_parser(name)
         p.add_argument("out_dir")
         if name == "dump":
             p.add_argument("--limit", type=int, default=10)
+        if name == "stats":
+            p.add_argument("--columns", default=None,
+                           help="comma-separated projection")
     args = ap.parse_args(argv)
     if args.cmd == "rowcount":
         print(rowcount(args.out_dir))
@@ -149,6 +179,9 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps(metrics(args.out_dir), indent=2, default=str))
     elif args.cmd == "schema":
         print(schema(args.out_dir))
+    elif args.cmd == "stats":
+        cols = args.columns.split(",") if args.columns else None
+        print(json.dumps(stats(args.out_dir, cols), indent=2, default=str))
     else:
         for row in dump(args.out_dir, args.limit):
             print(json.dumps(row, default=str))

@@ -140,3 +140,47 @@ def test_selector_prices_with_leveled_codec():
     assert select_codec(vals, compression="zstd:6") in (
         "byte_stream_split", "dict_rle", "for_bitpack", "plain",
         "delta_binary_packed", "rle")
+
+
+def test_tools_stats_no_decode(ray_session, tokens_table, tmp_path, capsys):
+    """Statistics-only aggregates fold lineage profiles — verified
+    against a real scan, computed without reading any data file."""
+    import json as _json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet2_ray import tools
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(tokens_table, src)
+    out = str(tmp_path / "enc")
+    encode_dataset(str(src), out, EncodeOptions(target_weight=100_000))
+
+    # corrupt every data file: stats must still answer (manifest-only)
+    import glob
+    import os
+    for f in glob.glob(os.path.join(out, "part-*.bin")):
+        with open(f, "r+b") as fh:
+            fh.write(b"\0" * 16)
+
+    st = tools.stats(out)
+    assert st["n_rows"] == tokens_table.num_rows
+    assert st["weight_sum"] == pc.sum(tokens_table["n_tok"]).as_py()
+    prof = st["columns"]["n_tok"]
+    assert prof["min"] == pc.min(tokens_table["n_tok"]).as_py()
+    assert prof["max"] == pc.max(tokens_table["n_tok"]).as_py()
+    assert prof["n_values"] == tokens_table.num_rows
+    dprof = st["columns"]["doc_id"]
+    assert dprof["min"] == pc.min(tokens_table["doc_id"]).as_py()
+
+    # projection + CLI route
+    st2 = tools.stats(out, ["n_tok"])
+    assert list(st2["columns"]) == ["n_tok"]
+    tools.main(["stats", out, "--columns", "n_tok,doc_id"])
+    got = _json.loads(capsys.readouterr().out)
+    assert set(got["columns"]) == {"n_tok", "doc_id"}
