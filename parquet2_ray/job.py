@@ -152,6 +152,15 @@ def cmd_verify(args) -> dict:
     return verify_manifest(args.container)
 
 
+def cmd_compact(args) -> dict:
+    from .pipelines.compact_pipeline import compact_container
+
+    return compact_container(args.container,
+                             target_weight=args.target_weight,
+                             small_frac=args.small_frac,
+                             gc=not args.no_gc)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="parquet2_ray.job")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -184,6 +193,13 @@ def main(argv: list[str] | None = None) -> int:
 
     ver = sub.add_parser("verify")
     ver.add_argument("--container", required=True)
+
+    cmp_ = sub.add_parser("compact")
+    cmp_.add_argument("--container", required=True)
+    cmp_.add_argument("--target-weight", type=int, default=4_000_000)
+    cmp_.add_argument("--small-frac", type=float, default=0.5)
+    cmp_.add_argument("--no-gc", action="store_true",
+                      help="leave replaced records/files for a later sweep")
 
     ddp = sub.add_parser("dedup")
     ddp.add_argument("--input", required=True)
@@ -227,8 +243,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
-           "dedup": cmd_dedup, "prepare": cmd_prepare,
-           "mix": cmd_mix}[args.cmd](args)
+           "compact": cmd_compact, "dedup": cmd_dedup,
+           "prepare": cmd_prepare, "mix": cmd_mix}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

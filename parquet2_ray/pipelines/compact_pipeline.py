@@ -1,0 +1,194 @@
+"""Container compaction: merge runs of small partitions into full-size
+ones — the small-file antidote for incremental ingest (P40
+``append_dataset`` adds a self-contained partition family per
+increment, so a year of daily appends leaves thousands of sub-target
+partitions whose per-partition overhead — footer reads, task
+scheduling, bloom probes — grows O(partitions), not O(bytes)).
+
+Crash safety is ONE atomic commit per group: the merged partition's
+manifest record carries ``replaces=[old ids...]``, and
+``manifest.load_manifest`` drops every id named by any record's
+``replaces`` — so the instant the new record lands, the olds are
+invisible to every reader (decode, Datasource, pruning, verify,
+tools), and until it lands they are all still active.  There is no
+window where both or neither are visible.  Replaced records carry
+their rows' history forward transitively: a group member that itself
+replaced others (an earlier compaction not yet GC'd) contributes its
+``replaces`` to the new record, so GC order can never resurrect a
+hidden partition.
+
+Old files/records are garbage-collected after all groups commit; GC is
+idempotent and a crash mid-GC leaves only invisible leftovers for the
+next run.  New ids allocate past every committed record id (including
+replaced ones) AND every range reserved in the append ledger.  Single
+writer per container, same as appends.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray
+
+from ..state import fsio
+from ..state import manifest as mf
+from .append_pipeline import _load_sessions
+
+__all__ = ["compact_container"]
+
+
+def _raw_record_ids(out_dir: str) -> list[int]:
+    """ALL committed record ids, replaced included — the id allocator
+    must not reuse an id whose record still exists."""
+    d = os.path.join(out_dir, "_manifest")
+    out = []
+    for name in fsio.listdir(d):
+        if name.startswith("part-p") and name.endswith(".json"):
+            out.append(int(name[len("part-p"):-len(".json")]))
+    return out
+
+
+@ray.remote
+def _compact_group(out_dir: str, new_id: int, members: list[dict],
+                   fsync: bool) -> dict:
+    import numpy as np
+
+    from ..stages.encode import (
+        PART_COL,
+        decode_partition_path,
+        encode_partition_table,
+    )
+
+    tables = [decode_partition_path(m["path"]) for m in members]
+    full = pa.concat_tables(tables)
+    full = full.append_column(PART_COL, pa.array(
+        np.full(full.num_rows, new_id, dtype=np.int32)))
+    first = members[0]
+    eo = first.get("encoding_opts") or {}
+    sk = first.get("sort_key") or None
+    # transitive replaces: members that were themselves compactions
+    # keep their hidden ids hidden through the NEW record, so GC'ing an
+    # intermediate record cannot resurrect a partition it was hiding
+    replaces = sorted({m["part_id"] for m in members}
+                      | {pid for m in members
+                         for pid in (m.get("replaces") or ())})
+    rec = encode_partition_table(
+        full, out_dir,
+        sort_key=sk,
+        weight_col=first.get("weight_col"),
+        forced_codecs=eo.get("forced_codecs") or {},
+        resume=True,
+        compression=eo.get("compression"),
+        fsync=fsync,
+        rows_per_block=eo.get("rows_per_block"),
+        extra_record={"replaces": replaces},
+    )
+    return rec.to_pylist()[0]
+
+
+def compact_container(
+    out_dir: str,
+    target_weight: int = 4_000_000,
+    small_frac: float = 0.5,
+    weight_col: str | None = None,
+    fsync: bool = True,
+    gc: bool = True,
+) -> dict:
+    """Merge consecutive (by part id) sub-target partitions.
+
+    A partition is small when its mass (``n_weight`` when recorded,
+    else ``n_rows``) is under ``small_frac × target_weight``; runs of
+    ≥2 consecutive smalls merge greedily up to ``target_weight``.
+    Only the touched partitions are decoded/re-encoded — O(small
+    bytes), never a container rewrite.  ``weight_col`` overrides the
+    recomputed weight column for containers written before records
+    carried one (defaults to the members' recorded ``weight_col``).
+    Returns a summary; with ``gc=False`` replaced records/files are
+    left for a later ``compact_container`` / manual sweep (they are
+    invisible either way)."""
+    records = mf.load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    thresh = max(1, int(small_frac * target_weight))
+
+    def mass(r: dict) -> int:
+        return int(r.get("n_weight") or 0) or int(r["n_rows"])
+
+    ordered = sorted(records.values(), key=lambda r: r["part_id"])
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_mass = 0
+    for r in ordered:
+        if mass(r) < thresh:
+            if cur and cur_mass + mass(r) > target_weight:
+                groups.append(cur)
+                cur, cur_mass = [], 0
+            cur.append(r)
+            cur_mass += mass(r)
+        else:
+            if cur:
+                groups.append(cur)
+                cur, cur_mass = [], 0
+    if cur:
+        groups.append(cur)
+    groups = [g for g in groups if len(g) >= 2]
+    recs: list[dict] = []
+    if groups:
+        # allocate ids past every committed record (replaced included)
+        # and every append-ledger reservation
+        committed_max = max(_raw_record_ids(out_dir), default=-1)
+        reserved_max = max(
+            (int(s["base"]) + int(s["n_parts"] or 1) - 1
+             for s in _load_sessions(out_dir)), default=-1)
+        base = max(committed_max, reserved_max) + 1
+
+        if weight_col is not None:
+            groups = [[dict(m, weight_col=weight_col) for m in g]
+                      for g in groups]
+        recs = ray.get([
+            _compact_group.remote(out_dir, base + i, g, fsync)
+            for i, g in enumerate(groups)
+        ])
+
+    swept = 0
+    if gc:
+        # GC is a general invisible-state sweep, not tied to this run's
+        # groups: records hidden by any replaces (including a previous
+        # gc=False pass) and data files without a record (a crashed
+        # run's write-then-commit window, an abandoned append) are
+        # invisible to every reader — reclaim the bytes
+        mdir = os.path.join(out_dir, "_manifest")
+        active = mf.load_manifest(out_dir)
+        for name in fsio.listdir(mdir):
+            if not (name.startswith("part-") and name.endswith(".json")):
+                continue
+            pid = name[len("part-"):-len(".json")]
+            if pid in active:
+                continue
+            import json as _json
+
+            r = _json.loads(fsio.read_bytes(os.path.join(mdir, name)))
+            fsio.delete(os.path.join(mdir, name))
+            fsio.delete(r["path"])
+            swept += 1
+        for name in fsio.listdir(out_dir):
+            if name.startswith("part-p") and name.endswith(".bin"):
+                pid = name[len("part-"):-len(".bin")]
+                if not fsio.exists(os.path.join(mdir, f"part-{pid}.json")):
+                    fsio.delete(os.path.join(out_dir, name))
+                    swept += 1
+
+    after = mf.load_manifest(out_dir)
+    summary = {
+        "n_groups": len(groups),
+        "n_compacted": sum(len(g) for g in groups),
+        "new_ids": [r["part_id"] for r in recs],
+        "gc_swept": swept,
+        "n_partitions": len(after),
+        "n_rows": int(sum(r["n_rows"] for r in after.values())),
+        "encoded_bytes": int(sum(r["encoded_bytes"]
+                                 for r in after.values())),
+        "out_dir": out_dir,
+    }
+    return summary

@@ -38,8 +38,14 @@ def encode_partition_table(
     compression: str | None = None,
     fsync: bool = True,
     rows_per_block: int | None = None,
+    extra_record: dict | None = None,
 ) -> pa.Table:
     """Encode one partition; returns a one-row manifest-record table.
+
+    ``extra_record``: extra fields merged into the manifest record in
+    the SAME atomic commit (compaction's ``replaces`` visibility flip
+    rides here — a second commit would open a duplicate-rows crash
+    window between the new record landing and the flip).
 
     Deterministic: the group is canonicalized by ``sort_key`` before
     fingerprinting and encoding, so shuffle nondeterminism and task
@@ -180,6 +186,9 @@ def encode_partition_table(
         # the flag per dict column (reference O3 is_sorted)
         "dict_is_sorted": {c: True for c, k in codecs.items()
                            if k.startswith("dict")},
+        # recorded so maintenance ops (compaction) can recompute mass
+        # with the same column a later re-encode would use
+        "weight_col": weight_col,
         "bloom_key": bloom_col if bloom_b64 else None,
         "bloom": bloom_b64,
         "bloom_type": bloom_type if bloom_b64 else None,
@@ -188,6 +197,8 @@ def encode_partition_table(
         "wall_s": time.time() - t0,
         "skipped": False,
     }
+    if extra_record:
+        rec.update(extra_record)
     mf.commit_manifest_record(out_dir, rec, fsync=fsync)
     return _record_table(rec)
 

@@ -128,6 +128,26 @@ def listdir(path: str) -> list[str]:
     return sorted(i.base_name for i in f.get_file_info(sel))
 
 
+def delete(path: str, missing_ok: bool = True) -> None:
+    """Remove one file (local or object-store).  Idempotent with
+    ``missing_ok`` — GC re-runs must not fail on already-swept files."""
+    f, p = resolve(path)
+    if f is None:
+        import contextlib
+        import os
+
+        with contextlib.suppress(FileNotFoundError) if missing_ok else \
+                contextlib.nullcontext():
+            os.remove(p)
+        return
+    if missing_ok:
+        from pyarrow import fs as pafs
+
+        if f.get_file_info(p).type == pafs.FileType.NotFound:
+            return
+    f.delete_file(p)
+
+
 def ensure_dir(path: str) -> None:
     f, p = resolve(path)
     if f is None:

@@ -436,12 +436,22 @@ def load_manifest_record(out_dir: str, part_id: str) -> dict | None:
 
 
 def load_manifest(out_dir: str) -> dict[str, dict]:
+    """Active partition records.  A record's ``replaces`` list names
+    partition ids whose rows it now carries (compaction): those ids are
+    dropped here, so the visibility flip is the ONE atomic commit of
+    the replacing record — every reader (decode, Datasource, pruning,
+    verify, tools) inherits crash safety through this filter.  Replaced
+    records/files linger until GC'd; they are never returned."""
     d = os.path.join(out_dir, "_manifest")
     records: dict[str, dict] = {}
+    replaced: set[str] = set()
     for name in fsio.listdir(d):
         if name.startswith("part-") and name.endswith(".json"):
             r = json.loads(fsio.read_bytes(os.path.join(d, name)))
             records[r["part_id"]] = r
+            replaced.update(r.get("replaces") or ())
+    for pid in replaced:
+        records.pop(pid, None)
     return records
 
 

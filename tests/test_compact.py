@@ -1,0 +1,139 @@
+"""Container compaction: atomic replaces-flip visibility, GC,
+transitive history, allocator discipline."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet2_ray.pipelines.append_pipeline import append_dataset
+from parquet2_ray.pipelines.compact_pipeline import compact_container
+from parquet2_ray.pipelines.encode_pipeline import (
+    EncodeOptions,
+    decode_dataset,
+)
+from parquet2_ray.sources.tokens import make_tokens_table
+from parquet2_ray.state import manifest as mf
+
+
+def _sorted_pd(t: pa.Table):
+    df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["tokens"] = df["tokens"].map(tuple)
+    return df
+
+
+def _decode_all(out: str) -> pa.Table:
+    return pa.concat_tables(
+        [pa.Table.from_pandas(b) for b in
+         decode_dataset(out).iter_batches(batch_format="pandas")],
+        promote_options="permissive")
+
+
+@pytest.fixture()
+def fragmented(ray_session, tmp_path):
+    """Five tiny appends → a container full of sub-target partitions."""
+    out = str(tmp_path / "cont")
+    days = []
+    opts = EncodeOptions(target_weight=50_000, fsync=False)
+    for i in range(5):
+        t = make_tokens_table(120, seed=100 + i)
+        # disjoint ids per day
+        import pyarrow.compute as pc
+        t = t.set_column(
+            t.column_names.index("doc_id"), "doc_id",
+            pc.binary_join_element_wise(
+                pa.array([f"day{i}/"] * t.num_rows), t["doc_id"], ""))
+        p = str(tmp_path / f"d{i}.parquet")
+        pq.write_table(t, p)
+        append_dataset(p, out, opts)
+        days.append(t)
+    return out, pa.concat_tables(days)
+
+
+def test_compact_preserves_rows_and_shrinks_partitions(fragmented,
+                                                       ray_session):
+    out, want = fragmented
+    before = mf.load_manifest(out)
+    s = compact_container(out, target_weight=50_000)
+    assert s["n_groups"] >= 1 and s["n_compacted"] >= 2
+    after = mf.load_manifest(out)
+    assert len(after) < len(before)
+    assert s["n_rows"] == want.num_rows
+    got = _sorted_pd(_decode_all(out))
+    assert got.equals(_sorted_pd(want)[got.columns])
+    # GC really removed the replaced records and files
+    assert s["gc_swept"] >= s["n_compacted"]
+    for pid in set(before) - set(after):
+        assert not os.path.exists(
+            os.path.join(out, "_manifest", f"part-{pid}.json"))
+    # verify still passes over the compacted container
+    from parquet2_ray.pipelines.verify_pipeline import verify_manifest
+    assert verify_manifest(out)["n_bad"] == 0
+
+
+def test_replaces_flip_is_atomic_without_gc(fragmented, ray_session):
+    out, want = fragmented
+    s = compact_container(out, target_weight=50_000, gc=False)
+    assert s["gc_swept"] == 0
+    # replaced records still on disk, but readers see the new world
+    raw = glob.glob(os.path.join(out, "_manifest", "part-*.json"))
+    active = mf.load_manifest(out)
+    assert len(raw) > len(active)
+    got = _sorted_pd(_decode_all(out))
+    assert got.equals(_sorted_pd(want)[got.columns])
+    # second pass GCs the leftovers and changes nothing visible
+    s2 = compact_container(out, target_weight=50_000)
+    got2 = _sorted_pd(_decode_all(out))
+    assert got2.equals(got)
+    assert s2["gc_swept"] > 0 or s2["n_groups"] == 0
+
+
+def test_transitive_replaces_survive_intermediate_gc(fragmented,
+                                                     ray_session):
+    out, want = fragmented
+    # first compaction without GC leaves the intermediates around
+    compact_container(out, target_weight=20_000, gc=False)
+    # second compaction may pick up first-round outputs as members;
+    # a chained replace must keep the ORIGINAL ids hidden even after
+    # every intermediate record is deleted
+    compact_container(out, target_weight=200_000, gc=True)
+    got = _sorted_pd(_decode_all(out))
+    assert got.equals(_sorted_pd(want)[got.columns])
+    # no active record references a still-present replaced record
+    active = mf.load_manifest(out)
+    for r in active.values():
+        for pid in r.get("replaces") or ():
+            assert pid not in active
+
+
+def test_compact_noop_on_healthy_container(ray_session, tmp_path):
+    src = tmp_path / "s.parquet"
+    pq.write_table(make_tokens_table(800, seed=9), src)
+    out = str(tmp_path / "cont")
+    from parquet2_ray.pipelines.encode_pipeline import encode_dataset
+    encode_dataset(str(src), out,
+                   EncodeOptions(target_weight=50_000, fsync=False))
+    before = mf.load_manifest(out)
+    s = compact_container(out, target_weight=10_000)  # everything "big"
+    assert s["n_groups"] == 0
+    assert mf.load_manifest(out).keys() == before.keys()
+
+
+def test_append_after_compaction_allocates_past_new_ids(fragmented,
+                                                        ray_session,
+                                                        tmp_path):
+    out, want = fragmented
+    compact_container(out, target_weight=50_000)
+    top = max(int(pid[1:]) for pid in mf.load_manifest(out))
+    t = make_tokens_table(100, seed=77)
+    p = str(tmp_path / "late.parquet")
+    pq.write_table(t, p)
+    s = append_dataset(p, out, EncodeOptions(target_weight=50_000,
+                                             fsync=False))
+    assert s["id_offset"] > top
+    assert _decode_all(out).num_rows == want.num_rows + 100

@@ -86,3 +86,24 @@ def test_job_encode_append(tmp_path, capsys):
     ver = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ver["n_bad"] == 0
     assert ver["n_partitions"] == s1["container"]["n_partitions"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_compact(tmp_path, capsys):
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    cont = str(tmp_path / "cont")
+    for i in range(4):
+        p = tmp_path / f"d{i}.parquet"
+        pq.write_table(make_tokens_table(100, seed=20 + i), p)
+        assert main(["encode", "--input", str(p), "--output", cont,
+                     "--target-weight", "100000", "--append",
+                     "--append-id", f"inc-{i}"]) == 0
+        capsys.readouterr()
+    assert main(["compact", "--container", cont,
+                 "--target-weight", "100000"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_groups"] >= 1 and s["n_rows"] == 400
+    assert main(["verify", "--container", cont]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["n_bad"] == 0
