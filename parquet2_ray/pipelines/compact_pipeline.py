@@ -135,12 +135,24 @@ def compact_container(
     groups = [g for g in groups if len(g) >= 2]
     recs: list[dict] = []
     if groups:
+        sessions = _load_sessions(out_dir)
+        pending = next((s for s in sessions
+                        if s.get("n_parts") is None), None)
+        if pending is not None:
+            # an unfinished append's id extent is unknown: allocating
+            # "past" it is impossible, and colliding means its resume
+            # would overwrite compacted partitions whose sources were
+            # GC'd — refuse, same as append_dataset does
+            raise RuntimeError(
+                f"container has an unfinished append "
+                f"{pending['append_id']!r} (base {pending['base']}): "
+                "resume it before compacting")
         # allocate ids past every committed record (replaced included)
         # and every append-ledger reservation
         committed_max = max(_raw_record_ids(out_dir), default=-1)
         reserved_max = max(
-            (int(s["base"]) + int(s["n_parts"] or 1) - 1
-             for s in _load_sessions(out_dir)), default=-1)
+            (int(s["base"]) + int(s["n_parts"]) - 1 for s in sessions),
+            default=-1)
         base = max(committed_max, reserved_max) + 1
 
         if weight_col is not None:

@@ -137,3 +137,13 @@ def test_append_after_compaction_allocates_past_new_ids(fragmented,
                                              fsync=False))
     assert s["id_offset"] > top
     assert _decode_all(out).num_rows == want.num_rows + 100
+
+
+def test_compact_refuses_pending_append(fragmented, ray_session):
+    out, _ = fragmented
+    led_path = os.path.join(out, "_appends.json")
+    led = json.loads(open(led_path).read())
+    led.append({"append_id": "crashed", "base": 10_000, "n_parts": None})
+    open(led_path, "w").write(json.dumps(led))
+    with pytest.raises(RuntimeError, match="unfinished append"):
+        compact_container(out, target_weight=50_000)
