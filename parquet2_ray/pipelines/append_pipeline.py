@@ -67,6 +67,39 @@ def _input_append_id(input_path, filesystem) -> str:
     return h.hexdigest()[:32]
 
 
+def _check_schema_compatible(input_path, out_dir: str, columns,
+                             filesystem) -> None:
+    """An increment whose columns differ from the container's would
+    silently create a mixed-schema container that breaks decode — the
+    per-run heterogeneity check inside encode_dataset cannot see ACROSS
+    runs, so appends validate against a committed partition footer."""
+    records = mf.load_manifest(out_dir)
+    if not records:
+        return                       # creating the container: any schema
+    footer = mf.read_partition_footer(
+        records[min(records)]["path"])
+    cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+            else footer["columns"])
+    have = [m["name"] for m in cols]
+    if isinstance(input_path, rd.Dataset):
+        new = list(input_path.schema().names)
+    else:
+        import pyarrow.parquet as pq
+
+        from ..sources.readers import resolve_input_files
+
+        fs, files = resolve_input_files(input_path, filesystem)
+        new = list(pq.read_schema(files[0], filesystem=fs).names)
+    if columns is not None:
+        new = [c for c in new if c in columns]
+    if new != have:
+        raise ValueError(
+            f"append schema mismatch: container has columns {have}, "
+            f"increment has {new} — appends must match the committed "
+            "schema exactly (project the increment or start a new "
+            "container)")
+
+
 def append_dataset(
     input_path: str | list[str] | rd.Dataset,
     out_dir: str,
@@ -95,6 +128,7 @@ def append_dataset(
         append_id = _input_append_id(input_path, filesystem)
 
     fsio.ensure_dir(out_dir)
+    _check_schema_compatible(input_path, out_dir, columns, filesystem)
     sessions = _load_sessions(out_dir)
     mine = next((s for s in sessions if s["append_id"] == append_id), None)
     if mine is not None:

@@ -141,3 +141,21 @@ def test_appended_container_range_pruning(corpus, ray_session, tmp_path):
          .iter_batches(batch_format="pandas")],
         promote_options="permissive")
     assert lo_ids.num_rows == day1.num_rows
+
+
+def test_append_schema_mismatch_rejected(corpus, ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    _, _, p0, _ = corpus
+    out = str(tmp_path / "c")
+    opts = EncodeOptions(target_weight=50_000, fsync=False)
+    append_dataset(p0, out, opts)
+    bad = pa.table({"doc_id": pa.array(["a", "b"]),
+                    "body": pa.array(["x", "y"])})
+    badp = str(tmp_path / "bad.parquet")
+    _pq.write_table(bad, badp)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_dataset(badp, out, opts)
+    # and nothing was reserved or committed for the rejected increment
+    led = json.loads(open(os.path.join(out, "_appends.json")).read())
+    assert len(led) == 1
