@@ -152,6 +152,25 @@ def cmd_verify(args) -> dict:
     return verify_manifest(args.container)
 
 
+def cmd_delete(args) -> dict:
+    from .pipelines.delete_pipeline import delete_rows
+
+    def _num(v):
+        if v is None:
+            return None
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v            # string-typed column bound
+
+    values = json.loads(args.values) if args.values else None
+    return delete_rows(args.container, args.column,
+                       lo=_num(args.lo), hi=_num(args.hi), values=values)
+
+
 def cmd_compact(args) -> dict:
     from .pipelines.compact_pipeline import compact_container
 
@@ -193,6 +212,15 @@ def main(argv: list[str] | None = None) -> int:
 
     ver = sub.add_parser("verify")
     ver.add_argument("--container", required=True)
+
+    dele = sub.add_parser("delete")
+    dele.add_argument("--container", required=True)
+    dele.add_argument("--column", required=True)
+    dele.add_argument("--lo", default=None)
+    dele.add_argument("--hi", default=None)
+    dele.add_argument("--values", default=None,
+                      help="JSON list of values to delete "
+                           "(alternative to --lo/--hi)")
 
     cmp_ = sub.add_parser("compact")
     cmp_.add_argument("--container", required=True)
@@ -243,8 +271,9 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
-           "compact": cmd_compact, "dedup": cmd_dedup,
-           "prepare": cmd_prepare, "mix": cmd_mix}[args.cmd](args)
+           "compact": cmd_compact, "delete": cmd_delete,
+           "dedup": cmd_dedup, "prepare": cmd_prepare,
+           "mix": cmd_mix}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

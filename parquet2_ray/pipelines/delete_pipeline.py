@@ -1,0 +1,158 @@
+"""Row deletes over an encoded container (`delete_rows`) — the
+retention / right-to-be-forgotten op a long-lived 100 TB corpus needs.
+
+Reuses the compaction machinery end to end:
+
+- **pruning first**: partitions whose recorded min/max cannot overlap
+  the predicate are untouched (no read, no write) — a targeted delete
+  touches O(matching partitions), never the container;
+- **atomic flip**: each touched partition is decoded, filtered, and
+  re-encoded under a NEW id whose record carries
+  ``replaces=[old id]`` — the same single-commit visibility flip
+  compaction uses (``manifest.load_manifest`` hides the old id the
+  instant the new record lands, so a crash leaves either the old rows
+  or the new rows visible, never both/neither);
+- a partition whose rows are ALL deleted re-encodes as an EMPTY
+  partition (a tombstone record with ``n_rows=0`` — readers decode it
+  to zero rows; the next ``compact_container`` GC folds it away).
+
+Predicates: ``(column, lo, hi)`` closed-interval range (either bound
+open) or an explicit value list — the two shapes the manifest's
+min/max + bloom stats can prune.  Single writer per container, same as
+append/compact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..state import manifest as mf
+from .append_pipeline import _load_sessions
+from .compact_pipeline import _raw_record_ids
+
+__all__ = ["delete_rows"]
+
+
+@ray.remote
+def _rewrite_partition(out_dir: str, new_id: int, member: dict,
+                       column: str, lo, hi, values, fsync: bool) -> dict:
+    from ..stages.encode import decode_partition_path, encode_partition_table
+
+    tbl = decode_partition_path(member["path"])
+    col = tbl[column]
+    if values is not None:
+        drop = pc.is_in(col, value_set=pa.array(values, col.type))
+    else:
+        drop = None
+        if lo is not None:
+            drop = pc.greater_equal(col, lo)
+        if hi is not None:
+            d2 = pc.less_equal(col, hi)
+            drop = d2 if drop is None else pc.and_(drop, d2)
+    keep = pc.invert(pc.fill_null(drop, False))
+    kept = tbl.filter(keep)
+    eo = member.get("encoding_opts") or {}
+    rec = encode_partition_table(
+        kept, out_dir,
+        sort_key=member.get("sort_key") or None,
+        weight_col=member.get("weight_col"),
+        forced_codecs=eo.get("forced_codecs") or {},
+        resume=True,
+        compression=eo.get("compression"),
+        fsync=fsync,
+        rows_per_block=eo.get("rows_per_block"),
+        extra_record={"replaces": sorted(
+            {member["part_id"]} | set(member.get("replaces") or ()))},
+        part_id=f"p{new_id:06d}",
+    )
+    r = rec.to_pylist()[0]
+    return {"new": r["part_id"], "old": member["part_id"],
+            "deleted": tbl.num_rows - kept.num_rows,
+            "remaining": kept.num_rows}
+
+
+def delete_rows(
+    out_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    values=None,
+    fsync: bool = True,
+) -> dict:
+    """Delete rows where ``column`` ∈ [lo, hi] (closed; either bound
+    may be None) or ``column`` ∈ ``values``.  Returns a summary with
+    per-partition delete counts; untouched partitions are proven
+    untouched by the manifest stats, not by reading them."""
+    if (lo is None and hi is None) == (values is None):
+        raise ValueError("pass lo/hi OR values")
+    records = mf.load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    sessions = _load_sessions(out_dir)
+    pending = next((s for s in sessions if s.get("n_parts") is None), None)
+    if pending is not None:
+        raise RuntimeError(
+            f"container has an unfinished append "
+            f"{pending['append_id']!r}: resume it before deleting")
+
+    from .encode_pipeline import prune_partitions_by_range
+
+    if values is not None:
+        vals = list(values)
+        # range prune over [min,max] of the value set is correct for
+        # ANY column; the bloom refine below is only valid for records
+        # whose bloom indexes THIS column (probing another column's
+        # bloom would false-prune and silently miss deletes)
+        touch_paths = set(prune_partitions_by_range(
+            out_dir, column, lo=min(vals), hi=max(vals)))
+
+        import base64
+
+        from ..functions import bloom as _bloom
+
+        hashes_by_type: dict = {}
+        for r in records.values():
+            if r["path"] not in touch_paths:
+                continue
+            if r.get("bloom_key") == column and r.get("bloom") \
+                    and r.get("bloom_type"):
+                ts = r["bloom_type"]
+                if ts not in hashes_by_type:
+                    hashes_by_type[ts] = _bloom.hash_values(vals, ts)
+                if not _bloom.might_contain(
+                        base64.b64decode(r["bloom"]),
+                        hashes_by_type[ts]).any():
+                    touch_paths.discard(r["path"])
+    else:
+        touch_paths = set(prune_partitions_by_range(out_dir, column,
+                                                    lo=lo, hi=hi))
+    touched = [r for r in records.values() if r["path"] in touch_paths]
+    if not touched:
+        return {"n_touched": 0, "n_deleted": 0,
+                "n_partitions": len(records), "out_dir": out_dir}
+
+    committed_max = max(_raw_record_ids(out_dir), default=-1)
+    reserved_max = max(
+        (int(s["base"]) + int(s["n_parts"]) - 1 for s in sessions),
+        default=-1)
+    base = max(committed_max, reserved_max) + 1
+
+    results = ray.get([
+        _rewrite_partition.remote(out_dir, base + i, m, column,
+                                  lo, hi, values, fsync)
+        for i, m in enumerate(
+            sorted(touched, key=lambda r: r["part_id"]))
+    ])
+    after = mf.load_manifest(out_dir)
+    return {
+        "n_touched": len(results),
+        "n_deleted": int(sum(r["deleted"] for r in results)),
+        "tombstones": [r["new"] for r in results if r["remaining"] == 0],
+        "n_partitions": len(after),
+        "n_rows": int(sum(r["n_rows"] for r in after.values())),
+        "out_dir": out_dir,
+    }

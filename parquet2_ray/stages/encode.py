@@ -39,6 +39,7 @@ def encode_partition_table(
     fsync: bool = True,
     rows_per_block: int | None = None,
     extra_record: dict | None = None,
+    part_id: str | None = None,
 ) -> pa.Table:
     """Encode one partition; returns a one-row manifest-record table.
 
@@ -53,9 +54,12 @@ def encode_partition_table(
     """
     t0 = time.time()
     tm: dict[str, float] = {}
-    part_id = "p0"
+    part_id = part_id or "p0"
     if PART_COL in group.column_names:
-        part_id = f"p{group[PART_COL][0].as_py():06d}"
+        # explicit part_id wins — an EMPTY group (a delete tombstone)
+        # has no row 0 to read the id from
+        if group.num_rows and part_id == "p0":
+            part_id = f"p{group[PART_COL][0].as_py():06d}"
         group = group.drop_columns([PART_COL])
     if sort_key is not None and group.num_rows > 1:
         group = mf.sort_table(group, sort_key)

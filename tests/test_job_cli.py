@@ -107,3 +107,23 @@ def test_job_compact(tmp_path, capsys):
     assert main(["verify", "--container", cont]) == 0
     assert json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])["n_bad"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_delete(tmp_path, capsys):
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    p = tmp_path / "in.parquet"
+    t = make_tokens_table(400, seed=30)
+    pq.write_table(t, p)
+    cont = str(tmp_path / "cont")
+    assert main(["encode", "--input", str(p), "--output", cont,
+                 "--target-weight", "50000"]) == 0
+    capsys.readouterr()
+    assert main(["delete", "--container", cont,
+                 "--column", "n_tok", "--lo", "6000"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import pyarrow.compute as pc
+    want = sum(1 for v in t["n_tok"].to_pylist() if v >= 6000)
+    assert s["n_deleted"] == want
+    assert s["n_rows"] == 400 - want
