@@ -92,6 +92,22 @@ def delete_rows(
     records = mf.load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    # validate the predicate column up front — a missing or
+    # non-comparable (list/struct/map) column would otherwise fail deep
+    # inside a rewrite task after partitions were already touched
+    footer = mf.read_partition_footer(records[min(records)]["path"])
+    cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+            else footer["columns"])
+    meta_col = next((m for m in cols if m["name"] == column), None)
+    if meta_col is None:
+        raise ValueError(
+            f"column {column!r} not in container schema "
+            f"({[m['name'] for m in cols]})")
+    ts = meta_col["arrow_type"]
+    if ts.startswith(("list<", "large_list<", "struct<", "map<")):
+        raise ValueError(
+            f"column {column!r} is {ts}: delete predicates need a "
+            "comparable scalar column")
     sessions = _load_sessions(out_dir)
     pending = next((s for s in sessions if s.get("n_parts") is None), None)
     if pending is not None:

@@ -128,3 +128,11 @@ def test_delete_then_append_then_delete(ray_session, tmp_path):
         pc.greater(pa.concat_tables([t0, t1])["n_tok"], 50))
     got = _sorted_pd(_decode_all(out))
     assert got.equals(_sorted_pd(want)[got.columns])
+
+
+def test_delete_column_validation(container, ray_session):
+    out, _ = container
+    with pytest.raises(ValueError, match="not in container schema"):
+        delete_rows(out, "nope", lo=1)
+    with pytest.raises(ValueError, match="comparable scalar"):
+        delete_rows(out, "tokens", lo=1)
