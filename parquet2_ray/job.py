@@ -154,21 +154,32 @@ def cmd_verify(args) -> dict:
 
 def cmd_delete(args) -> dict:
     from .pipelines.delete_pipeline import delete_rows
+    from .state import manifest as mf
 
-    def _num(v):
+    # type the bounds from the container's recorded column type, not by
+    # guessing from the string shape — "--lo 100" on a STRING column
+    # must stay the string "100" (an int bound would crash the pruning
+    # comparison and there'd be no syntax to express the string)
+    def _typed(v):
         if v is None:
             return None
-        try:
+        records = mf.load_manifest(args.container)
+        first = records[min(records, key=lambda p: int(p[1:]))]
+        footer = mf.read_partition_footer(first["path"])
+        cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                else footer["columns"])
+        m = next((c for c in cols if c["name"] == args.column), None)
+        ts = m["arrow_type"] if m else ""
+        if ts.startswith(("int", "uint")):
             return int(v)
-        except ValueError:
-            try:
-                return float(v)
-            except ValueError:
-                return v            # string-typed column bound
+        if ts.startswith(("float", "double", "decimal")):
+            return float(v)
+        return v
 
     values = json.loads(args.values) if args.values else None
     return delete_rows(args.container, args.column,
-                       lo=_num(args.lo), hi=_num(args.hi), values=values)
+                       lo=_typed(args.lo), hi=_typed(args.hi),
+                       values=values)
 
 
 def cmd_compact(args) -> dict:

@@ -51,6 +51,26 @@ def _load_sessions(out_dir: str) -> list[dict]:
     return json.loads(fsio.read_bytes(p))
 
 
+def refold_global(out_dir: str) -> dict:
+    """Recompute the `_MANIFEST.json` sidecar from ALL active partition
+    records — O(partitions) driver reads, no data touched.  Every
+    maintenance op (append, compact, delete) calls this so the sidecar
+    never goes stale relative to the per-partition manifest."""
+    records = mf.load_manifest(out_dir)
+    combined = {
+        "n_partitions": len(records),
+        "n_rows": int(sum(r["n_rows"] for r in records.values())),
+        "n_weight": int(sum(r.get("n_weight", 0) for r in records.values())),
+        "raw_bytes": int(sum(r["raw_bytes"] for r in records.values())),
+        "encoded_bytes": int(sum(r["encoded_bytes"]
+                                 for r in records.values())),
+        "appends": _load_sessions(out_dir),
+        "out_dir": out_dir,
+    }
+    mf.write_global_manifest(out_dir, combined)
+    return combined
+
+
 def _input_append_id(input_path, filesystem) -> str:
     """Deterministic identity of a path increment: sha256 over the
     resolved (path, size) list — the same files re-run hash the same,
@@ -76,28 +96,32 @@ def _check_schema_compatible(input_path, out_dir: str, columns,
     records = mf.load_manifest(out_dir)
     if not records:
         return                       # creating the container: any schema
-    footer = mf.read_partition_footer(
-        records[min(records)]["path"])
+    from ..codecs.column import type_to_str
+
+    first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
+    footer = mf.read_partition_footer(records[first]["path"])
     cols = (footer["blocks"][0]["columns"] if footer.get("paged")
             else footer["columns"])
-    have = [m["name"] for m in cols]
+    have = [(m["name"], m["arrow_type"]) for m in cols]
     if isinstance(input_path, rd.Dataset):
-        new = list(input_path.schema().names)
+        sch = input_path.schema()
+        new = [(n, type_to_str(t)) for n, t in zip(sch.names, sch.types)]
     else:
         import pyarrow.parquet as pq
 
         from ..sources.readers import resolve_input_files
 
         fs, files = resolve_input_files(input_path, filesystem)
-        new = list(pq.read_schema(files[0], filesystem=fs).names)
+        psch = pq.read_schema(files[0], filesystem=fs)
+        new = [(f.name, type_to_str(f.type)) for f in psch]
     if columns is not None:
-        new = [c for c in new if c in columns]
+        new = [(n, t) for n, t in new if n in columns]
     if new != have:
         raise ValueError(
-            f"append schema mismatch: container has columns {have}, "
-            f"increment has {new} — appends must match the committed "
-            "schema exactly (project the increment or start a new "
-            "container)")
+            f"append schema mismatch: container has {have}, increment "
+            f"has {new} — appends must match the committed schema "
+            "(names AND types) exactly; project/cast the increment or "
+            "start a new container")
 
 
 def append_dataset(
@@ -163,9 +187,24 @@ def append_dataset(
                           json.dumps(sessions, indent=1).encode(),
                           fsync=opts.fsync)
 
-    run_opts = replace(opts, id_offset=base)
-    summary = encode_dataset(input_path, out_dir, run_opts,
-                             columns=columns, filesystem=filesystem)
+    # a FINALIZED reservation pins the plan size: encode_dataset
+    # validates it right after planning, BEFORE any task launches — a
+    # post-hoc check would fire only after a larger changed increment
+    # had already re-encoded over the NEXT append's committed ids
+    expected = (int(mine["n_parts"])
+                if mine.get("n_parts") is not None else None)
+    run_opts = replace(opts, id_offset=base, expected_n_parts=expected)
+    try:
+        summary = encode_dataset(input_path, out_dir, run_opts,
+                                 columns=columns, filesystem=filesystem)
+    except RuntimeError as e:
+        if "resumed reservation" in str(e):
+            raise RuntimeError(
+                f"append {append_id!r} re-ran with a different plan "
+                f"(reserved {mine['n_parts']} partitions): the "
+                "increment's content changed under a reused append_id "
+                "— give the changed input a new id") from e
+        raise
 
     n_parts = int(summary["plan"]["n_parts"])
     if mine.get("n_parts") is None:
@@ -174,27 +213,9 @@ def append_dataset(
         fsio.atomic_write(_ledger_path(out_dir),
                           json.dumps(sessions, indent=1).encode(),
                           fsync=opts.fsync)
-    elif int(mine["n_parts"]) != n_parts:
-        raise RuntimeError(
-            f"append {append_id!r} re-ran with a different plan "
-            f"({n_parts} partitions, reserved {mine['n_parts']}): the "
-            "increment's content changed under a reused append_id — "
-            "give the changed input a new id")
 
     # the global manifest written by encode_dataset covers only this
-    # increment; refold it over ALL committed partitions (O(partitions)
-    # driver-side records, no data read)
-    records = mf.load_manifest(out_dir)
-    combined = {
-        "n_partitions": len(records),
-        "n_rows": int(sum(r["n_rows"] for r in records.values())),
-        "n_weight": int(sum(r.get("n_weight", 0) for r in records.values())),
-        "raw_bytes": int(sum(r["raw_bytes"] for r in records.values())),
-        "encoded_bytes": int(sum(r["encoded_bytes"]
-                                 for r in records.values())),
-        "appends": [dict(s) for s in _load_sessions(out_dir)],
-        "out_dir": out_dir,
-    }
-    mf.write_global_manifest(out_dir, combined)
+    # increment; refold it over ALL committed partitions
+    combined = refold_global(out_dir)
     return dict(summary, container=combined, append_id=append_id,
                 id_offset=base)

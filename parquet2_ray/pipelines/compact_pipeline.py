@@ -83,6 +83,11 @@ def _compact_group(out_dir: str, new_id: int, members: list[dict],
         fsync=fsync,
         rows_per_block=eo.get("rows_per_block"),
         extra_record={"replaces": replaces},
+        # explicit: an all-tombstone group builds an EMPTY table, and
+        # the PART_COL row-0 fallback would commit it as "p0" — which
+        # hides ids above the active max and makes the id allocator
+        # hand future appends already-hidden ids (silent data loss)
+        part_id=f"p{new_id:06d}",
     )
     return rec.to_pylist()[0]
 
@@ -110,12 +115,28 @@ def compact_container(
     records = mf.load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    sessions = _load_sessions(out_dir)
+    pending = next((s for s in sessions
+                    if s.get("n_parts") is None), None)
+    if pending is not None:
+        # unconditional (not only when groups form): GC's recordless-
+        # file sweep would delete a concurrently-resuming append's
+        # just-written-not-yet-committed partition files, and an
+        # unfinished append's id extent is unknown to the allocator
+        raise RuntimeError(
+            f"container has an unfinished append "
+            f"{pending['append_id']!r} (base {pending['base']}): "
+            "resume it before compacting")
     thresh = max(1, int(small_frac * target_weight))
 
     def mass(r: dict) -> int:
         return int(r.get("n_weight") or 0) or int(r["n_rows"])
 
-    ordered = sorted(records.values(), key=lambda r: r["part_id"])
+    # numeric id order: string sort misorders once the 6-digit padding
+    # overflows (p1000000 sorts before p999999), which would break the
+    # consecutive-run grouping on a long-lived container
+    ordered = sorted(records.values(),
+                     key=lambda r: int(r["part_id"][1:]))
     groups: list[list[dict]] = []
     cur: list[dict] = []
     cur_mass = 0
@@ -135,18 +156,6 @@ def compact_container(
     groups = [g for g in groups if len(g) >= 2]
     recs: list[dict] = []
     if groups:
-        sessions = _load_sessions(out_dir)
-        pending = next((s for s in sessions
-                        if s.get("n_parts") is None), None)
-        if pending is not None:
-            # an unfinished append's id extent is unknown: allocating
-            # "past" it is impossible, and colliding means its resume
-            # would overwrite compacted partitions whose sources were
-            # GC'd — refuse, same as append_dataset does
-            raise RuntimeError(
-                f"container has an unfinished append "
-                f"{pending['append_id']!r} (base {pending['base']}): "
-                "resume it before compacting")
         # allocate ids past every committed record (replaced included)
         # and every append-ledger reservation
         committed_max = max(_raw_record_ids(out_dir), default=-1)
@@ -191,16 +200,17 @@ def compact_container(
                     fsio.delete(os.path.join(out_dir, name))
                     swept += 1
 
-    after = mf.load_manifest(out_dir)
+    from .append_pipeline import refold_global
+
+    combined = refold_global(out_dir)   # keep the sidecar fresh
     summary = {
         "n_groups": len(groups),
         "n_compacted": sum(len(g) for g in groups),
         "new_ids": [r["part_id"] for r in recs],
         "gc_swept": swept,
-        "n_partitions": len(after),
-        "n_rows": int(sum(r["n_rows"] for r in after.values())),
-        "encoded_bytes": int(sum(r["encoded_bytes"]
-                                 for r in after.values())),
+        "n_partitions": combined["n_partitions"],
+        "n_rows": combined["n_rows"],
+        "encoded_bytes": combined["encoded_bytes"],
         "out_dir": out_dir,
     }
     return summary

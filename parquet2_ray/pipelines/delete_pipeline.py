@@ -95,7 +95,8 @@ def delete_rows(
     # validate the predicate column up front — a missing or
     # non-comparable (list/struct/map) column would otherwise fail deep
     # inside a rewrite task after partitions were already touched
-    footer = mf.read_partition_footer(records[min(records)]["path"])
+    first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
+    footer = mf.read_partition_footer(records[first]["path"])
     cols = (footer["blocks"][0]["columns"] if footer.get("paged")
             else footer["columns"])
     meta_col = next((m for m in cols if m["name"] == column), None)
@@ -118,7 +119,13 @@ def delete_rows(
     from .encode_pipeline import prune_partitions_by_range
 
     if values is not None:
-        vals = list(values)
+        vals = [v for v in values]
+        if not vals:
+            raise ValueError("values is empty: nothing to delete")
+        if any(v is None for v in vals):
+            raise ValueError(
+                "values contains None: null rows never match a delete "
+                "predicate (SQL semantics) — drop the None")
         # range prune over [min,max] of the value set is correct for
         # ANY column; the bloom refine below is only valid for records
         # whose bloom indexes THIS column (probing another column's
@@ -146,7 +153,11 @@ def delete_rows(
     else:
         touch_paths = set(prune_partitions_by_range(out_dir, column,
                                                     lo=lo, hi=hi))
-    touched = [r for r in records.values() if r["path"] in touch_paths]
+    # 0-row tombstones always survive pruning (no stats) but cannot
+    # match anything — skipping them avoids churning a fresh id and
+    # rewrite task per tombstone on every delete
+    touched = [r for r in records.values()
+               if r["path"] in touch_paths and r["n_rows"] > 0]
     if not touched:
         return {"n_touched": 0, "n_deleted": 0,
                 "n_partitions": len(records), "out_dir": out_dir}
@@ -161,14 +172,16 @@ def delete_rows(
         _rewrite_partition.remote(out_dir, base + i, m, column,
                                   lo, hi, values, fsync)
         for i, m in enumerate(
-            sorted(touched, key=lambda r: r["part_id"]))
+            sorted(touched, key=lambda r: int(r["part_id"][1:])))
     ])
-    after = mf.load_manifest(out_dir)
+    from .append_pipeline import refold_global
+
+    combined = refold_global(out_dir)   # keep the sidecar fresh
     return {
         "n_touched": len(results),
         "n_deleted": int(sum(r["deleted"] for r in results)),
         "tombstones": [r["new"] for r in results if r["remaining"] == 0],
-        "n_partitions": len(after),
-        "n_rows": int(sum(r["n_rows"] for r in after.values())),
+        "n_partitions": combined["n_partitions"],
+        "n_rows": combined["n_rows"],
         "out_dir": out_dir,
     }

@@ -74,6 +74,12 @@ class EncodeOptions:
     # increment's partitions after an existing container's without
     # touching (or re-reading) the committed ones.
     id_offset: int = 0
+    # fail-fast plan validation: when set, the realized plan must have
+    # exactly this many partitions, checked BEFORE any task launches.
+    # append_dataset sets it on a resumed reservation so changed input
+    # under a reused append_id aborts before overwriting a neighboring
+    # append's committed partitions.
+    expected_n_parts: int | None = None
     # parallelism override for path inputs; None → auto.  On the default
     # fused path this is the target number of fused read+split tasks
     # (auto: ≈2/CPU bounded by row-group count); on the Dataset path
@@ -720,6 +726,12 @@ def encode_dataset(
     else:
         plan = plan_partitions(ds, plan_opts)
     plan_s = time.time() - t0
+    if opts.expected_n_parts is not None \
+            and plan.n_parts != opts.expected_n_parts:
+        raise RuntimeError(
+            f"plan has {plan.n_parts} partitions, expected "
+            f"{opts.expected_n_parts}: the input changed under a "
+            "resumed reservation — aborting before any write")
     plan_ref = ray.put(plan)  # broadcast once; tasks read it zero-copy
 
     # The all-to-all exchange is a direct two-stage push shuffle on raw

@@ -136,7 +136,7 @@ def schema(out_dir: str) -> str:
     records = mf.load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
-    first = records[min(records)]
+    first = records[min(records, key=lambda p: int(p[1:]))]
     footer = mf.read_partition_footer(first["path"])
     cols = (footer["blocks"][0]["columns"] if footer.get("paged")
             else footer["columns"])

@@ -159,3 +159,43 @@ def test_append_schema_mismatch_rejected(corpus, ray_session, tmp_path):
     # and nothing was reserved or committed for the rejected increment
     led = json.loads(open(os.path.join(out, "_appends.json")).read())
     assert len(led) == 1
+
+
+def test_changed_increment_under_reused_id_aborts_before_write(
+        corpus, ray_session, tmp_path):
+    """A changed increment re-run under a finalized append_id must
+    abort BEFORE any write — a post-hoc check would fire only after a
+    larger plan had re-encoded over the NEXT append's committed ids."""
+    day0, day1, p0, p1 = corpus
+    out = str(tmp_path / "c")
+    opts = EncodeOptions(target_weight=50_000, fsync=False)
+    s0 = append_dataset(p0, out, opts, append_id="fixed-id")
+    s1 = append_dataset(p1, out, opts)           # the neighbor
+    before = {pid: r["fingerprint"]
+              for pid, r in mf.load_manifest(out).items()}
+    # "re-run" fixed-id with DIFFERENT content (p1's files => a different plan)
+    big = str(tmp_path / "big.parquet")
+    pq.write_table(pa.concat_tables([day0, day1]), big)
+    with pytest.raises(RuntimeError, match="reused append_id"):
+        append_dataset(big, out, opts, append_id="fixed-id")
+    # nothing was overwritten: every committed fingerprint unchanged
+    after = {pid: r["fingerprint"]
+             for pid, r in mf.load_manifest(out).items()}
+    assert after == before
+
+
+def test_append_type_mismatch_rejected(corpus, ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    _, _, p0, _ = corpus
+    out = str(tmp_path / "c")
+    opts = EncodeOptions(target_weight=50_000, fsync=False)
+    append_dataset(p0, out, opts)
+    # same column NAMES, one different type (n_tok int64 vs int32)
+    t = make_tokens_table(20, seed=8)
+    t = t.set_column(t.column_names.index("n_tok"), "n_tok",
+                     t["n_tok"].cast(pa.int64()))
+    badp = str(tmp_path / "badtype.parquet")
+    _pq.write_table(t, badp)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_dataset(badp, out, opts)

@@ -238,3 +238,42 @@ def test_reappend_after_compaction_gc_stays_hidden(ray_session, tmp_path):
     assert got2.equals(want[got2.columns])
     from parquet2_ray.pipelines.verify_pipeline import verify_manifest
     assert verify_manifest(out)["n_bad"] == 0
+
+
+def test_all_tombstone_compaction_keeps_allocated_ids(ray_session,
+                                                      tmp_path):
+    """The severe review finding: an all-tombstone group must commit
+    under its ALLOCATED id, never the 'p0' empty-group fallback —
+    a p0 record whose replaces names ids above the active max would
+    make the allocator hand future appends already-hidden ids."""
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+
+    out = str(tmp_path / "cont")
+    opts = EncodeOptions(target_weight=30_000, fsync=False)
+    p = str(tmp_path / "a.parquet")
+    pq.write_table(make_tokens_table(300, seed=61), p)
+    append_dataset(p, out, opts)
+    # delete everything -> every partition a tombstone
+    delete_rows(out, "n_tok", lo=0, fsync=False)
+    s = compact_container(out, target_weight=30_000)
+    active = mf.load_manifest(out)
+    assert "p0" not in active
+    assert all(pid.startswith("p") and len(pid) == 7 for pid in active)
+    # a fresh append after the tombstone fold is fully visible
+    p2 = str(tmp_path / "b.parquet")
+    t2 = make_tokens_table(100, seed=62)
+    pq.write_table(t2, p2)
+    append_dataset(p2, out, opts)
+    got = _decode_all(out)
+    assert got.num_rows == 100
+
+
+def test_compact_refreshes_global_sidecar(fragmented, ray_session):
+    out, want = fragmented
+    compact_container(out, target_weight=50_000)
+    import json as _json
+    g = _json.loads(open(os.path.join(out, "_MANIFEST.json")).read())
+    active = mf.load_manifest(out)
+    assert g["n_partitions"] == len(active)
+    assert g["n_rows"] == want.num_rows
