@@ -83,3 +83,22 @@ def test_container_layer_on_mock_uri():
 
     mf.write_global_manifest(out, {"n_partitions": 1})
     assert b"n_partitions" in fsio.read_bytes(f"{out}/_MANIFEST.json")
+
+
+def test_fsio_delete_local_and_mock(tmp_path):
+    # local
+    p = str(tmp_path / "d.bin")
+    fsio.atomic_write(p, b"x")
+    fsio.delete(p)
+    assert not fsio.exists(p)
+    fsio.delete(p)                       # idempotent: missing_ok
+    with pytest.raises(FileNotFoundError):
+        fsio.delete(p, missing_ok=False)
+    # object-store route
+    m = "mock://zoo/del/a.bin"
+    fsio.ensure_dir("mock://zoo/del")
+    fsio.atomic_write(m, b"y")
+    assert fsio.exists(m)
+    fsio.delete(m)
+    assert not fsio.exists(m)
+    fsio.delete(m)                       # idempotent on mock too
