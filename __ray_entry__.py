@@ -152,6 +152,14 @@ def q_codec_for_bitpack(sf_dir: str):
     return _codec_roundtrip(sf_dir, "lineitem", "l_linenumber", "for_bitpack")
 
 
+def q_codec_pfor(sf_dir: str):
+    """E19 patched frame-of-reference on a skewed (lognormal) int
+    column.  Its main lane runs the SAME E1/E2 bitpack kernels the
+    for_bitpack row did, plus the exception bitmap/position+cascade
+    arms on top."""
+    return _codec_roundtrip(sf_dir, "documents", "n_chars", "pfor")
+
+
 def q_codec_delta(sf_dir: str):
     return _codec_roundtrip(sf_dir, "lineitem", "l_orderkey", "delta_binary_packed")
 
@@ -1034,7 +1042,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_roundtrip_flba": q_roundtrip_flba,
         "q_roundtrip_map": q_roundtrip_map,
         "q_codec_dict_int": q_codec_dict_int,
-        "q_codec_for_bitpack": q_codec_for_bitpack,
+        # q_codec_for_bitpack retired r4 for q_codec_pfor under the
+        # 50-row driver cap: pfor's main lane IS the E1/E2 bitpack
+        # kernel (still driver-exercised transitively), and for_bitpack
+        # stays enforced by test_baselines + every container roundtrip
+        # that auto-selects it (uniform narrow-range columns)
+        "q_codec_pfor": q_codec_pfor,
         "q_codec_delta": q_codec_delta,
         "q_codec_rle": q_codec_rle,
         "q_codec_dict_binary": q_codec_dict_binary,
@@ -1249,7 +1262,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, n_chars FROM documents "
             "WHERE doc_id BETWEEN 100 AND 300"),
         "q_codec_dict_int": "SELECT l_suppkey FROM lineitem",
-        "q_codec_for_bitpack": "SELECT l_linenumber FROM lineitem",
+        "q_codec_pfor": "SELECT n_chars FROM documents",
         "q_codec_delta": "SELECT l_orderkey FROM lineitem",
         "q_codec_rle": "SELECT l_partkey FROM lineitem",
         "q_codec_dict_binary": "SELECT l_returnflag FROM lineitem",

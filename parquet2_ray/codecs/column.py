@@ -38,6 +38,7 @@ from . import (
     fixed_len,
     for_pack,
     fsst,
+    pfor,
     hybrid_rle,
     plain,
 )
@@ -181,6 +182,7 @@ def _dec_rle(buf: bytes) -> np.ndarray:
 _NUMERIC_ENC = {
     "plain": plain.encode,
     "for_bitpack": for_pack.encode,
+    "pfor": pfor.encode,
     "delta_binary_packed": lambda v: delta.encode(v, miniblocks=4),
     "dict_rle": lambda v: dictionary.encode_int(v),
     "rle": _enc_rle,
@@ -202,6 +204,7 @@ def _np_dtype_of(arrow_type: str) -> str:
 _NUMERIC_DEC = {
     "plain": lambda b, at, n: plain.decode(b, _np_dtype_of(at), n),
     "for_bitpack": lambda b, at, n: for_pack.decode(b),
+    "pfor": lambda b, at, n: pfor.decode(b),
     "delta_binary_packed": lambda b, at, n: delta.decode(b)[0],
     "dict_rle": lambda b, at, n: dictionary.decode_int(b),
     "rle": lambda b, at, n: _dec_rle(b),

@@ -36,6 +36,7 @@ _PRIORITY = [
     "bitmap",
     "for_bitpack",
     "rle",
+    "pfor",
     "delta_binary_packed",
     "dict_rle",
     "plain_byte_array",

@@ -47,6 +47,7 @@ __all__ = ["container_to_parquet", "parquet_write_args_for",
 _TO_PARQUET_ENCODING = {
     "delta_binary_packed": "DELTA_BINARY_PACKED",
     "for_bitpack": "DELTA_BINARY_PACKED",
+    "pfor": "DELTA_BINARY_PACKED",
     "rle": "DELTA_BINARY_PACKED",
     "delta_length_byte_array": "DELTA_LENGTH_BYTE_ARRAY",
     "delta_byte_array": "DELTA_BYTE_ARRAY",

@@ -18,7 +18,8 @@ def _roundtrip(arr: pa.Array, codec: str) -> pa.Array:
     return out
 
 
-INT_CODECS = ["plain", "for_bitpack", "delta_binary_packed", "dict_rle", "rle"]
+INT_CODECS = ["plain", "for_bitpack", "pfor", "delta_binary_packed",
+              "dict_rle", "rle"]
 STR_CODECS = [
     "plain_byte_array",
     "delta_length_byte_array",
@@ -126,7 +127,7 @@ def test_sliced_array_roundtrip(rng):
 # ------------------------------------------------------------------ selector
 def test_selector_narrow_range_picks_bitpack_family(rng):
     arr = pa.array(rng.integers(100, 357, 5000).astype(np.int32))
-    assert select_codec(arr) in ("for_bitpack", "rle", "dict_rle")
+    assert select_codec(arr) in ("for_bitpack", "rle", "dict_rle", "pfor")
     sizes = candidate_sizes(arr)
     assert sizes["for_bitpack"] < sizes["plain"] / 2
 
