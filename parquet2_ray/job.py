@@ -191,6 +191,17 @@ def cmd_compact(args) -> dict:
                              gc=not args.no_gc)
 
 
+def cmd_recluster(args) -> dict:
+    from .pipelines.encode_pipeline import EncodeOptions
+    from .pipelines.recluster_pipeline import recluster_container
+
+    return recluster_container(
+        args.container, args.output, args.key,
+        EncodeOptions(target_weight=args.target_weight,
+                      weight_col=args.weight_col,
+                      compression=args.compression))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="parquet2_ray.job")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -240,6 +251,15 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.add_argument("--no-gc", action="store_true",
                       help="leave replaced records/files for a later sweep")
 
+    rcl = sub.add_parser("recluster")
+    rcl.add_argument("--container", required=True, help="source container")
+    rcl.add_argument("--output", required=True, help="new container dir")
+    rcl.add_argument("--key", required=True,
+                     help="column to range-cluster and sort by")
+    rcl.add_argument("--weight-col", default="n_tok")
+    rcl.add_argument("--target-weight", type=int, default=4_000_000)
+    rcl.add_argument("--compression", default=None)
+
     ddp = sub.add_parser("dedup")
     ddp.add_argument("--input", required=True)
     ddp.add_argument("--output", required=True)
@@ -283,6 +303,7 @@ def main(argv: list[str] | None = None) -> int:
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
            "compact": cmd_compact, "delete": cmd_delete,
+           "recluster": cmd_recluster,
            "dedup": cmd_dedup, "prepare": cmd_prepare,
            "mix": cmd_mix}[args.cmd](args)
     print(json.dumps(out, default=str))

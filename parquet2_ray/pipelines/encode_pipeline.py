@@ -123,6 +123,15 @@ class EncodeOptions:
     # ~128 MB target blocks × blocks_per_split did, independent of how
     # few CPUs the cluster has relative to the input size.
     max_split_task_bytes: int = 256 << 20
+    # GLOBAL RANGE partitioning on this column (mutually exclusive with
+    # group_col): the plan samples (key, weight) pairs and cuts the key
+    # domain into equal-MASS ranges, so partition ids ascend with the
+    # key and each partition's manifest [min,max] profile on the key is
+    # disjoint from its neighbors' — prune_partitions_by_range /
+    # decode(key_range=...) then touch O(1) partitions instead of all.
+    # Combined with sort_key=range_key the container is globally sorted.
+    # This is the clustering mode recluster_container uses (P43).
+    range_key: str | None = None
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -177,16 +186,146 @@ def _weighted_edges(sample: np.ndarray, k: int) -> list[int]:
     return edges
 
 
+def _rkey_norm(arr: pa.Array) -> tuple[np.ndarray, str, np.ndarray | None]:
+    """Normalize a range-key column for order comparison: returns
+    ``(values, kind, null_mask_or_None)``.  One shared function so the
+    plan's sampling pass and every split task's assignment pass land in
+    the SAME comparison domain: integers and temporals → int64 ("i"),
+    floats → float64 ("f"), string/binary → numpy unicode ("s", numpy
+    compares code points exactly like Python ``str`` ordering).  Null
+    slots are filled with an arbitrary in-domain value and reported via
+    the mask — callers route them to partition 0."""
+    t = arr.type
+    nulls = None
+    if arr.null_count:
+        nulls = arr.is_null().to_numpy(zero_copy_only=False)
+        if arr.null_count == len(arr):
+            if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                    or pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+                    or pa.types.is_fixed_size_binary(t):
+                return np.zeros(len(arr), dtype="<U1"), "s", nulls
+            return np.zeros(len(arr),
+                            dtype=np.float64 if pa.types.is_floating(t)
+                            else np.int64), \
+                "f" if pa.types.is_floating(t) else "i", nulls
+        arr = arr.fill_null(arr.drop_null()[0].as_py())
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t) \
+            or pa.types.is_duration(t):
+        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return vals, "i", nulls
+    if pa.types.is_integer(t):
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False), \
+            "i", nulls
+    if pa.types.is_floating(t):
+        return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False), \
+            "f", nulls
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        # fixed-width unicode: searchsorted compares in C, not per-row
+        # Python — the <U width is the batch's longest value, edges of a
+        # different width compare correctly (numpy pads conceptually)
+        return np.asarray(arr.to_pylist(), dtype=np.str_), "s", nulls
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        return np.asarray([v.hex() for v in arr.to_pylist()],
+                          dtype=np.str_), "s", nulls
+    raise TypeError(f"range_key column type {t} is not orderable here "
+                    "(supported: integer, float, temporal, string, binary)")
+
+
+def _light_stats_range(batch: pa.Table, range_key: str,
+                       weight_col: str | None,
+                       sample_per_batch: int = 256) -> pa.Table:
+    """Per-batch partial for range mode: exact (rows, weight sum) plus a
+    strided sample of (key, weight) pairs — the fold cuts the key domain
+    into equal-mass ranges from these."""
+    n = batch.num_rows
+    vals, kind, nulls = _rkey_norm(batch[range_key].combine_chunks())
+    w = (batch[weight_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+         if weight_col else np.ones(n, dtype=np.int64))
+    if nulls is not None:
+        vals, wv = vals[~nulls], w[~nulls]
+    else:
+        wv = w
+    stride = max(1, vals.size // sample_per_batch)
+    ks = vals[::stride][:sample_per_batch]
+    ws = wv[::stride][:sample_per_batch]
+    keys = (pa.array([str(v) for v in ks], type=pa.string()) if kind == "s"
+            else pa.array(ks.tolist(),
+                          type=pa.int64() if kind == "i" else pa.float64()))
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "wsum": pa.array([int(w.sum())], type=pa.int64()),
+        "kind": pa.array([kind], type=pa.string()),
+        "keys": pa.array([keys.to_pylist()], type=pa.list_(keys.type)),
+        "kw": pa.array([ws.tolist()], type=pa.list_(pa.int64())),
+    })
+
+
+def _fold_plan_range(partials: list[dict], opts: EncodeOptions) -> PartitionPlan:
+    """Fold range-mode partials into a PartitionPlan: k = total mass /
+    target, edges = weighted key quantiles of the pooled sample (exact
+    mass from the partials, quantiles from the sample — identical shape
+    to the weight-bucket fold above).  Deterministic: strided samples,
+    stable sort, so task retries and resume re-derive the same plan."""
+    rows = sum(p["n"] for p in partials)
+    wsum = sum(p["wsum"] for p in partials)
+    kinds = {p["kind"] for p in partials if p["keys"]}
+    keys_l: list = []
+    kw_l: list = []
+    for p in partials:
+        keys_l.extend(p["keys"])
+        kw_l.extend(p["kw"])
+    if opts.weight_col:
+        k = max(1, min((wsum + opts.target_weight - 1) // opts.target_weight,
+                       opts.max_partitions))
+    else:
+        k = max(1, min((rows + opts.target_rows - 1) // opts.target_rows,
+                       opts.max_partitions))
+    if not keys_l or k == 1:
+        return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1,
+                             rkey=opts.range_key,
+                             rkey_kind=next(iter(kinds), "i"), rkey_edges=[])
+    kind = kinds.pop()
+    if kinds:
+        raise ValueError(f"range_key sampled as mixed kinds: {kind}, {kinds}")
+    keys = np.asarray(keys_l, dtype={"i": np.int64, "f": np.float64,
+                                     "s": np.str_}[kind])
+    kw = np.asarray(kw_l, dtype=np.float64)
+    order = np.argsort(keys, kind="stable")
+    ks, ws = keys[order], kw[order]
+    cum = np.cumsum(ws)
+    targets = cum[-1] * np.arange(1, int(k)) / int(k)
+    idx = np.minimum(np.searchsorted(cum, targets), ks.size - 1)
+    edges = sorted(set(ks[idx].tolist()))
+    return PartitionPlan(base={"": 0}, edges={"": []},
+                         n_parts=len(edges) + 1, rkey=opts.range_key,
+                         rkey_kind=kind, rkey_edges=edges)
+
+
 @dataclass
 class PartitionPlan:
-    """(group value, weight-range) → contiguous partition ids."""
+    """(group value, weight-range) → contiguous partition ids; or, in
+    range mode (``rkey`` set), key-range → partition id."""
 
     base: dict[str, int]          # group → first part id
     edges: dict[str, list[int]]   # group → weight bucket edges (upper-exclusive)
     n_parts: int
+    # range mode (EncodeOptions.range_key): partition id of a row is
+    # searchsorted(rkey_edges, key, side="right") — ids ascend with the
+    # key.  rkey_kind pins the comparison domain ("i" int64 [integers +
+    # temporals], "f" float64, "s" unicode) so plan and assignment
+    # normalize identically.  Null keys route to partition 0, mirroring
+    # the null-group convention above.
+    rkey: str | None = None
+    rkey_kind: str | None = None
+    rkey_edges: list | None = None
 
     def to_json(self) -> str:
-        return json.dumps({"base": self.base, "edges": self.edges, "n": self.n_parts})
+        return json.dumps({"base": self.base, "edges": self.edges,
+                           "n": self.n_parts, "rkey": self.rkey,
+                           "rkey_kind": self.rkey_kind,
+                           "rkey_edges": self.rkey_edges})
 
 
 def _fold_plan(partials: list[dict], opts: EncodeOptions) -> PartitionPlan:
@@ -217,7 +356,8 @@ def _fold_plan(partials: list[dict], opts: EncodeOptions) -> PartitionPlan:
 
 
 @ray.remote
-def _plan_stats_task(files: list, group_col, weight_col, fs=None) -> tuple:
+def _plan_stats_task(files: list, group_col, weight_col, fs=None,
+                     range_key=None) -> tuple:
     """Plan fast path map side: light stats over a slice of parquet files
     — projection pushed to the parquet read, O(files) tasks, no Dataset
     machinery (its fixed per-pipeline startup is ~1 s, which at bench
@@ -230,7 +370,7 @@ def _plan_stats_task(files: list, group_col, weight_col, fs=None) -> tuple:
     metadata pass."""
     import pyarrow.parquet as _pq
 
-    cols = [c for c in (group_col, weight_col) if c]
+    cols = [c for c in (group_col, weight_col, range_key) if c]
     out: list = []
     meta: list = []
     for f in files:
@@ -248,9 +388,16 @@ def _plan_stats_task(files: list, group_col, weight_col, fs=None) -> tuple:
         t = pf.read(columns=[c for c in cols if c in pf.schema_arrow.names])
         # one batch per FILE here vs ~dozens per file in the Dataset path:
         # widen the per-batch sample so the quantile-edge quality matches
-        out.extend(_light_stats(t, group_col if group_col in t.column_names else None,
-                                weight_col if weight_col in t.column_names else None,
-                                sample_per_batch=4096).to_pylist())
+        if range_key is not None:
+            out.extend(_light_stats_range(
+                t, range_key,
+                weight_col if weight_col in t.column_names else None,
+                sample_per_batch=4096).to_pylist())
+        else:
+            out.extend(_light_stats(
+                t, group_col if group_col in t.column_names else None,
+                weight_col if weight_col in t.column_names else None,
+                sample_per_batch=4096).to_pylist())
     return out, meta
 
 
@@ -264,17 +411,27 @@ def plan_partitions_from_files(files: list, opts: EncodeOptions,
     chunks = [files[i:i + files_per_task]
               for i in range(0, len(files), files_per_task)]
     refs = [_plan_stats_task.remote(c, opts.group_col, opts.weight_col,
-                                    filesystem)
+                                    filesystem, opts.range_key)
             for c in chunks]
     parts = ray.get(refs)
     meta = [fm for _, m in parts for fm in m]
+    partials = [row for rows, _ in parts for row in rows]
+    if opts.range_key:
+        return _fold_plan_range(partials, opts), meta
     if not [c for c in (opts.group_col, opts.weight_col) if c]:
         return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1), meta
-    partials = [row for rows, _ in parts for row in rows]
     return _fold_plan(partials, opts), meta
 
 
 def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
+    if opts.range_key:
+        rk, wc = opts.range_key, opts.weight_col
+        light = input_ds.select_columns(
+            [c for c in (rk, wc) if c]).map_batches(
+            lambda b: _light_stats_range(b, rk, wc),
+            batch_format="pyarrow",
+        )
+        return _fold_plan_range(light.take_all(), opts)
     cols = [c for c in (opts.group_col, opts.weight_col) if c]
     if not cols:
         return PartitionPlan(base={"": 0}, edges={"": []}, n_parts=1)
@@ -288,9 +445,25 @@ def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
 
 def _part_ids(batch: pa.Table, plan: PartitionPlan, group_col: str | None,
               weight_col: str | None) -> np.ndarray:
-    """Vectorized (source, weight-range) → partition id per row."""
+    """Vectorized (source, weight-range) → partition id per row; range
+    mode: searchsorted over the plan's global key edges."""
     n = batch.num_rows
     part = np.zeros(n, dtype=np.int32)
+    if plan.rkey_edges is not None and plan.rkey is not None:
+        if not plan.rkey_edges:
+            return part
+        vals, kind, nulls = _rkey_norm(batch[plan.rkey].combine_chunks())
+        if kind != plan.rkey_kind:
+            # only reachable for an all-null batch of a numeric column
+            # (norm degenerates to "i"/"f" zeros) — every row is null
+            return part
+        edges = np.asarray(plan.rkey_edges,
+                           dtype={"i": np.int64, "f": np.float64,
+                                  "s": np.str_}[kind])
+        part = np.searchsorted(edges, vals, side="right").astype(np.int32)
+        if nulls is not None:
+            part[nulls] = 0
+        return part
     col = batch[group_col].combine_chunks() if group_col is not None else None
     if col is not None and not pa.types.is_null(col.type) and col.null_count < n:
         enc = pc.dictionary_encode(col)
@@ -699,6 +872,16 @@ def encode_dataset(
             else:
                 ds = rd.read_parquet(plan_files, columns=columns,
                                      filesystem=input_fs)
+    if opts.range_key is not None:
+        if opts.group_col is not None:
+            raise ValueError(
+                "range_key and group_col are mutually exclusive "
+                "partitioning modes — pass group_col=None for range "
+                "clustering")
+        if opts.range_key not in schema_names:
+            raise ValueError(
+                f"range_key column {opts.range_key!r} not in input "
+                f"schema {schema_names}")
     group_col = opts.group_col if opts.group_col in schema_names else None
     weight_col = opts.weight_col if opts.weight_col in schema_names else None
     sort_key: str | list[str] | None = opts.sort_key
@@ -862,7 +1045,8 @@ def encode_dataset(
         "plan_s": plan_s,
         "phases": phases,
         "plan": {"n_parts": plan.n_parts, "hierarchical": hier,
-                 "hier_fan": fan if hier else None},
+                 "hier_fan": fan if hier else None,
+                 "range_key": plan.rkey},
         "out_dir": out_dir,
     }
     mf.write_global_manifest(out_dir, summary)

@@ -127,3 +127,26 @@ def test_job_delete(tmp_path, capsys):
     want = sum(1 for v in t["n_tok"].to_pylist() if v >= 6000)
     assert s["n_deleted"] == want
     assert s["n_rows"] == 400 - want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_recluster(tmp_path, capsys):
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    p = tmp_path / "in.parquet"
+    t = make_tokens_table(800, seed=31)
+    pq.write_table(t, p)
+    cont = str(tmp_path / "cont")
+    out = str(tmp_path / "clustered")
+    assert main(["encode", "--input", str(p), "--output", cont,
+                 "--target-weight", "50000"]) == 0
+    capsys.readouterr()
+    assert main(["recluster", "--container", cont, "--output", out,
+                 "--key", "doc_id", "--target-weight", "50000"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_rows"] == 800
+    assert s["plan"]["range_key"] == "doc_id"
+    assert s["clustering"]["overlap_factor"] <= 1.25
+    assert main(["verify", "--container", out]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["n_bad"] == 0

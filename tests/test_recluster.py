@@ -1,0 +1,204 @@
+"""P43 recluster_container: range re-clustering of a committed
+container for pruning locality (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from parquet2_ray.pipelines.encode_pipeline import (
+    EncodeOptions,
+    _fold_plan_range,
+    _part_ids,
+    _rkey_norm,
+    decode_dataset,
+    encode_dataset,
+    prune_partitions_by_range,
+)
+from parquet2_ray.pipelines.recluster_pipeline import (
+    clustering_quality,
+    recluster_container,
+)
+
+
+def _gather(out_dir: str, by: str) -> pa.Table:
+    import ray
+
+    refs = decode_dataset(out_dir).to_arrow_refs()
+    t = pa.concat_tables([r for r in ray.get(refs) if r.num_rows])
+    return t.sort_by(by)
+
+
+@pytest.fixture(scope="module")
+def source_container(ray_session, tokens_table, tmp_path_factory):
+    """A deliberately UNclustered-on-doc_id container: n_tok-range
+    partitioning (no group column) spreads every doc_id range across
+    every partition, since token counts are independent of doc ids."""
+    d = tmp_path_factory.mktemp("reclu")
+    src_pq = str(d / "src.parquet")
+    pq.write_table(tokens_table, src_pq)
+    out = str(d / "container_a")
+    encode_dataset(src_pq, out,
+                   EncodeOptions(group_col=None, target_weight=60_000,
+                                 fsync=False))
+    return out, tokens_table, str(d)
+
+
+def test_recluster_row_equality_and_disjoint_ranges(source_container):
+    out_a, table, d = source_container
+    out_b = f"{d}/container_b"
+    summary = recluster_container(
+        out_a, out_b, "doc_id",
+        EncodeOptions(target_weight=60_000, fsync=False))
+    assert summary["n_rows"] == table.num_rows
+    assert summary["plan"]["range_key"] == "doc_id"
+    assert summary["n_partitions"] > 3, "need a multi-partition container"
+    got = _gather(out_b, "doc_id")
+    want = table.sort_by("doc_id")
+    assert got.select(want.column_names).equals(want)
+    # clustering quality: reclustered partitions' doc_id ranges are
+    # pairwise disjoint (factor ~1), the source's all overlap
+    qa = clustering_quality(out_a, "doc_id")
+    qb = clustering_quality(out_b, "doc_id")
+    assert qb["overlap_factor"] <= 1.25
+    assert qa["overlap_factor"] >= qa["n_partitions"] * 0.6
+    assert qa["n_partitions"] > 3
+
+
+def test_recluster_prunes_range_reads(source_container):
+    out_a, table, d = source_container
+    out_b = f"{d}/container_b"  # written by the test above (module scope)
+    ids = sorted(table["doc_id"].to_pylist())
+    lo, hi = ids[len(ids) // 2], ids[len(ids) // 2 + 40]
+    kept_b = prune_partitions_by_range(out_b, "doc_id", lo, hi)
+    kept_a = prune_partitions_by_range(out_a, "doc_id", lo, hi)
+    assert len(kept_b) <= 2, "clustered probe must touch O(1) partitions"
+    assert len(kept_a) > len(kept_b), "unclustered container can't prune"
+    got = _gather_range(out_b, ("doc_id", lo, hi))
+    mask = pc.and_(pc.greater_equal(table["doc_id"], lo),
+                   pc.less_equal(table["doc_id"], hi))
+    want = table.filter(mask).sort_by("doc_id")
+    assert got.select(want.column_names).equals(want)
+
+
+def _gather_range(out_dir: str, key_range) -> pa.Table:
+    import ray
+
+    refs = decode_dataset(out_dir, key_range=key_range).to_arrow_refs()
+    ts = [r for r in ray.get(refs) if r.num_rows]
+    if not ts:
+        return pa.table({})
+    return pa.concat_tables(ts).sort_by(key_range[0])
+
+
+def test_encode_dataset_range_key_from_paths(ray_session, tokens_table,
+                                             tmp_path):
+    """The fused read+split path plans range edges straight from the
+    parquet footers' column reads (no Dataset machinery)."""
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(tokens_table, src)
+    out = str(tmp_path / "ranged")
+    summary = encode_dataset(
+        src, out,
+        EncodeOptions(group_col=None, range_key="n_tok", sort_key="n_tok",
+                      target_weight=60_000, fsync=False))
+    assert summary["n_rows"] == tokens_table.num_rows
+    q = clustering_quality(out, "n_tok")
+    # duplicate n_tok values may share an edge → allow minimal overlap
+    assert q["overlap_factor"] <= 2.0
+    got = _gather(out, "doc_id")
+    assert got.select(tokens_table.column_names).equals(
+        tokens_table.sort_by("doc_id"))
+
+
+def test_recluster_numeric_key_with_nulls(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = rng.integers(0, 10_000_000, n)
+    key = ts.astype("datetime64[ms]")
+    nulls = rng.random(n) < 0.05
+    table = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "event_ts": pa.array(
+            [None if m else v for v, m in zip(key, nulls)],
+            type=pa.timestamp("ms")),
+        "n_tok": pa.array(rng.integers(1, 50, n), type=pa.int32()),
+    })
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(table, src)
+    out_a = str(tmp_path / "a")
+    encode_dataset(src, out_a, EncodeOptions(
+        group_col=None, weight_col="n_tok", target_weight=20_000,
+        fsync=False))
+    out_b = str(tmp_path / "b")
+    summary = recluster_container(
+        out_a, out_b, "event_ts",
+        EncodeOptions(weight_col="n_tok", target_weight=20_000,
+                      fsync=False))
+    assert summary["n_partitions"] > 2
+    got = _gather(out_b, "doc_id")
+    assert got.select(table.column_names).equals(table.sort_by("doc_id"))
+    # null keys survive and the timestamp ranges cluster
+    assert got["event_ts"].null_count == int(nulls.sum())
+    assert clustering_quality(out_b, "event_ts")["overlap_factor"] <= 1.25
+
+
+def test_range_key_validation(ray_session, tokens_table, tmp_path):
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(tokens_table, src)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_dataset(src, str(tmp_path / "x"),
+                       EncodeOptions(range_key="n_tok"))
+    with pytest.raises(ValueError, match="not in input schema"):
+        encode_dataset(src, str(tmp_path / "y"),
+                       EncodeOptions(group_col=None, range_key="nope"))
+
+
+def test_fold_plan_range_deterministic_and_balanced():
+    rng = np.random.default_rng(3)
+    partials = []
+    for _ in range(8):
+        ks = rng.integers(0, 1_000_000, 512)
+        partials.append({
+            "n": 50_000, "wsum": 5_000_000, "kind": "i",
+            "keys": ks.tolist(), "kw": [100] * 512,
+        })
+    opts = EncodeOptions(group_col=None, range_key="k",
+                         weight_col="w", target_weight=5_000_000)
+    p1 = _fold_plan_range(partials, opts)
+    p2 = _fold_plan_range(partials, opts)
+    assert p1.rkey_edges == p2.rkey_edges
+    assert p1.n_parts == 8
+    assert p1.rkey_edges == sorted(p1.rkey_edges)
+
+
+def test_part_ids_range_assignment_kinds():
+    from parquet2_ray.pipelines.encode_pipeline import PartitionPlan
+
+    # integer edges
+    plan = PartitionPlan(base={"": 0}, edges={"": []}, n_parts=3,
+                         rkey="k", rkey_kind="i", rkey_edges=[10, 20])
+    batch = pa.table({"k": pa.array([5, 10, 11, 20, 21, None],
+                                    type=pa.int64())})
+    ids = _part_ids(batch, plan, None, None)
+    # edges are lower-INclusive cut points (searchsorted side="right"):
+    # partition i holds keys in [edges[i-1], edges[i])
+    assert ids.tolist() == [0, 1, 1, 2, 2, 0]
+    # string edges: width of batch values may exceed edge width
+    plan_s = PartitionPlan(base={"": 0}, edges={"": []}, n_parts=2,
+                           rkey="k", rkey_kind="s", rkey_edges=["mm"])
+    batch_s = pa.table({"k": pa.array(["aaaa", "mm", "mmmmzz", "zz"])})
+    assert _part_ids(batch_s, plan_s, None, None).tolist() == [0, 1, 1, 1]
+
+
+def test_rkey_norm_domains():
+    vals, kind, nulls = _rkey_norm(pa.array([1.5, None, 2.5]))
+    assert kind == "f" and nulls.tolist() == [False, True, False]
+    vals, kind, _ = _rkey_norm(pa.array([b"\x00\x01", b"\xff"]))
+    assert kind == "s" and vals.tolist() == ["0001", "ff"]
+    all_null = pa.array([None, None], type=pa.string())
+    vals, kind, nulls = _rkey_norm(all_null)
+    assert kind == "s" and all(nulls)
