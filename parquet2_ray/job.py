@@ -195,8 +195,10 @@ def cmd_recluster(args) -> dict:
     from .pipelines.encode_pipeline import EncodeOptions
     from .pipelines.recluster_pipeline import recluster_container
 
+    keys = args.key.split(",")
     return recluster_container(
-        args.container, args.output, args.key,
+        args.container, args.output,
+        keys[0] if len(keys) == 1 else keys,
         EncodeOptions(target_weight=args.target_weight,
                       weight_col=args.weight_col,
                       compression=args.compression))
@@ -255,7 +257,9 @@ def main(argv: list[str] | None = None) -> int:
     rcl.add_argument("--container", required=True, help="source container")
     rcl.add_argument("--output", required=True, help="new container dir")
     rcl.add_argument("--key", required=True,
-                     help="column to range-cluster and sort by")
+                     help="column to range-cluster and sort by; a "
+                          "comma-separated list Z-order-clusters on "
+                          "all of them")
     rcl.add_argument("--weight-col", default="n_tok")
     rcl.add_argument("--target-weight", type=int, default=4_000_000)
     rcl.add_argument("--compression", default=None)

@@ -35,42 +35,151 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-from ..state import manifest as mf
-from .encode_pipeline import EncodeOptions, decode_dataset, encode_dataset
+import numpy as np
+import pyarrow as pa
 
-__all__ = ["recluster_container"]
+from ..state import manifest as mf
+from .encode_pipeline import (
+    EncodeOptions,
+    _rkey_norm,
+    decode_dataset,
+    encode_dataset,
+)
+
+__all__ = ["recluster_container", "clustering_quality", "ZVAL_COL"]
+
+# the Z-order helper column materialized into the rewritten container
+# (int64, delta/PFOR-friendly).  Kept on purpose: it is the partition
+# key the layout is defined by, and readers project it away for free
+# (decode_dataset(columns=...)).
+ZVAL_COL = "__zcluster"
 
 
 def recluster_container(
     src_dir: str,
     out_dir: str,
-    key: str,
+    key: str | list[str],
     opts: EncodeOptions | None = None,
+    zorder_bits: int = 10,
 ) -> dict:
-    """Rewrite the container at ``src_dir`` into ``out_dir``, range-
-    partitioned and sorted by ``key``.  Returns the new container's
-    encode summary plus clustering quality metrics.
+    """Rewrite the container at ``src_dir`` into ``out_dir`` clustered
+    on ``key``.  Returns the new container's encode summary plus
+    clustering quality metrics.
+
+    One key → RANGE clustering (globally sorted on the key).  A LIST of
+    2+ keys → Z-ORDER clustering: each key column is quantized to
+    ``zorder_bits`` bits by sampled quantile grids, the cells' bits are
+    interleaved into a ``__zcluster`` int64, and the container is
+    range-partitioned + sorted on that — so every partition's [min,max]
+    profile is locally tight on EVERY keyed column at once, and range
+    probes on any of them prune (the multi-dimensional locality Z-order
+    gives Delta/Iceberg OPTIMIZE ZORDER BY — public technique; no
+    reference analog, parquet2 cannot re-layout data).
 
     ``opts`` seeds every other knob (target_weight, compression, fsync,
     resume, ...); its partitioning fields are overridden: group_col →
-    None, range_key/sort_key → ``key``.  weight_col is kept when the
-    source schema has it (token-mass-balanced ranges), else dropped to
-    row balancing.
+    None, range_key/sort_key → the cluster key.  weight_col is kept
+    when the source schema has it (token-mass-balanced ranges), else
+    dropped to row balancing.
     """
     records = mf.load_manifest(src_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {src_dir}")
     ds = decode_dataset(src_dir)
     names = ds.schema().names
-    if key not in names:
-        raise ValueError(f"key {key!r} not in container schema {names}")
+    keys = [key] if isinstance(key, str) else list(key)
+    for k in keys:
+        if k not in names:
+            raise ValueError(f"key {k!r} not in container schema {names}")
     base = opts or EncodeOptions()
     weight_col = base.weight_col if base.weight_col in names else None
+    if len(keys) == 1:
+        rkey = keys[0]
+    else:
+        grids = _sample_quantile_grids(ds, keys, zorder_bits)
+        ds = ds.map_batches(
+            lambda b, g=grids, ks=keys, nb=zorder_bits:
+                b.append_column(ZVAL_COL, pa.array(
+                    _zvalues(b, ks, g, nb), type=pa.int64())),
+            batch_format="pyarrow")
+        rkey = ZVAL_COL
     ropts = replace(base, group_col=None, weight_col=weight_col,
-                    range_key=key, sort_key=key)
+                    range_key=rkey, sort_key=rkey)
     summary = encode_dataset(ds, out_dir, ropts)
-    summary["clustering"] = clustering_quality(out_dir, key)
+    summary["clustering"] = {k: clustering_quality(out_dir, k)
+                             for k in keys} if len(keys) > 1 \
+        else clustering_quality(out_dir, rkey)
     return summary
+
+
+def _sample_quantile_grids(ds, keys: list[str], bits: int) -> dict:
+    """Per-key quantile grid (2^bits - 1 edges) from one strided-sample
+    pass over the Dataset — deterministic, O(batches × keys × 512)
+    driver bytes.  cell(v) = searchsorted(grid, v, "right") ∈
+    [0, 2^bits - 1]; grids of low-cardinality columns come out shorter
+    (duplicate quantiles dedup), which only wastes code space."""
+    def _sample(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for k in keys:
+            vals, kind, nulls = _rkey_norm(batch[k].combine_chunks())
+            if nulls is not None:
+                vals = vals[~nulls]
+            stride = max(1, vals.size // 512)
+            s = vals[::stride][:512]
+            cols[k] = pa.array([[str(v) for v in s] if kind == "s"
+                                else s.tolist()],
+                               type=pa.list_(pa.string() if kind == "s"
+                                             else pa.float64()))
+            cols[k + "##kind"] = pa.array([kind])
+        return pa.table(cols)
+
+    rows = ds.select_columns(keys).map_batches(
+        _sample, batch_format="pyarrow").take_all()
+    grids: dict = {}
+    for k in keys:
+        kinds = {r[k + "##kind"] for r in rows}
+        if len(kinds) != 1:
+            raise ValueError(f"key {k!r} sampled as mixed kinds {kinds}")
+        kind = kinds.pop()
+        pooled = np.concatenate([
+            np.asarray(r[k], dtype=np.str_ if kind == "s" else np.float64)
+            for r in rows])
+        pooled.sort(kind="stable")
+        q = (1 << bits) - 1
+        idx = np.minimum((np.arange(1, q + 1) * pooled.size) // (q + 1),
+                         pooled.size - 1)
+        grid = np.unique(pooled[idx])
+        grids[k] = (kind, grid)
+    return grids
+
+
+def _zvalues(batch: pa.Table, keys: list[str], grids: dict,
+             bits: int) -> np.ndarray:
+    """Vectorized Z-value: quantize each key against its grid, then
+    interleave cell bits (bit b of key i lands at position
+    b*len(keys)+i).  Null keys take cell 0."""
+    k = len(keys)
+    z = np.zeros(batch.num_rows, dtype=np.int64)
+    for i, name in enumerate(keys):
+        kind, grid = grids[name]
+        vals, vkind, nulls = _rkey_norm(batch[name].combine_chunks())
+        if "s" in (kind, vkind) and kind != vkind:
+            # an all-null batch of a numeric column degenerates to "i"
+            # zeros — harmless (all cells masked to 0); a true
+            # string/numeric flip between sampling and assignment is not
+            if nulls is None or not nulls.all():
+                raise TypeError(f"key {name!r} kind changed between "
+                                f"plan ({kind}) and batch ({vkind})")
+            cells = np.zeros(batch.num_rows, dtype=np.int64)
+            continue
+        if kind != "s":
+            vals = vals.astype(np.float64, copy=False)
+        cells = np.searchsorted(grid, vals, side="right").astype(np.int64)
+        if nulls is not None:
+            cells[nulls] = 0
+        for b in range(bits):
+            z |= ((cells >> b) & 1) << (b * k + i)
+    return z
 
 
 def clustering_quality(out_dir: str, key: str) -> dict:
