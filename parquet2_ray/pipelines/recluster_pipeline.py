@@ -88,6 +88,10 @@ def recluster_container(
     ds = decode_dataset(src_dir)
     names = ds.schema().names
     keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("recluster_container needs at least one key")
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate cluster keys: {keys}")
     for k in keys:
         if k not in names:
             raise ValueError(f"key {k!r} not in container schema {names}")
@@ -170,8 +174,7 @@ def _zvalues(batch: pa.Table, keys: list[str], grids: dict,
             if nulls is None or not nulls.all():
                 raise TypeError(f"key {name!r} kind changed between "
                                 f"plan ({kind}) and batch ({vkind})")
-            cells = np.zeros(batch.num_rows, dtype=np.int64)
-            continue
+            continue  # all-null: every cell is 0, no bits to set
         if kind != "s":
             vals = vals.astype(np.float64, copy=False)
         cells = np.searchsorted(grid, vals, side="right").astype(np.int64)
