@@ -122,6 +122,37 @@ def q_roundtrip_events(sf_dir: str):
     return _roundtrip(sf_dir, "events", "event_type", None, "event_id")
 
 
+def q_recluster_events(sf_dir: str):
+    """P43 container re-clustering, driver-oracled end to end: encode
+    events UNclustered on time (event_id order — every partition spans
+    the whole month), `recluster_container` by ``ts`` (range plan + the
+    standard exchange + re-encode), then a pruned range read of a fixed
+    3-day window.  Exercises the range-key plan/assignment path, the
+    temporal bound normalization in prune_partitions_by_range /
+    block_overlaps (profiles store isoformat strings), and exact row
+    filtering — and subsumes the retired q_roundtrip_events' coverage
+    (full events schema incl. timestamps hash-checked through
+    encode→decode twice)."""
+    import datetime as dt
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.recluster_pipeline import recluster_container
+
+    out_a = _out_dir(sf_dir, "events_ingest")
+    encode_dataset(f"{sf_dir}/events.parquet", out_a,
+                   EncodeOptions(group_col=None, weight_col=None,
+                                 sort_key="event_id", target_rows=2000))
+    out_b = _out_dir(sf_dir, "events_by_ts")
+    recluster_container(out_a, out_b, "ts",
+                        EncodeOptions(weight_col=None, target_rows=2000))
+    return decode_dataset(out_b, key_range=(
+        "ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 13)))
+
+
 def q_roundtrip_embeddings(sf_dir: str):
     return _roundtrip(sf_dir, "embeddings", None, None, "vec_id")
 
@@ -1035,7 +1066,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tokens_flagship": q_tokens_flagship,
         "q_roundtrip_documents": q_roundtrip_documents,
         "q_roundtrip_lineitem": q_roundtrip_lineitem,
-        "q_roundtrip_events": q_roundtrip_events,
+        # q_roundtrip_events retired r4 for q_recluster_events under the
+        # 50-row driver cap: the recluster query encodes+decodes the
+        # SAME full events schema twice (superset coverage) and adds
+        # P43's range plan + temporal range pruning to CORRECTNESS
+        "q_recluster_events": q_recluster_events,
         "q_roundtrip_embeddings": q_roundtrip_embeddings,
         "q_roundtrip_compressed": q_roundtrip_compressed,
         "q_roundtrip_structs": q_roundtrip_structs,
@@ -1244,7 +1279,10 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_corpus": dedup_corpus_sql,
         "q_roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_roundtrip_lineitem": "SELECT * FROM lineitem",
-        "q_roundtrip_events": "SELECT * FROM events",
+        "q_recluster_events": (
+            "SELECT * FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10' "
+            "AND ts <= TIMESTAMP '2024-01-13'"),
         "q_roundtrip_embeddings": "SELECT * FROM embeddings",
         "q_roundtrip_compressed": "SELECT * FROM nation",
         "q_roundtrip_structs": (

@@ -16,7 +16,34 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["column_profile", "fold_profiles", "int_shape_stats"]
+__all__ = ["column_profile", "fold_profiles", "int_shape_stats",
+           "bound_in_profile_domain"]
+
+
+def bound_in_profile_domain(bound, profile_value):
+    """Normalize a caller's range bound into the domain its stored
+    profile min/max live in.
+
+    Profiles JSON-serialize temporal scalars via ``isoformat()``
+    (``_scalar`` below), so a partition's recorded ``["min"]``/["max"]``
+    for a timestamp/date/time column is a STRING.  A caller probing
+    with a native ``datetime``/``date``/``np.datetime64`` bound must be
+    compared in that same domain — isoformat strings order exactly like
+    their native values (fixed-width zero-padded fields; a
+    microseconds-free form is a prefix of the extended form and orders
+    correctly), so converting the bound preserves semantics.  Bounds
+    already in the profile's type, and non-temporal bounds, pass
+    through untouched."""
+    if bound is None or isinstance(bound, str) \
+            or not isinstance(profile_value, str):
+        return bound
+    if isinstance(bound, pa.Scalar):
+        bound = bound.as_py()
+    if isinstance(bound, np.datetime64):
+        bound = bound.astype("datetime64[us]").item()
+    if hasattr(bound, "isoformat"):
+        return bound.isoformat()
+    return bound
 
 
 def _scalar(v):

@@ -1095,6 +1095,8 @@ def prune_partitions_by_range(out_dir: str, column: str,
     /root/reference/src/read/page/indexed_reader.rs:25-60).  Keeps a
     partition when [min,max] of ``column`` overlaps [lo,hi]; partitions
     with no recorded stats for the column are kept."""
+    from ..functions.stats import bound_in_profile_domain
+
     records = mf.load_manifest(out_dir)
     keep = []
     for r in records.values():
@@ -1103,8 +1105,11 @@ def prune_partitions_by_range(out_dir: str, column: str,
         if prof is None or prof.get("min") is None:
             keep.append(r["path"])
             continue
-        if (lo is not None and prof["max"] < lo) or \
-           (hi is not None and prof["min"] > hi):
+        # temporal bounds compare in the profiles' isoformat domain
+        plo = bound_in_profile_domain(lo, prof["min"])
+        phi = bound_in_profile_domain(hi, prof["min"])
+        if (plo is not None and prof["max"] < plo) or \
+           (phi is not None and prof["min"] > phi):
             continue
         keep.append(r["path"])
     return keep

@@ -285,6 +285,11 @@ def block_overlaps(block_meta: dict, column: str, lo=None, hi=None) -> bool:
     st = block_meta.get("stats", {}).get(column)
     if not st or st[0] is None:
         return True
+    from ..functions.stats import bound_in_profile_domain
+
+    # temporal bounds compare in the stats' isoformat domain
+    lo = bound_in_profile_domain(lo, st[0])
+    hi = bound_in_profile_domain(hi, st[0])
     if lo is not None and st[1] < lo:
         return False
     if hi is not None and st[0] > hi:

@@ -144,6 +144,40 @@ def test_recluster_numeric_key_with_nulls(ray_session, tmp_path):
     # null keys survive and the timestamp ranges cluster
     assert got["event_ts"].null_count == int(nulls.sum())
     assert clustering_quality(out_b, "event_ts")["overlap_factor"] <= 1.25
+    # native datetime bounds prune against the profiles' isoformat
+    # strings (bound_in_profile_domain) and the range read is exact
+    import datetime as dt
+
+    lo = dt.datetime(1970, 1, 1, 1, 0)
+    hi = dt.datetime(1970, 1, 1, 1, 30)
+    kept = prune_partitions_by_range(out_b, "event_ts", lo, hi)
+    assert 1 <= len(kept) < summary["n_partitions"]
+    rng_got = _gather_range(out_b, ("event_ts", lo, hi))
+    tt = table.schema.field("event_ts").type
+    mask = pc.and_(pc.greater_equal(table["event_ts"], pa.scalar(lo, type=tt)),
+                   pc.less_equal(table["event_ts"], pa.scalar(hi, type=tt)))
+    want = table.filter(mask)
+    assert rng_got.num_rows == want.num_rows > 0
+    assert rng_got.sort_by("doc_id").select(table.column_names).equals(
+        want.sort_by("doc_id"))
+
+
+def test_bound_in_profile_domain():
+    import datetime as dt
+
+    from parquet2_ray.functions.stats import bound_in_profile_domain as f
+
+    iso = "2024-01-10T00:09:58.778549"
+    assert f(dt.datetime(2024, 1, 10), iso) == "2024-01-10T00:00:00"
+    assert f(np.datetime64("2024-01-10T12:00"), iso) == "2024-01-10T12:00:00"
+    assert f(dt.date(2024, 1, 10), "2024-01-10") == "2024-01-10"
+    # pass-throughs: numeric profiles, string bounds, None
+    assert f(5, 3) == 5
+    assert f("abc", "zzz") == "abc"
+    assert f(None, iso) is None
+    # isoformat strings order like their datetimes (prefix form included)
+    assert f(dt.datetime(2024, 1, 10), iso) < iso
+    assert f(dt.datetime(2024, 1, 10, 0, 9, 59), iso) > iso
 
 
 def test_range_key_validation(ray_session, tokens_table, tmp_path):
