@@ -6,6 +6,7 @@ Mirrors the reference CLI surface
     python -m parquet2_ray.tools rowcount <out_dir>
     python -m parquet2_ray.tools meta     <out_dir>
     python -m parquet2_ray.tools dump     <out_dir> [--limit N]
+    python -m parquet2_ray.tools layout   <out_dir> [--columns a,b]
 
 All subcommands are driver-side manifest/footer reads — no Ray session,
 no full-data decode except ``dump`` (which decodes partition files one
@@ -124,6 +125,28 @@ def stats(out_dir: str, columns: list[str] | None = None) -> dict:
     }
 
 
+def layout(out_dir: str, columns: list[str] | None = None) -> dict:
+    """Clustering-quality report from the manifest alone (no data read):
+    per-column overlap factor — the average number of partitions a
+    random point/range probe on that column must touch (1.0 = perfectly
+    range-clustered, ≈ n_partitions = unclustered).  The ``OPTIMIZE``-
+    advisor read: a hot filter column with a high factor is a
+    ``recluster`` candidate."""
+    from .pipelines.recluster_pipeline import clustering_quality
+
+    records = mf.load_manifest(out_dir)
+    if columns is None:
+        cols = sorted({p["column"] for r in records.values()
+                       for p in r.get("profiles", [])
+                       if p.get("min") is not None})
+    else:
+        cols = columns
+    return {
+        "n_partitions": len(records),
+        "columns": {c: clustering_quality(out_dir, c) for c in cols},
+    }
+
+
 def schema(out_dir: str) -> str:
     """Print the dataset's schema in the parquet "message" DSL
     (reference io_message — the interchange dialect every parquet tool
@@ -162,12 +185,13 @@ def dump(out_dir: str, limit: int = 10) -> list[dict]:
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="parquet2_ray.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("rowcount", "meta", "metrics", "schema", "dump", "stats"):
+    for name in ("rowcount", "meta", "metrics", "schema", "dump", "stats",
+                 "layout"):
         p = sub.add_parser(name)
         p.add_argument("out_dir")
         if name == "dump":
             p.add_argument("--limit", type=int, default=10)
-        if name == "stats":
+        if name in ("stats", "layout"):
             p.add_argument("--columns", default=None,
                            help="comma-separated projection")
     args = ap.parse_args(argv)
@@ -182,6 +206,9 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "stats":
         cols = args.columns.split(",") if args.columns else None
         print(json.dumps(stats(args.out_dir, cols), indent=2, default=str))
+    elif args.cmd == "layout":
+        cols = args.columns.split(",") if args.columns else None
+        print(json.dumps(layout(args.out_dir, cols), indent=2, default=str))
     else:
         for row in dump(args.out_dir, args.limit):
             print(json.dumps(row, default=str))

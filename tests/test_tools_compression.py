@@ -75,6 +75,18 @@ def test_tools_cli(tmp_path, capsys):
     tools.main(["rowcount", out])
     assert capsys.readouterr().out.strip() == "1000"
 
+    # layout: doc_id is the per-partition sort key but partitioning is
+    # (source, n_tok-range) → doc_id overlaps; n_tok's factor is small
+    lay = tools.layout(out)
+    assert lay["n_partitions"] == s["n_partitions"]
+    assert set(lay["columns"]) >= {"doc_id", "n_tok", "source"}
+    assert lay["columns"]["n_tok"]["overlap_factor"] >= 1.0
+    lay2 = tools.layout(out, ["n_tok"])
+    assert list(lay2["columns"]) == ["n_tok"]
+    tools.main(["layout", out, "--columns", "n_tok"])
+    import json as _json
+    assert "n_tok" in _json.loads(capsys.readouterr().out)["columns"]
+
 
 def test_tools_metrics(ray_session, tokens_table, tmp_path, capsys):
     import pyarrow.parquet as pq
