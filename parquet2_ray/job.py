@@ -193,15 +193,28 @@ def cmd_compact(args) -> dict:
 
 def cmd_recluster(args) -> dict:
     from .pipelines.encode_pipeline import EncodeOptions
-    from .pipelines.recluster_pipeline import recluster_container
+    from .pipelines.recluster_pipeline import (
+        incremental_recluster,
+        recluster_container,
+    )
 
     keys = args.key.split(",")
+    opts = EncodeOptions(target_weight=args.target_weight,
+                         weight_col=args.weight_col,
+                         compression=args.compression)
+    if args.incremental:
+        if args.output is not None:
+            raise SystemExit("--incremental reclusters IN PLACE; "
+                             "--output not allowed")
+        if len(keys) != 1:
+            raise SystemExit("--incremental takes a single key")
+        return incremental_recluster(args.container, keys[0], opts)
+    if args.output is None:
+        raise SystemExit("--output required (or pass --incremental "
+                         "for in-place maintenance)")
     return recluster_container(
         args.container, args.output,
-        keys[0] if len(keys) == 1 else keys,
-        EncodeOptions(target_weight=args.target_weight,
-                      weight_col=args.weight_col,
-                      compression=args.compression))
+        keys[0] if len(keys) == 1 else keys, opts)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -255,7 +268,12 @@ def main(argv: list[str] | None = None) -> int:
 
     rcl = sub.add_parser("recluster")
     rcl.add_argument("--container", required=True, help="source container")
-    rcl.add_argument("--output", required=True, help="new container dir")
+    rcl.add_argument("--output", default=None, help="new container dir "
+                     "(omit with --incremental)")
+    rcl.add_argument("--incremental", action="store_true",
+                     help="in-place maintenance: rewrite only the "
+                          "partitions whose key ranges overlap (the "
+                          "messy tail appends accrue)")
     rcl.add_argument("--key", required=True,
                      help="column to range-cluster and sort by; a "
                           "comma-separated list Z-order-clusters on "

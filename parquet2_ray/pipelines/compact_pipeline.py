@@ -92,6 +92,52 @@ def _compact_group(out_dir: str, new_id: int, members: list[dict],
     return rec.to_pylist()[0]
 
 
+def sweep_invisible(out_dir: str) -> int:
+    """GC: a general invisible-state sweep, not tied to any one run —
+    records hidden by an ACTIVE record's ``replaces`` (including a
+    previous gc=False pass), records staged under a never-committed
+    family (an abandoned incremental recluster), data files without a
+    record (a crashed run's write-then-commit window, an abandoned
+    append), and family markers with no remaining raw member.
+    Everything swept is invisible to every reader; idempotent — a
+    crash mid-sweep leaves only more invisible leftovers.
+
+    Single-writer contract: like every maintenance op, never run
+    concurrently with an in-progress encode/append/recluster on the
+    same container (the sweep would reclaim its staged state)."""
+    import json as _json
+
+    swept = 0
+    mdir = os.path.join(out_dir, "_manifest")
+    active = mf.load_manifest(out_dir)
+    families_in_use: set = set()
+    for name in fsio.listdir(mdir):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        pid = name[len("part-"):-len(".json")]
+        r = _json.loads(fsio.read_bytes(os.path.join(mdir, name)))
+        if pid in active:
+            if r.get("family"):
+                families_in_use.add(r["family"])
+            continue
+        fsio.delete(os.path.join(mdir, name))
+        fsio.delete(r["path"])
+        swept += 1
+    for name in fsio.listdir(out_dir):
+        if name.startswith("part-p") and name.endswith(".bin"):
+            pid = name[len("part-"):-len(".bin")]
+            if not fsio.exists(os.path.join(mdir, f"part-{pid}.json")):
+                fsio.delete(os.path.join(out_dir, name))
+                swept += 1
+    for name in fsio.listdir(mdir):
+        if name.startswith("family-") and name.endswith(".json"):
+            fid = name[len("family-"):-len(".json")]
+            if fid not in families_in_use:
+                fsio.delete(os.path.join(mdir, name))
+                swept += 1
+    return swept
+
+
 def compact_container(
     out_dir: str,
     target_weight: int = 4_000_000,
@@ -172,33 +218,7 @@ def compact_container(
             for i, g in enumerate(groups)
         ])
 
-    swept = 0
-    if gc:
-        # GC is a general invisible-state sweep, not tied to this run's
-        # groups: records hidden by any replaces (including a previous
-        # gc=False pass) and data files without a record (a crashed
-        # run's write-then-commit window, an abandoned append) are
-        # invisible to every reader — reclaim the bytes
-        mdir = os.path.join(out_dir, "_manifest")
-        active = mf.load_manifest(out_dir)
-        for name in fsio.listdir(mdir):
-            if not (name.startswith("part-") and name.endswith(".json")):
-                continue
-            pid = name[len("part-"):-len(".json")]
-            if pid in active:
-                continue
-            import json as _json
-
-            r = _json.loads(fsio.read_bytes(os.path.join(mdir, name)))
-            fsio.delete(os.path.join(mdir, name))
-            fsio.delete(r["path"])
-            swept += 1
-        for name in fsio.listdir(out_dir):
-            if name.startswith("part-p") and name.endswith(".bin"):
-                pid = name[len("part-"):-len(".bin")]
-                if not fsio.exists(os.path.join(mdir, f"part-{pid}.json")):
-                    fsio.delete(os.path.join(out_dir, name))
-                    swept += 1
+    swept = sweep_invisible(out_dir) if gc else 0
 
     from .append_pipeline import refold_global
 

@@ -132,6 +132,11 @@ class EncodeOptions:
     # Combined with sort_key=range_key the container is globally sorted.
     # This is the clustering mode recluster_container uses (P43).
     range_key: str | None = None
+    # extra fields merged into EVERY partition's manifest record in the
+    # same atomic commit (incremental recluster rides its family id +
+    # replaces list here, mirroring compaction's extra_record).  Must be
+    # identical across partitions and deterministic for resume.
+    record_extra: dict | None = None
 
 
 def _light_stats(batch: pa.Table, group_col: str | None, weight_col: str | None,
@@ -370,7 +375,8 @@ def _plan_stats_task(files: list, group_col, weight_col, fs=None,
     metadata pass."""
     import pyarrow.parquet as _pq
 
-    cols = [c for c in (group_col, weight_col, range_key) if c]
+    cols = list(dict.fromkeys(
+        c for c in (group_col, weight_col, range_key) if c))
     out: list = []
     meta: list = []
     for f in files:
@@ -426,8 +432,9 @@ def plan_partitions_from_files(files: list, opts: EncodeOptions,
 def plan_partitions(input_ds: rd.Dataset, opts: EncodeOptions) -> PartitionPlan:
     if opts.range_key:
         rk, wc = opts.range_key, opts.weight_col
-        light = input_ds.select_columns(
-            [c for c in (rk, wc) if c]).map_batches(
+        # dedupe: clustering on the weight column itself is legal
+        cols = [rk] if wc in (None, rk) else [rk, wc]
+        light = input_ds.select_columns(cols).map_batches(
             lambda b: _light_stats_range(b, rk, wc),
             batch_format="pyarrow",
         )
@@ -746,7 +753,7 @@ def _pack_rg_items(file_meta: list, target_tasks: int,
 @ray.remote
 def _encode_group(out_dir: str, sort_key, weight_col,
                   forced_codecs, resume, compression, fsync,
-                  rows_per_block, id_offset, *shards) -> list:
+                  rows_per_block, id_offset, record_extra, *shards) -> list:
     """Level-2 reduce of the hierarchical exchange: reassemble one group
     of partitions from its coarse shards and encode each partition.
     Each partition keeps the flat path's contract — deterministic
@@ -788,6 +795,7 @@ def _encode_group(out_dir: str, sort_key, weight_col,
             compression=compression,
             fsync=fsync,
             rows_per_block=rows_per_block,
+            extra_record=record_extra,
         )
         recs.append(rec.to_pylist()[0])
     return recs
@@ -796,7 +804,7 @@ def _encode_group(out_dir: str, sort_key, weight_col,
 @ray.remote
 def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
                  forced_codecs, resume, compression, fsync,
-                 rows_per_block, *shards) -> dict:
+                 rows_per_block, record_extra, *shards) -> dict:
     """Exchange reduce side: reassemble one partition from its shards and
     encode/commit it. Deterministic + atomic commit ⇒ safe under retry."""
     tables = [
@@ -822,6 +830,7 @@ def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
         compression=compression,
         fsync=fsync,
         rows_per_block=rows_per_block,
+        extra_record=record_extra,
     )
     return rec.to_pylist()[0]
 
@@ -1006,7 +1015,7 @@ def encode_dataset(
             _encode_group.remote(
                 out_dir, sort_key, weight_col, opts.forced_codecs,
                 opts.resume, opts.compression, opts.fsync,
-                opts.rows_per_block, opts.id_offset,
+                opts.rows_per_block, opts.id_offset, opts.record_extra,
                 *[m[g] for m in shard_refs],
             )
             for g in range(n_out)
@@ -1018,7 +1027,7 @@ def encode_dataset(
             _encode_part.remote(
                 opts.id_offset + p, out_dir, sort_key, weight_col,
                 opts.forced_codecs, opts.resume, opts.compression,
-                opts.fsync, opts.rows_per_block,
+                opts.fsync, opts.rows_per_block, opts.record_extra,
                 *[m[p] for m in shard_refs],
             )
             for p in range(n_parts)
@@ -1180,8 +1189,23 @@ def decode_dataset(out_dir: str, key_values=None,
     elif key_range is not None:
         paths = prune_partitions_by_range(out_dir, *key_range)
     else:
-        records = mf.load_manifest(out_dir)
-        paths = [r["path"] for r in records.values()]
+        paths = None
+    records = mf.load_manifest(out_dir)
+    # deterministic ascending part-id order (listdir order is not a
+    # contract).  Ray Datasets preserve block order, so a range-
+    # clustered container (P43: ids ascend with the key, rows sorted
+    # within) streams back GLOBALLY key-ordered — merge-join/export
+    # consumers get sorted input for free.
+    def _pid_num(r: dict) -> int:
+        s = str(r["part_id"])
+        return int(s[1:]) if s[:1] == "p" else int(s)
+
+    by_id = sorted(records.values(), key=_pid_num)
+    if paths is None:
+        paths = [r["path"] for r in by_id]
+    else:
+        keep = set(paths)
+        paths = [r["path"] for r in by_id if r["path"] in keep]
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
 

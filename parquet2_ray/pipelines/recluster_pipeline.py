@@ -46,7 +46,8 @@ from .encode_pipeline import (
     encode_dataset,
 )
 
-__all__ = ["recluster_container", "clustering_quality", "ZVAL_COL"]
+__all__ = ["recluster_container", "incremental_recluster",
+           "clustering_quality", "ZVAL_COL"]
 
 # the Z-order helper column materialized into the rewritten container
 # (int64, delta/PFOR-friendly).  Kept on purpose: it is the partition
@@ -114,6 +115,142 @@ def recluster_container(
                              for k in keys} if len(keys) > 1 \
         else clustering_quality(out_dir, rkey)
     return summary
+
+
+def incremental_recluster(
+    out_dir: str,
+    key: str,
+    opts: EncodeOptions | None = None,
+    gc: bool = True,
+) -> dict:
+    """IN-PLACE clustering maintenance: rewrite only the partitions
+    whose ``key`` ranges overlap each other (the messy tail appends
+    accrue on a clustered container), leaving the disjoint core
+    untouched — the incremental ``OPTIMIZE`` between full reclusters.
+
+    Mechanics: partitions are split by their manifest [min,max]
+    profiles into a pairwise-DISJOINT core and a messy set (any span
+    overlapping another, plus spans without stats).  The messy rows are
+    decoded, range-planned on ``key`` among THEMSELVES (level-style
+    clustering: the new partitions are disjoint from each other, and
+    each overlaps only O(1) core partitions), and re-encoded into the
+    same container.
+
+    Atomicity: one old partition's rows scatter across several new
+    ones, so no single record's ``replaces`` could flip visibility
+    safely.  Every new record is committed STAGED under a deterministic
+    family id (invisible to all readers), each carrying the full messy
+    ``replaces`` set; ``manifest.commit_family`` then activates them
+    all in ONE atomic write.  A crash before the marker leaves the
+    container exactly as it was (staged state is invisible; re-running
+    resumes by fingerprint into the same family).  Single writer per
+    container, like every maintenance op.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from ..stages.encode import decode_partition_path
+    from .append_pipeline import _load_sessions, refold_global
+    from .compact_pipeline import _raw_record_ids, sweep_invisible
+
+    records = mf.load_manifest(out_dir)
+    if not records:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    sessions = _load_sessions(out_dir)
+    pending = next((s for s in sessions if s.get("n_parts") is None), None)
+    if pending is not None:
+        raise RuntimeError(
+            f"container has an unfinished append "
+            f"{pending['append_id']!r}: resume it before reclustering")
+    base_opts = opts or EncodeOptions()
+
+    # core = a MAXIMUM pairwise-disjoint subset of the key spans
+    # (greedy earliest-endpoint interval selection — optimal); messy =
+    # everything else, plus statless partitions.  A mutual-overlap
+    # count would be wrong here: one month-wide appended partition
+    # overlaps EVERY core partition and would drag the whole container
+    # into the rewrite.
+    spans: dict[str, tuple] = {}
+    statless: list[str] = []
+    for pid, r in records.items():
+        prof = next((p for p in r.get("profiles", [])
+                     if p.get("column") == key), None)
+        if prof is None or prof.get("min") is None:
+            statless.append(pid)
+        else:
+            spans[pid] = (prof["min"], prof["max"])
+    kept_hi = None
+    core: set[str] = set()
+    for pid, (lo, hi) in sorted(spans.items(), key=lambda kv: kv[1][1]):
+        if kept_hi is None or lo > kept_hi:
+            core.add(pid)
+            kept_hi = hi
+    messy = statless + [pid for pid in spans if pid not in core]
+    if len(messy) < 2:
+        return {"n_messy": len(messy), "n_new": 0, "noop": True,
+                "n_partitions": len(records), "out_dir": out_dir}
+
+    messy_recs = [records[pid] for pid in sorted(messy)]
+    # deterministic family id: a crashed run re-derives it and resumes
+    fid = hashlib.blake2b(
+        ("|".join(sorted(messy)) + f"|{key}|{base_opts.target_weight}"
+         ).encode(), digest_size=8).hexdigest()
+    # replaces carries the messy ids AND their own replaces forward
+    # transitively (compaction's resurrection guard)
+    replaces = sorted(
+        set(messy) | {x for r in messy_recs for x in (r.get("replaces") or ())})
+
+    paths = [r["path"] for r in messy_recs]
+
+    def _decode(batch: pa.Table):
+        for p in batch["path"]:
+            yield decode_partition_path(p.as_py())
+
+    ds = rd.from_items([{"path": p} for p in paths]).map_batches(
+        _decode, batch_format="pyarrow", batch_size=1)
+    schema_names = ds.schema().names
+    weight_col = (base_opts.weight_col
+                  if base_opts.weight_col in schema_names else None)
+    # id allocation: a crashed run's staged records (same fid) pin the
+    # range — the re-run MUST resume into it, or both generations of
+    # staged partitions would activate together under the one family
+    # marker (duplicate rows).  The plan is deterministic (same messy
+    # content → same edges → same ids), so fingerprint-resume skips
+    # already-encoded members.
+    import json as _json
+    import os as _os
+
+    staged_ids = []
+    mdir = _os.path.join(out_dir, "_manifest")
+    for name in mf.fsio.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            r = _json.loads(mf.fsio.read_bytes(_os.path.join(mdir, name)))
+            if r.get("family") == fid:
+                staged_ids.append(int(r["part_id"][1:]))
+    if staged_ids:
+        base = min(staged_ids)
+    else:
+        base = max((_raw_record_ids(out_dir) or [-1])) + 1
+        base = max(base, max((int(s["base"]) + int(s["n_parts"])
+                              for s in sessions), default=0))
+    ropts = replace(base_opts, group_col=None, weight_col=weight_col,
+                    range_key=key, sort_key=key, id_offset=base,
+                    record_extra={"family": fid, "replaces": replaces})
+    summary = encode_dataset(ds, out_dir, ropts)
+    mf.commit_family(out_dir, fid, fsync=base_opts.fsync)
+    swept = sweep_invisible(out_dir) if gc else 0
+    combined = refold_global(out_dir)
+    return {
+        "n_messy": len(messy),
+        "n_new": summary["n_partitions"],
+        "family": fid,
+        "gc_swept": swept,
+        "n_partitions": combined["n_partitions"],
+        "n_rows": combined["n_rows"],
+        "clustering": clustering_quality(out_dir, key),
+        "out_dir": out_dir,
+    }
 
 
 def _sample_quantile_grids(ds, keys: list[str], bits: int) -> dict:

@@ -446,18 +446,57 @@ def load_manifest(out_dir: str) -> dict[str, dict]:
     dropped here, so the visibility flip is the ONE atomic commit of
     the replacing record — every reader (decode, Datasource, pruning,
     verify, tools) inherits crash safety through this filter.  Replaced
-    records/files linger until GC'd; they are never returned."""
+    records/files linger until GC'd; they are never returned.
+
+    A record may instead carry ``family: <fid>`` — a MULTI-partition
+    atomic commit (incremental recluster: one old partition's rows
+    scatter across several new ones, so no single record's ``replaces``
+    could flip visibility without a lost- or duplicate-rows crash
+    window).  Family members stay STAGED (invisible, replaces ignored)
+    until the one atomic write of ``_manifest/family-<fid>.json``
+    activates every member and their replaces together.  Staged state a
+    crashed run abandons is invisible forever and reclaimed by the
+    standard GC sweep; records without a family behave exactly as
+    before."""
     d = os.path.join(out_dir, "_manifest")
     records: dict[str, dict] = {}
     replaced: set[str] = set()
+    staged: list[dict] = []
+    committed_families: set[str] = set()
     for name in fsio.listdir(d):
+        if name.startswith("family-") and name.endswith(".json"):
+            committed_families.add(name[len("family-"):-len(".json")])
+            continue
         if name.startswith("part-") and name.endswith(".json"):
             r = json.loads(fsio.read_bytes(os.path.join(d, name)))
+            if r.get("family"):
+                staged.append(r)
+                continue
+            records[r["part_id"]] = r
+            replaced.update(r.get("replaces") or ())
+    for r in staged:
+        if r["family"] in committed_families:
             records[r["part_id"]] = r
             replaced.update(r.get("replaces") or ())
     for pid in replaced:
         records.pop(pid, None)
     return records
+
+
+def commit_family(out_dir: str, family_id: str, fsync: bool = True) -> str:
+    """THE atomic visibility flip of a multi-partition commit: after
+    this write every staged record carrying ``family_id`` is active and
+    its ``replaces`` take effect — all together, or (on crash) not at
+    all."""
+    path = os.path.join(manifest_dir(out_dir), f"family-{family_id}.json")
+    _atomic_write(path, json.dumps({"family": family_id}).encode(),
+                  fsync=fsync)
+    return path
+
+
+def family_committed(out_dir: str, family_id: str) -> bool:
+    return fsio.exists(os.path.join(manifest_dir(out_dir),
+                                    f"family-{family_id}.json"))
 
 
 def write_global_manifest(out_dir: str, summary: dict) -> str:

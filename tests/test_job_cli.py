@@ -150,3 +150,33 @@ def test_job_recluster(tmp_path, capsys):
     assert main(["verify", "--container", out]) == 0
     assert json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])["n_bad"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_recluster_incremental(tmp_path, capsys):
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    cont = str(tmp_path / "cont")
+    p = tmp_path / "in.parquet"
+    pq.write_table(make_tokens_table(600, seed=41), p)
+    # clustered base (range on n_tok), then one month-wide append
+    assert main(["encode", "--input", str(p), "--output", cont,
+                 "--target-weight", "40000"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "byk")
+    assert main(["recluster", "--container", cont, "--output", out,
+                 "--key", "n_tok", "--target-weight", "40000"]) == 0
+    capsys.readouterr()
+    p2 = tmp_path / "in2.parquet"
+    pq.write_table(make_tokens_table(200, seed=42), p2)
+    assert main(["encode", "--input", str(p2), "--output", out,
+                 "--target-weight", "40000", "--append",
+                 "--append-id", "i1"]) == 0
+    capsys.readouterr()
+    assert main(["recluster", "--container", out, "--key", "n_tok",
+                 "--incremental", "--target-weight", "40000"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_rows"] == 800 and s["n_messy"] >= 1
+    assert main(["verify", "--container", out]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["n_bad"] == 0

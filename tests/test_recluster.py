@@ -299,3 +299,151 @@ def test_zvalues_interleave_golden():
     # row0: cells (1,2): a bits 01 -> pos0; b bits 10 -> pos3 => 1+8=9
     # row1: cells (3,3): a bits 11 -> pos0,2; b bits 11 -> pos1,3 => 15
     assert z.tolist() == [9, 15]
+
+
+def test_clustered_decode_streams_globally_sorted(source_container):
+    """decode_dataset emits partitions in ascending part-id order and
+    Ray preserves block order, so a range-clustered container streams
+    back globally sorted on its key without any sort stage."""
+    out_a, table, d = source_container
+    out_b = f"{d}/container_b"  # doc_id-reclustered by the first test
+    import ray
+
+    seen = []
+    for ref in decode_dataset(out_b, columns=["doc_id"]).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            seen.extend(t["doc_id"].to_pylist())
+    assert seen == sorted(seen)
+    assert len(seen) == table.num_rows
+
+
+# ---- incremental recluster (in-place, family-atomic) ----
+
+def _k_table(n, lo, hi, seed, tag):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "rid": pa.array([f"{tag}-{i:06d}" for i in range(n)]),
+        "k": pa.array(rng.integers(lo, hi, n), type=pa.int64()),
+        "n_tok": pa.array(rng.integers(1, 20, n), type=pa.int32()),
+    })
+
+
+def _incr_setup(tmp_path):
+    """Clustered base + two month-wide appends → degraded layout."""
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+
+    base_t = _k_table(10_000, 0, 100_000, 1, "base")
+    src = str(tmp_path / "base.parquet")
+    pq.write_table(base_t, src)
+    out = str(tmp_path / "cont")
+    opts = EncodeOptions(group_col=None, weight_col=None, sort_key="k",
+                         range_key="k", target_rows=2000, fsync=False)
+    encode_dataset(src, out, opts)
+    incs = []
+    for i in range(2):
+        t = _k_table(1000, 0, 100_000, 10 + i, f"inc{i}")
+        p = str(tmp_path / f"inc{i}.parquet")
+        pq.write_table(t, p)
+        aopts = EncodeOptions(group_col=None, weight_col=None, sort_key="k",
+                              target_rows=2000, fsync=False)
+        append_dataset(p, out, aopts, append_id=f"inc-{i}")
+        incs.append(t)
+    union = pa.concat_tables([base_t] + incs)
+    return out, union
+
+
+def test_incremental_recluster_rewrites_only_messy(ray_session, tmp_path):
+    from parquet2_ray.pipelines.recluster_pipeline import incremental_recluster
+    from parquet2_ray.state import manifest as mf
+
+    out, union = _incr_setup(tmp_path)
+    before = mf.load_manifest(out)
+    core_fps = {pid: r["fingerprint"] for pid, r in before.items()}
+    s = incremental_recluster(
+        out, "k", EncodeOptions(weight_col=None, target_rows=2000,
+                                fsync=False))
+    assert s["n_messy"] == 2, s          # exactly the two appended parts
+    assert s["n_rows"] == union.num_rows
+    after = mf.load_manifest(out)
+    # the disjoint core is untouched: same records, same fingerprints
+    for pid, r in after.items():
+        if pid in core_fps:
+            assert r["fingerprint"] == core_fps[pid]
+    # rows exact after the rewrite
+    got = _gather(out, "rid")
+    assert got.select(union.column_names).equals(union.sort_by("rid"))
+    # layout restored: new partitions disjoint among themselves, each
+    # overlapping only O(1) core partitions
+    assert s["clustering"]["overlap_factor"] <= 3.0
+    # the messy ids are gone and GC swept their records/files
+    assert not (set(before) - set(core_fps)) & set(after)
+
+
+def test_incremental_recluster_noop_on_clean_container(ray_session,
+                                                       tmp_path):
+    from parquet2_ray.pipelines.recluster_pipeline import incremental_recluster
+
+    t = _k_table(5000, 0, 50_000, 3, "b")
+    src = str(tmp_path / "b.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "cont")
+    encode_dataset(src, out, EncodeOptions(
+        group_col=None, weight_col=None, sort_key="k", range_key="k",
+        target_rows=1000, fsync=False))
+    s = incremental_recluster(out, "k", EncodeOptions(
+        weight_col=None, target_rows=1000, fsync=False))
+    assert s.get("noop") and s["n_new"] == 0
+
+
+def test_incremental_recluster_crash_before_marker(ray_session, tmp_path,
+                                                   monkeypatch):
+    """A crash after the staged records but BEFORE the family marker
+    leaves the container bit-identical to its pre-recluster state — no
+    lost rows, no duplicates — and a re-run completes."""
+    from parquet2_ray.pipelines.recluster_pipeline import incremental_recluster
+    from parquet2_ray.state import manifest as mf
+
+    out, union = _incr_setup(tmp_path)
+    before = dict(mf.load_manifest(out))
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before family commit")
+
+    monkeypatch.setattr(mf, "commit_family", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        incremental_recluster(out, "k", EncodeOptions(
+            weight_col=None, target_rows=2000, fsync=False))
+    monkeypatch.undo()
+    # staged state is invisible: the manifest and the decoded rows are
+    # exactly the pre-recluster container
+    mid = mf.load_manifest(out)
+    assert set(mid) == set(before)
+    got = _gather(out, "rid")
+    assert got.select(union.column_names).equals(union.sort_by("rid"))
+    # re-run resumes into the same family and completes
+    s = incremental_recluster(out, "k", EncodeOptions(
+        weight_col=None, target_rows=2000, fsync=False))
+    assert s["n_rows"] == union.num_rows
+    got2 = _gather(out, "rid")
+    assert got2.select(union.column_names).equals(union.sort_by("rid"))
+
+
+def test_family_visibility_unit(tmp_path):
+    """load_manifest: staged family records (and their replaces) are
+    invisible until commit_family's single atomic write."""
+    from parquet2_ray.state import manifest as mf
+    from parquet2_ray.state.fsio import ensure_dir
+
+    out = str(tmp_path / "c")
+    ensure_dir(out + "/_manifest")
+    mf.commit_manifest_record(out, {"part_id": "p000000", "path": f"{out}/part-p000000.bin"}, fsync=False)
+    mf.commit_manifest_record(out, {"part_id": "p000001", "path": f"{out}/part-p000001.bin",
+                                    "family": "fam1",
+                                    "replaces": ["p000000"]}, fsync=False)
+    act = mf.load_manifest(out)
+    assert set(act) == {"p000000"}, "staged record must be invisible"
+    mf.commit_family(out, "fam1", fsync=False)
+    act = mf.load_manifest(out)
+    assert set(act) == {"p000001"}, "marker activates member + replaces"
+    assert mf.family_committed(out, "fam1")
