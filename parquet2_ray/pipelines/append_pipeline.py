@@ -171,9 +171,13 @@ def append_dataset(
                 f"{pending['append_id']!r} (base {pending['base']}): "
                 "resume it (same input / append_id) before appending "
                 "a different increment")
-        records = mf.load_manifest(out_dir)
-        committed_max = max(
-            (int(pid[1:]) for pid in records), default=-1)
+        # RAW record ids (replaced + family-staged included): the active
+        # set hides a replaced or staged record whose id must still
+        # never be reused — an abandoned incremental recluster's staged
+        # ids would otherwise collide with this append's
+        from .compact_pipeline import _raw_record_ids
+
+        committed_max = max(_raw_record_ids(out_dir), default=-1)
         reserved_max = max(
             (int(s["base"]) + int(s["n_parts"]) - 1 for s in sessions),
             default=-1)

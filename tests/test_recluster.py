@@ -447,3 +447,47 @@ def test_family_visibility_unit(tmp_path):
     act = mf.load_manifest(out)
     assert set(act) == {"p000001"}, "marker activates member + replaces"
     assert mf.family_committed(out, "fam1")
+
+
+def test_append_allocates_past_staged_family_ids(ray_session, tmp_path,
+                                                 monkeypatch):
+    """An abandoned incremental recluster leaves invisible STAGED
+    records at high ids; a later append must allocate past them (raw
+    ids, not the active set) or it would overwrite staged files and a
+    family re-run could then clobber the append's committed data."""
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.compact_pipeline import _raw_record_ids
+    from parquet2_ray.pipelines.recluster_pipeline import incremental_recluster
+    from parquet2_ray.state import manifest as mf
+
+    out, union = _incr_setup(tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("abandon")
+
+    monkeypatch.setattr(mf, "commit_family", boom)
+    with pytest.raises(RuntimeError, match="abandon"):
+        incremental_recluster(out, "k", EncodeOptions(
+            weight_col=None, target_rows=2000, fsync=False), gc=False)
+    monkeypatch.undo()
+    staged_max = max(_raw_record_ids(out))
+    late = _k_table(500, 0, 100_000, 99, "late")
+    p = str(tmp_path / "late.parquet")
+    pq.write_table(late, p)
+    append_dataset(p, out, EncodeOptions(
+        group_col=None, weight_col=None, sort_key="k", target_rows=2000,
+        fsync=False), append_id="late")
+    # every id the append committed lies past the staged range
+    active = mf.load_manifest(out)
+    assert max(int(pid[1:]) for pid in active) > staged_max
+    # the container stays exact: base + 2 incs + late (staged invisible)
+    want = pa.concat_tables([union, late])
+    got = _gather(out, "rid")
+    assert got.select(want.column_names).equals(want.sort_by("rid"))
+    # and a fresh incremental recluster (new messy set → new family)
+    # completes with exact rows
+    s2 = incremental_recluster(out, "k", EncodeOptions(
+        weight_col=None, target_rows=2000, fsync=False))
+    assert s2["n_rows"] == want.num_rows
+    got2 = _gather(out, "rid")
+    assert got2.select(want.column_names).equals(want.sort_by("rid"))
