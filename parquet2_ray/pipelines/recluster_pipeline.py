@@ -192,9 +192,16 @@ def incremental_recluster(
                 "n_partitions": len(records), "out_dir": out_dir}
 
     messy_recs = [records[pid] for pid in sorted(messy)]
-    # deterministic family id: a crashed run re-derives it and resumes
+    # deterministic family id: a crashed run re-derives it and resumes.
+    # EVERY plan-affecting option participates — a re-run with changed
+    # options must get a fresh family (and fresh ids), or leftover
+    # staged members of the old attempt beyond the new plan's range
+    # would activate with it and duplicate rows
     fid = hashlib.blake2b(
-        ("|".join(sorted(messy)) + f"|{key}|{base_opts.target_weight}"
+        ("|".join(sorted(messy)) +
+         f"|{key}|{base_opts.target_weight}|{base_opts.target_rows}"
+         f"|{base_opts.weight_col}|{base_opts.compression}"
+         f"|{base_opts.rows_per_block}"
          ).encode(), digest_size=8).hexdigest()
     # replaces carries the messy ids AND their own replaces forward
     # transitively (compaction's resurrection guard)
@@ -216,18 +223,9 @@ def incremental_recluster(
     # range — the re-run MUST resume into it, or both generations of
     # staged partitions would activate together under the one family
     # marker (duplicate rows).  The plan is deterministic (same messy
-    # content → same edges → same ids), so fingerprint-resume skips
-    # already-encoded members.
-    import json as _json
-    import os as _os
-
-    staged_ids = []
-    mdir = _os.path.join(out_dir, "_manifest")
-    for name in mf.fsio.listdir(mdir):
-        if name.startswith("part-") and name.endswith(".json"):
-            r = _json.loads(mf.fsio.read_bytes(_os.path.join(mdir, name)))
-            if r.get("family") == fid:
-                staged_ids.append(int(r["part_id"][1:]))
+    # content + same options → same edges → same ids), so
+    # fingerprint-resume skips already-encoded members.
+    staged_ids = _family_member_ids(out_dir, fid)
     if staged_ids:
         base = min(staged_ids)
     else:
@@ -238,6 +236,17 @@ def incremental_recluster(
                     range_key=key, sort_key=key, id_offset=base,
                     record_extra={"family": fid, "replaces": replaces})
     summary = encode_dataset(ds, out_dir, ropts)
+    # pre-commit guard: the marker activates EVERY raw record carrying
+    # this fid — refuse if any sits outside this run's id range (a
+    # leftover from a differently-planned attempt would duplicate rows)
+    stray = [i for i in _family_member_ids(out_dir, fid)
+             if not (base <= i < base + summary["n_partitions"])]
+    if stray:
+        raise RuntimeError(
+            f"staged family {fid} has members outside this run's id "
+            f"range {base}..{base + summary['n_partitions'] - 1}: "
+            f"{sorted(stray)} — refusing to commit; run GC "
+            "(sweep_invisible) and retry")
     mf.commit_family(out_dir, fid, fsync=base_opts.fsync)
     swept = sweep_invisible(out_dir) if gc else 0
     combined = refold_global(out_dir)
@@ -251,6 +260,22 @@ def incremental_recluster(
         "clustering": clustering_quality(out_dir, key),
         "out_dir": out_dir,
     }
+
+
+def _family_member_ids(out_dir: str, fid: str) -> list[int]:
+    """Numeric ids of every RAW record staged under ``fid`` (committed
+    or not) — O(partitions) driver-side manifest reads."""
+    import json as _json
+    import os as _os
+
+    out = []
+    mdir = _os.path.join(out_dir, "_manifest")
+    for name in mf.fsio.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            r = _json.loads(mf.fsio.read_bytes(_os.path.join(mdir, name)))
+            if r.get("family") == fid:
+                out.append(int(r["part_id"][1:]))
+    return out
 
 
 def _sample_quantile_grids(ds, keys: list[str], bits: int) -> dict:

@@ -491,3 +491,28 @@ def test_append_allocates_past_staged_family_ids(ray_session, tmp_path,
     assert s2["n_rows"] == want.num_rows
     got2 = _gather(out, "rid")
     assert got2.select(want.column_names).equals(want.sort_by("rid"))
+
+
+def test_incremental_rerun_with_changed_options_gets_fresh_family(
+        ray_session, tmp_path, monkeypatch):
+    """Abandon a run, then re-run with DIFFERENT plan options: the fid
+    differs, so the old staged generation stays invisible (GC'd), never
+    activating alongside the new one."""
+    from parquet2_ray.pipelines.recluster_pipeline import incremental_recluster
+    from parquet2_ray.state import manifest as mf
+
+    out, union = _incr_setup(tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("abandon")
+
+    monkeypatch.setattr(mf, "commit_family", boom)
+    with pytest.raises(RuntimeError, match="abandon"):
+        incremental_recluster(out, "k", EncodeOptions(
+            weight_col=None, target_rows=500, fsync=False), gc=False)
+    monkeypatch.undo()
+    s = incremental_recluster(out, "k", EncodeOptions(
+        weight_col=None, target_rows=2000, fsync=False))
+    assert s["n_rows"] == union.num_rows
+    got = _gather(out, "rid")
+    assert got.select(union.column_names).equals(union.sort_by("rid"))
