@@ -1,0 +1,173 @@
+"""Shuffle-free group-by over an encoded container.
+
+A generic distributed group-by pays one all-to-all exchange of O(rows)
+(or, with partial combiners, O(groups × partitions)).  Over a
+key-CLUSTERED container (P43) neither is needed: a key whose value is
+contained in exactly ONE partition's recorded [min,max] span lives
+entirely in that partition, so its aggregate is final the moment the
+partition-local group-by finishes.  Only keys inside span
+intersections — the duplicate-edge boundary values, a handful per
+partition on a clustered layout — need a second combine, and that
+combine is over PARTIAL rows (one per key × touching partition), not
+data rows.
+
+Per-task finality is decided vectorized: the driver ships the global
+span table (sorted lo/his of every partition), and a group key's stab
+count — #spans containing it — is two ``searchsorted`` calls; count==1
+means final.  On an unclustered container every span overlaps every
+other, stab > 1 everywhere, and the operator degrades gracefully into
+an ordinary two-phase aggregate (partials + a groups-sized combine) —
+same exchange mass as the classic combiner pattern, never worse.
+
+Supported aggregates are the decomposable ones: sum, count, min, max,
+mean (sum/count pair re-derived after the combine).
+
+No reference analog: parquet2 is a codec library; this is the
+aggregate-pushdown its column statistics make possible at engine level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..state import manifest as mf
+
+__all__ = ["aggregate_clustered"]
+
+_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def aggregate_clustered(
+    container_dir: str,
+    key: str,
+    aggs: dict[str, list[str]],
+) -> pa.Table:
+    """Group-by ``key`` with per-column aggregates over a container;
+    returns the complete result as one Table (output is O(distinct
+    keys) — already reduced; stream-size results belong to the window
+    stages, not a group-by).
+
+    ``aggs``: ``{column: ["sum", "mean", ...]}``.  Output columns are
+    named ``{column}_{fn}`` plus the key.
+    """
+    for col, fns in aggs.items():
+        for fn in fns:
+            if fn not in ("sum", "count", "min", "max", "mean"):
+                raise ValueError(f"unsupported aggregate {fn!r} on {col!r}")
+    records = mf.load_manifest(container_dir)
+    if not records:
+        raise FileNotFoundError(
+            f"no committed partitions under {container_dir}")
+    # global span table for the stab test (profiles are already in the
+    # comparison domain readers use — numbers, or isoformat strings)
+    spans = []
+    spanless = False
+    for r in records.values():
+        prof = next((p for p in r.get("profiles", [])
+                     if p.get("column") == key), None)
+        if prof is None or prof.get("min") is None:
+            spanless = True
+        else:
+            spans.append((prof["min"], prof["max"]))
+    los = sorted(lo for lo, _ in spans)
+    his = sorted(hi for _, hi in spans)
+    # a partition without a span could hold ANY key → nothing is final
+    force_combine = spanless
+
+    # physical aggregation plan: mean → (sum, count); every requested
+    # fn maps onto decomposable partials
+    phys: list[tuple[str, str]] = []
+    for col, fns in aggs.items():
+        need = set(fns)
+        if "mean" in need:
+            need.discard("mean")
+            need.update(("sum", "count"))
+        for fn in sorted(need):
+            phys.append((col, fn))
+    phys = sorted(set(phys))
+
+    def _partial(batch: pa.Table):
+        import pyarrow.compute as pc  # noqa: F401  (grouped kernels)
+
+        from ..stages.encode import decode_partition_path
+
+        cols = list(dict.fromkeys([key] + [c for c, _ in phys]))
+        for p in batch["path"]:
+            t = decode_partition_path(p.as_py(), columns=cols)
+            if t.num_rows == 0:
+                continue
+            g = pa.TableGroupBy(t, key).aggregate(phys)
+            # stab count per group key: #partition spans containing it
+            if force_combine or not los:
+                final = np.zeros(g.num_rows, dtype=bool)
+            else:
+                kv = g[key].combine_chunks()
+                nulls = (kv.is_null().to_numpy(zero_copy_only=False)
+                         if kv.null_count else None)
+                py = kv.to_pylist()
+                probe = [v if v is not None else los[0] for v in py]
+                if isinstance(los[0], str):
+                    probe = [str(v) for v in probe]
+                arr = np.asarray(probe)
+                lo_arr = np.asarray(los)
+                hi_arr = np.asarray(his)
+                stab = (np.searchsorted(lo_arr, arr, side="right")
+                        - np.searchsorted(hi_arr, arr, side="left"))
+                final = stab <= 1
+                if nulls is not None:
+                    # null keys are invisible to spans: always combine
+                    final &= ~nulls
+            yield g.append_column("__final", pa.array(final))
+
+    items = [{"path": r["path"]} for r in
+             sorted(records.values(), key=lambda r: r["part_id"])]
+    partials = rd.from_items(items).map_batches(
+        _partial, batch_format="pyarrow", batch_size=1).materialize()
+    import ray
+
+    tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({})
+    allp = pa.concat_tables(tabs, promote_options="default")
+    mask = allp["__final"].combine_chunks()
+    final_rows = allp.filter(mask).drop_columns(["__final"])
+    rest = allp.filter(pa.compute.invert(mask)).drop_columns(["__final"])
+    if rest.num_rows:
+        merge = [(f"{c}_{fn}", _MERGE[fn]) for c, fn in phys]
+        combined = pa.TableGroupBy(rest, key).aggregate(merge)
+        # aggregate() names merged cols "{col}_{fn}_{mergefn}" — restore
+        combined = _restore_names(combined, key, phys)
+        out = pa.concat_tables(
+            [final_rows.select(combined.column_names), combined])
+    else:
+        out = final_rows
+    return _derive(out, key, aggs)
+
+
+def _restore_names(t: pa.Table, key: str, phys: list) -> pa.Table:
+    names = []
+    it = iter([f"{c}_{fn}" for c, fn in phys])
+    for n in t.column_names:
+        names.append(n if n == key else next(it))
+    return t.rename_columns(names)
+
+
+def _derive(t: pa.Table, key: str, aggs: dict) -> pa.Table:
+    """Project the physical partial columns onto the requested ones
+    (mean = sum/count; drop helpers the user didn't ask for)."""
+    import pyarrow.compute as pc
+
+    cols: dict[str, pa.Array] = {key: t[key].combine_chunks()}
+    for col, fns in aggs.items():
+        for fn in fns:
+            if fn == "mean":
+                s = t[f"{col}_sum"].combine_chunks()
+                c = t[f"{col}_count"].combine_chunks()
+                cols[f"{col}_mean"] = pc.divide(
+                    pc.cast(s, pa.float64()), pc.cast(c, pa.float64()))
+            else:
+                cols[f"{col}_{fn}"] = t[f"{col}_{fn}"].combine_chunks()
+    return pa.table(cols).sort_by(key)

@@ -1,0 +1,88 @@
+"""P47 aggregate_clustered: shuffle-free group-by over a clustered
+container (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet2_ray.pipelines.container_agg import aggregate_clustered
+from parquet2_ray.pipelines.encode_pipeline import EncodeOptions, encode_dataset
+
+
+def _table(n, seed):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "uid": pa.array(
+            [None if x < 40 else int(x) for x in
+             rng.integers(0, 800, n)], type=pa.int64()),
+        "v": pa.array(rng.random(n)),
+        "w": pa.array(rng.integers(0, 100, n), type=pa.int64()),
+    })
+
+
+def _oracle(t: pa.Table) -> pa.Table:
+    con = duckdb.connect()
+    con.register("t", t)
+    return con.execute("""
+        SELECT uid, sum(v) AS v_sum, avg(v) AS v_mean,
+               min(w) AS w_min, max(w) AS w_max, count(w) AS w_count
+        FROM t GROUP BY uid ORDER BY uid
+    """).arrow()
+
+
+AGGS = {"v": ["sum", "mean"], "w": ["min", "max", "count"]}
+
+
+def _check(got: pa.Table, want: pa.Table):
+    got = got.select(want.column_names)
+    assert got.num_rows == want.num_rows
+    for c in want.column_names:
+        g = got[c].to_pylist()
+        w = want[c].to_pylist()
+        for a, b in zip(g, w):
+            if isinstance(a, float) and b is not None:
+                assert a == pytest.approx(b, rel=1e-12), c
+            else:
+                assert a == b, c
+
+
+def test_clustered_aggregate_matches_duckdb(ray_session, tmp_path):
+    t = _table(8000, 21)
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "c")
+    encode_dataset(src, out, EncodeOptions(
+        group_col=None, weight_col=None, sort_key="uid", range_key="uid",
+        target_rows=1500, fsync=False))
+    got = aggregate_clustered(out, "uid", AGGS)
+    _check(got, _oracle(t))
+
+
+def test_unclustered_aggregate_degrades_gracefully(ray_session, tmp_path):
+    """Overlapping spans force the combine everywhere — exact results
+    either way (the classic two-phase aggregate shape)."""
+    t = _table(8000, 22)
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "c")
+    encode_dataset(src, out, EncodeOptions(
+        group_col=None, weight_col="w", sort_key="uid",
+        target_weight=60_000, fsync=False))
+    got = aggregate_clustered(out, "uid", AGGS)
+    _check(got, _oracle(t))
+
+
+def test_aggregate_validation(ray_session, tmp_path):
+    t = _table(100, 23)
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "c")
+    encode_dataset(src, out, EncodeOptions(
+        group_col=None, weight_col=None, sort_key="uid",
+        target_rows=1000, fsync=False))
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        aggregate_clustered(out, "uid", {"v": ["median"]})
