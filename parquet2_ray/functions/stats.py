@@ -17,7 +17,37 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["column_profile", "fold_profiles", "int_shape_stats",
-           "bound_in_profile_domain"]
+           "bound_in_profile_domain", "key_span", "profile_value_to_typed"]
+
+
+def key_span(record: dict, column: str):
+    """One partition record's recorded (min, max) for ``column``, or
+    ``None`` when the column has no usable stats — the single span
+    extraction every pruning/clustering decision shares."""
+    prof = next((p for p in record.get("profiles", [])
+                 if p.get("column") == column), None)
+    if prof is None or prof.get("min") is None:
+        return None
+    return prof["min"], prof["max"]
+
+
+def profile_value_to_typed(v, arrow_type):
+    """Inverse of ``_scalar`` for comparison against real data: profiles
+    JSON-serialize temporal scalars as isoformat strings and binary as
+    utf-8/surrogateescape strings; an Arrow compute filter against the
+    actual column needs the typed value back.  Non-string profile
+    values and string columns pass through."""
+    if v is None or not isinstance(v, str):
+        return v
+    if (pa.types.is_timestamp(arrow_type) or pa.types.is_date(arrow_type)
+            or pa.types.is_time(arrow_type)
+            or pa.types.is_duration(arrow_type)):
+        # Arrow's string→temporal cast parses isoformat
+        return pa.scalar(v, type=pa.string()).cast(arrow_type)
+    if pa.types.is_binary(arrow_type) or pa.types.is_large_binary(arrow_type) \
+            or pa.types.is_fixed_size_binary(arrow_type):
+        return v.encode("utf-8", "surrogateescape")
+    return v
 
 
 def bound_in_profile_domain(bound, profile_value):
@@ -42,6 +72,17 @@ def bound_in_profile_domain(bound, profile_value):
     if isinstance(bound, np.datetime64):
         bound = bound.astype("datetime64[us]").item()
     if hasattr(bound, "isoformat"):
+        import datetime as _dt
+
+        # granularity: a datetime bound against a DATE-shaped profile
+        # ('YYYY-MM-DD', no time part) must truncate to the date, or
+        # 'YYYY-MM-DDT00:00:00' sorts after the profile's own value and
+        # falsely prunes partitions containing that very date.
+        # Truncation is conservative in both directions (pruning keeps
+        # at most extra partitions; the exact row filter stays typed).
+        if (isinstance(bound, _dt.datetime)
+                and len(profile_value) == 10 and "T" not in profile_value):
+            return bound.date().isoformat()
         return bound.isoformat()
     return bound
 

@@ -65,13 +65,14 @@ def aggregate_clustered(
     # comparison domain readers use — numbers, or isoformat strings)
     spans = []
     spanless = False
+    from ..functions.stats import key_span
+
     for r in records.values():
-        prof = next((p for p in r.get("profiles", [])
-                     if p.get("column") == key), None)
-        if prof is None or prof.get("min") is None:
+        span = key_span(r, key)
+        if span is None:
             spanless = True
         else:
-            spans.append((prof["min"], prof["max"]))
+            spans.append(span)
     los = sorted(lo for lo, _ in spans)
     his = sorted(hi for _, hi in spans)
     # a partition without a span could hold ANY key → nothing is final
@@ -104,14 +105,26 @@ def aggregate_clustered(
             if force_combine or not los:
                 final = np.zeros(g.num_rows, dtype=bool)
             else:
+                from ..functions.stats import bound_in_profile_domain
+
                 kv = g[key].combine_chunks()
                 nulls = (kv.is_null().to_numpy(zero_copy_only=False)
                          if kv.null_count else None)
-                py = kv.to_pylist()
-                probe = [v if v is not None else los[0] for v in py]
-                if isinstance(los[0], str):
-                    probe = [str(v) for v in probe]
-                arr = np.asarray(probe)
+
+                def _dom(v):
+                    # probe values must land in the PROFILES' domain —
+                    # isoformat for temporal (str(datetime) uses ' '
+                    # where profiles use 'T' and would mis-order),
+                    # surrogateescape text for binary
+                    if v is None:
+                        return los[0]
+                    v2 = bound_in_profile_domain(v, los[0])
+                    if isinstance(los[0], str) and not isinstance(v2, str):
+                        return (v2.decode("utf-8", "surrogateescape")
+                                if isinstance(v2, bytes) else str(v2))
+                    return v2
+
+                arr = np.asarray([_dom(v) for v in kv.to_pylist()])
                 lo_arr = np.asarray(los)
                 hi_arr = np.asarray(his)
                 stab = (np.searchsorted(lo_arr, arr, side="right")

@@ -32,6 +32,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.stats import key_span
 from ..state import manifest as mf
 
 __all__ = ["merge_join_containers"]
@@ -93,24 +94,23 @@ def merge_join_containers(
     r_spans = []      # (min, max, path), min-sorted
     r_always = []     # paths with no recorded span for the key
     for r in right_recs.values():
-        prof = next((p for p in r.get("profiles", [])
-                     if p.get("column") == key), None)
-        if prof is None or prof.get("min") is None:
+        span = key_span(r, key)
+        if span is None:
             r_always.append(r["path"])
         else:
-            r_spans.append((prof["min"], prof["max"], r["path"]))
+            r_spans.append((span[0], span[1], r["path"]))
     r_spans.sort(key=lambda s: (s[0], s[1]))
     r_mins = [s[0] for s in r_spans]
+
     items = []
     for r in sorted(left_recs.values(), key=lambda r: r["part_id"]):
-        prof = next((p for p in r.get("profiles", [])
-                     if p.get("column") == key), None)
         # temporal profile min/max are isoformat strings — they feed
-        # prune_partitions_by_range/decode, which normalize bounds into
-        # that same domain, so passing them straight through is exact
-        lo = prof.get("min") if prof else None
-        hi = prof.get("max") if prof else None
-        items.append({"path": r["path"], "lo": lo, "hi": hi})
+        # the span pruning and decode, which compare in that same
+        # domain, so passing them straight through is exact
+        span = key_span(r, key)
+        items.append({"path": r["path"],
+                      "lo": span[0] if span else None,
+                      "hi": span[1] if span else None})
 
     jt = _JOIN_TYPES[how]
 
@@ -157,11 +157,19 @@ def merge_join_containers(
             for bp in b_paths:
                 t_b = decode_partition_path(bp, key, lo, hi,
                                             columns=b_cols)
+                # profile-derived bounds are isoformat/surrogateescape
+                # STRINGS for temporal/binary keys — the Arrow compute
+                # filter needs the typed values back
+                from ..functions.stats import profile_value_to_typed
+
+                kt = t_b.schema.field(key).type
+                tlo = profile_value_to_typed(lo, kt)
+                thi = profile_value_to_typed(hi, kt)
                 m = None
-                if lo is not None:
-                    m = pc.greater_equal(t_b[key], lo)
-                if hi is not None:
-                    m2 = pc.less_equal(t_b[key], hi)
+                if tlo is not None:
+                    m = pc.greater_equal(t_b[key], tlo)
+                if thi is not None:
+                    m2 = pc.less_equal(t_b[key], thi)
                     m = m2 if m is None else pc.and_(m, m2)
                 if m is not None:
                     t_b = t_b.filter(m)

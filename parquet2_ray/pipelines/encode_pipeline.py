@@ -1062,7 +1062,8 @@ def encode_dataset(
     return summary
 
 
-def prune_partitions(out_dir: str, key_values) -> list[str]:
+def prune_partitions(out_dir: str, key_values,
+                     records: dict | None = None) -> list[str]:
     """Manifest-level partition pruning: keep only partitions whose bloom
     sketch might contain ANY of ``key_values`` (partitions without a
     sketch are kept).  The analog of the reference's PageFilter predicate
@@ -1073,7 +1074,8 @@ def prune_partitions(out_dir: str, key_values) -> list[str]:
 
     from ..functions import bloom
 
-    records = mf.load_manifest(out_dir)
+    if records is None:
+        records = mf.load_manifest(out_dir)
     key_values = list(key_values)
     hashes_by_type: dict = {}  # writer-recorded bloom_type → probe hashes
     keep = []
@@ -1097,28 +1099,29 @@ def prune_partitions(out_dir: str, key_values) -> list[str]:
 
 
 def prune_partitions_by_range(out_dir: str, column: str,
-                              lo=None, hi=None) -> list[str]:
+                              lo=None, hi=None,
+                              records: dict | None = None) -> list[str]:
     """Range predicate pushdown against the recorded per-partition
     min/max statistics — the page-index pruning analog
     (/root/reference/src/indexes/intervals.rs:62-84 `compute_rows` /
     /root/reference/src/read/page/indexed_reader.rs:25-60).  Keeps a
     partition when [min,max] of ``column`` overlaps [lo,hi]; partitions
     with no recorded stats for the column are kept."""
-    from ..functions.stats import bound_in_profile_domain
+    from ..functions.stats import bound_in_profile_domain, key_span
 
-    records = mf.load_manifest(out_dir)
+    if records is None:
+        records = mf.load_manifest(out_dir)
     keep = []
     for r in records.values():
-        prof = next((p for p in r.get("profiles", [])
-                     if p.get("column") == column), None)
-        if prof is None or prof.get("min") is None:
+        span = key_span(r, column)
+        if span is None:
             keep.append(r["path"])
             continue
         # temporal bounds compare in the profiles' isoformat domain
-        plo = bound_in_profile_domain(lo, prof["min"])
-        phi = bound_in_profile_domain(hi, prof["min"])
-        if (plo is not None and prof["max"] < plo) or \
-           (phi is not None and prof["min"] > phi):
+        plo = bound_in_profile_domain(lo, span[0])
+        phi = bound_in_profile_domain(hi, span[0])
+        if (plo is not None and span[1] < plo) or \
+           (phi is not None and span[0] > phi):
             continue
         keep.append(r["path"])
     return keep
@@ -1184,13 +1187,15 @@ def decode_dataset(out_dir: str, key_values=None,
     read from disk and decoded (reference S7 / ColumnIterator,
     src/read/column/mod.rs:22-205).  At 100 TB a 2-column consumer of a
     20-column table must not pay for 18 columns of IO + decode."""
+    # one manifest read serves pruning AND ordering
+    records = mf.load_manifest(out_dir)
     if key_values is not None:
-        paths = prune_partitions(out_dir, key_values)
+        paths = prune_partitions(out_dir, key_values, records=records)
     elif key_range is not None:
-        paths = prune_partitions_by_range(out_dir, *key_range)
+        paths = prune_partitions_by_range(out_dir, *key_range,
+                                          records=records)
     else:
         paths = None
-    records = mf.load_manifest(out_dir)
     # deterministic ascending part-id order (listdir order is not a
     # contract).  Ray Datasets preserve block order, so a range-
     # clustered container (P43: ids ascend with the key, rows sorted

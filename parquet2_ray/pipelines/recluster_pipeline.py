@@ -101,6 +101,14 @@ def recluster_container(
     if len(keys) == 1:
         rkey = keys[0]
     else:
+        # int64 interleave budget: k × bits must fit 63 bits — shifts
+        # past 63 are silently undefined in numpy and would produce a
+        # meaningless (but plausible-looking) clustering
+        if len(keys) * zorder_bits > 63:
+            raise ValueError(
+                f"{len(keys)} keys × {zorder_bits} bits = "
+                f"{len(keys) * zorder_bits} interleaved bits > 63; "
+                f"lower zorder_bits to ≤ {63 // len(keys)}")
         grids = _sample_quantile_grids(ds, keys, zorder_bits)
         ds = ds.map_batches(
             lambda b, g=grids, ks=keys, nb=zorder_bits:
@@ -111,9 +119,11 @@ def recluster_container(
     ropts = replace(base, group_col=None, weight_col=weight_col,
                     range_key=rkey, sort_key=rkey)
     summary = encode_dataset(ds, out_dir, ropts)
-    summary["clustering"] = {k: clustering_quality(out_dir, k)
-                             for k in keys} if len(keys) > 1 \
-        else clustering_quality(out_dir, rkey)
+    new_records = mf.load_manifest(out_dir)
+    summary["clustering"] = (
+        {k: clustering_quality(out_dir, k, records=new_records)
+         for k in keys} if len(keys) > 1
+        else clustering_quality(out_dir, rkey, records=new_records))
     return summary
 
 
@@ -173,13 +183,14 @@ def incremental_recluster(
     # into the rewrite.
     spans: dict[str, tuple] = {}
     statless: list[str] = []
+    from ..functions.stats import key_span
+
     for pid, r in records.items():
-        prof = next((p for p in r.get("profiles", [])
-                     if p.get("column") == key), None)
-        if prof is None or prof.get("min") is None:
+        span = key_span(r, key)
+        if span is None:
             statless.append(pid)
         else:
-            spans[pid] = (prof["min"], prof["max"])
+            spans[pid] = span
     kept_hi = None
     core: set[str] = set()
     for pid, (lo, hi) in sorted(spans.items(), key=lambda kv: kv[1][1]):
@@ -347,7 +358,8 @@ def _zvalues(batch: pa.Table, keys: list[str], grids: dict,
     return z
 
 
-def clustering_quality(out_dir: str, key: str) -> dict:
+def clustering_quality(out_dir: str, key: str,
+                       records: dict | None = None) -> dict:
     """Measure how well a container is clustered on ``key`` from its
     manifest profiles alone (no data read): the average number of
     partitions a random point/range probe on the key must touch.
@@ -355,15 +367,15 @@ def clustering_quality(out_dir: str, key: str) -> dict:
     overlap_factor = mean over partitions of how many OTHER partitions'
     [min,max] intervals overlap its own, +1.  A perfectly clustered
     container scores ~1.0 (duplicated edge values allow slightly more);
-    an unclustered one scores ≈ n_partitions."""
-    records = mf.load_manifest(out_dir)
-    spans = []
-    for r in records.values():
-        prof = next((p for p in r.get("profiles", [])
-                     if p.get("column") == key), None)
-        if prof is None or prof.get("min") is None:
-            continue
-        spans.append((prof["min"], prof["max"]))
+    an unclustered one scores ≈ n_partitions.  ``records``: optional
+    preloaded manifest (multi-column callers avoid one manifest read
+    per column)."""
+    from ..functions.stats import key_span
+
+    if records is None:
+        records = mf.load_manifest(out_dir)
+    spans = [s for r in records.values()
+             if (s := key_span(r, key)) is not None]
     if not spans:
         return {"n_partitions": len(records), "overlap_factor": None}
     # interval stabbing count, O(n log n) even when everything overlaps:

@@ -143,7 +143,9 @@ def layout(out_dir: str, columns: list[str] | None = None) -> dict:
         cols = columns
     return {
         "n_partitions": len(records),
-        "columns": {c: clustering_quality(out_dir, c) for c in cols},
+        # one manifest read for the whole report, not one per column
+        "columns": {c: clustering_quality(out_dir, c, records=records)
+                    for c in cols},
     }
 
 

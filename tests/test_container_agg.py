@@ -86,3 +86,37 @@ def test_aggregate_validation(ray_session, tmp_path):
         target_rows=1000, fsync=False))
     with pytest.raises(ValueError, match="unsupported aggregate"):
         aggregate_clustered(out, "uid", {"v": ["median"]})
+
+
+def test_temporal_key_aggregate_with_boundary_duplicates(ray_session,
+                                                         tmp_path):
+    """Timestamp group keys stab-test in the profiles' ISOFORMAT domain
+    (str(datetime) uses a space and mis-orders — regression: boundary
+    keys double-counted as final in two partitions).  Only 40 distinct
+    timestamps over 6000 rows force every partition edge onto a
+    duplicated key."""
+    rng = np.random.default_rng(33)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    distinct = base + np.sort(rng.integers(0, 10**9, 40)) \
+        .astype("timedelta64[us]")
+    ts = distinct[rng.integers(0, 40, 6000)]
+    t = pa.table({
+        "ts": pa.array(ts),
+        "v": pa.array(rng.random(6000)),
+    })
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "c")
+    encode_dataset(src, out, EncodeOptions(
+        group_col=None, weight_col=None, sort_key="ts", range_key="ts",
+        target_rows=800, fsync=False))
+    got = aggregate_clustered(out, "ts", {"v": ["sum", "mean"]})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT ts, sum(v) AS v_sum, avg(v) AS v_mean
+        FROM t GROUP BY ts ORDER BY ts""").arrow()
+    assert got.num_rows == want.num_rows == 40
+    for c in ("v_sum", "v_mean"):
+        for a, b in zip(got[c].to_pylist(), want[c].to_pylist()):
+            assert a == pytest.approx(b, rel=1e-12)

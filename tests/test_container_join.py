@@ -129,3 +129,37 @@ def test_join_validation(joined_containers):
         merge_join_containers(out_a, out_b, "uid", how="full outer")
     with pytest.raises(ValueError, match="right container schema"):
         merge_join_containers(out_a, out_b, "nope")
+
+
+def test_temporal_key_join(ray_session, tmp_path):
+    """Profile-derived bounds are isoformat STRINGS for timestamp keys;
+    the task must re-type them before the Arrow filter (regression:
+    ArrowNotImplementedError in every task)."""
+    rng = np.random.default_rng(31)
+    n_a, n_b = 3000, 900
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    a = pa.table({
+        "eid": pa.array([f"e{i:05d}" for i in range(n_a)]),
+        "ts": pa.array(base + rng.integers(0, 10**9, n_a)
+                       .astype("timedelta64[us]")),
+    })
+    # right keys drawn FROM the left's values so matches exist
+    pick = rng.integers(0, n_a, n_b)
+    b = pa.table({
+        "ts": a["ts"].take(pa.array(pick)),
+        "label": pa.array([f"l{i}" for i in range(n_b)]),
+    })
+    pq.write_table(a, str(tmp_path / "a.parquet"))
+    pq.write_table(b, str(tmp_path / "b.parquet"))
+    ca, cb = str(tmp_path / "ca"), str(tmp_path / "cb")
+    for src, dst, tr in (("a", ca, 600), ("b", cb, 300)):
+        encode_dataset(str(tmp_path / f"{src}.parquet"), dst,
+                       EncodeOptions(group_col=None, weight_col=None,
+                                     sort_key="ts", range_key="ts",
+                                     target_rows=tr, fsync=False))
+    got = _gather(merge_join_containers(ca, cb, "ts"))
+    want = _oracle(a, b, "SELECT a.eid, a.ts, b.label FROM a JOIN b "
+                         "USING (ts)")
+    g, w = _norm(got), _norm(want)
+    assert g.num_rows == w.num_rows > 0
+    assert g.equals(w.cast(g.schema))
