@@ -217,6 +217,39 @@ def cmd_recluster(args) -> dict:
         keys[0] if len(keys) == 1 else keys, opts)
 
 
+def cmd_join(args) -> dict:
+    from .pipelines.container_join import merge_join_containers
+
+    ds = merge_join_containers(
+        args.left, args.right, args.key,
+        left_columns=args.left_columns.split(",")
+        if args.left_columns else None,
+        right_columns=args.right_columns.split(",")
+        if args.right_columns else None,
+        how=args.how)
+    ds.write_parquet(args.output)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.output).count_rows()
+    return {"rows": n, "output": args.output, "how": args.how}
+
+
+def cmd_agg(args) -> dict:
+    from .pipelines.container_agg import aggregate_clustered
+
+    aggs: dict = {}
+    for spec in args.agg:
+        col, fn = spec.rsplit(":", 1)
+        aggs.setdefault(col, []).append(fn)
+    t = aggregate_clustered(args.container, args.key, aggs)
+    if args.output:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, args.output)
+        return {"groups": t.num_rows, "output": args.output}
+    return {"groups": t.num_rows, "rows": t.to_pylist()[:args.limit]}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="parquet2_ray.job")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -282,6 +315,26 @@ def main(argv: list[str] | None = None) -> int:
     rcl.add_argument("--target-weight", type=int, default=4_000_000)
     rcl.add_argument("--compression", default=None)
 
+    jn = sub.add_parser("join")
+    jn.add_argument("--left", required=True, help="left container")
+    jn.add_argument("--right", required=True, help="right container")
+    jn.add_argument("--key", required=True)
+    jn.add_argument("--output", required=True, help="parquet output dir")
+    jn.add_argument("--how", default="inner",
+                    choices=["inner", "left outer", "left semi",
+                             "left anti"])
+    jn.add_argument("--left-columns", default=None)
+    jn.add_argument("--right-columns", default=None)
+
+    agg = sub.add_parser("agg")
+    agg.add_argument("--container", required=True)
+    agg.add_argument("--key", required=True)
+    agg.add_argument("--agg", action="append", required=True,
+                     help="column:fn (sum|count|min|max|mean); repeatable")
+    agg.add_argument("--output", default=None, help="parquet file (omit "
+                     "to print the first --limit groups)")
+    agg.add_argument("--limit", type=int, default=20)
+
     ddp = sub.add_parser("dedup")
     ddp.add_argument("--input", required=True)
     ddp.add_argument("--output", required=True)
@@ -325,7 +378,7 @@ def main(argv: list[str] | None = None) -> int:
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
            "compact": cmd_compact, "delete": cmd_delete,
-           "recluster": cmd_recluster,
+           "recluster": cmd_recluster, "join": cmd_join, "agg": cmd_agg,
            "dedup": cmd_dedup, "prepare": cmd_prepare,
            "mix": cmd_mix}[args.cmd](args)
     print(json.dumps(out, default=str))

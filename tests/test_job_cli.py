@@ -180,3 +180,38 @@ def test_job_recluster_incremental(tmp_path, capsys):
     assert main(["verify", "--container", out]) == 0
     assert json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])["n_bad"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_join_and_agg(tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(51)
+    a = pa.table({"oid": [f"o{i}" for i in range(500)],
+                  "uid": pa.array(rng.integers(0, 100, 500),
+                                  type=pa.int64()),
+                  "v": pa.array(rng.integers(1, 10, 500),
+                                type=pa.int64())})
+    b = pa.table({"uid": pa.array(np.arange(100), type=pa.int64()),
+                  "name": [f"u{i}" for i in range(100)]})
+    pq.write_table(a, tmp_path / "a.parquet")
+    pq.write_table(b, tmp_path / "b.parquet")
+    ca, cb = str(tmp_path / "ca"), str(tmp_path / "cb")
+    for src, dst in (("a", ca), ("b", cb)):
+        assert main(["encode", "--input", str(tmp_path / f"{src}.parquet"),
+                     "--output", dst, "--group-col", "",
+                     "--weight-col", "", "--sort-key", "uid"]) == 0
+        capsys.readouterr()
+    out = str(tmp_path / "joined")
+    assert main(["join", "--left", ca, "--right", cb, "--key", "uid",
+                 "--output", out]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows"] == 500  # every uid matches exactly one name
+    assert main(["agg", "--container", ca, "--key", "uid",
+                 "--agg", "v:sum", "--agg", "v:mean"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["groups"] == len(set(a["uid"].to_pylist()))
+    want = sum(a["v"].to_pylist()[i] for i in range(500)
+               if a["uid"].to_pylist()[i] == s["rows"][0]["uid"])
+    assert s["rows"][0]["v_sum"] == want
