@@ -228,9 +228,13 @@ def cmd_join(args) -> dict:
         if args.right_columns else None,
         how=args.how)
     ds.write_parquet(args.output)
+    import pyarrow as pa
     import pyarrow.dataset as pads
 
-    n = pads.dataset(args.output).count_rows()
+    try:
+        n = pads.dataset(args.output).count_rows()
+    except (OSError, pa.ArrowInvalid):  # zero-match join → no files
+        n = 0
     return {"rows": n, "output": args.output, "how": args.how}
 
 
