@@ -64,8 +64,10 @@ def cmd_encode(args) -> dict:
     if getattr(args, "append", False):
         from .pipelines.append_pipeline import append_dataset
 
-        return append_dataset(args.input, args.output, opts,
-                              append_id=getattr(args, "append_id", None))
+        return append_dataset(
+            args.input, args.output, opts,
+            append_id=getattr(args, "append_id", None),
+            evolve_schema=getattr(args, "evolve_schema", False))
     return encode_dataset(args.input, args.output, opts)
 
 
@@ -276,6 +278,11 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--append-id", default=None,
                      help="stable identity of this increment for resume "
                           "(default: hash of the resolved input files)")
+    enc.add_argument("--evolve-schema", action="store_true",
+                     help="with --append: the increment may add new "
+                          "columns (null for history) or omit committed "
+                          "ones (null for its rows); shared columns keep "
+                          "their types")
 
     dec = sub.add_parser("decode")
     dec.add_argument("--input", required=True, help="container dir")

@@ -88,11 +88,17 @@ def _input_append_id(input_path, filesystem) -> str:
 
 
 def _check_schema_compatible(input_path, out_dir: str, columns,
-                             filesystem) -> None:
+                             filesystem, evolve: bool = False) -> None:
     """An increment whose columns differ from the container's would
     silently create a mixed-schema container that breaks decode — the
     per-run heterogeneity check inside encode_dataset cannot see ACROSS
-    runs, so appends validate against a committed partition footer."""
+    runs, so appends validate against a committed partition footer.
+
+    ``evolve=True`` (P48 schema evolution) relaxes exact equality to
+    ADD/OMIT semantics: the increment may introduce new columns (null
+    for historical rows) or omit committed ones (null for its own
+    rows); SHARED column names must keep identical types.  Readers
+    harmonize to the union via decode_dataset's ``_union_fields``."""
     records = mf.load_manifest(out_dir)
     if not records:
         return                       # creating the container: any schema
@@ -116,12 +122,23 @@ def _check_schema_compatible(input_path, out_dir: str, columns,
         new = [(f.name, type_to_str(f.type)) for f in psch]
     if columns is not None:
         new = [(n, t) for n, t in new if n in columns]
+    if evolve:
+        have_d, new_d = dict(have), dict(new)
+        clash = [n for n in have_d.keys() & new_d.keys()
+                 if have_d[n] != new_d[n]]
+        if clash:
+            raise ValueError(
+                f"append schema evolution cannot CHANGE column types: "
+                f"{[(n, have_d[n], new_d[n]) for n in clash]} — "
+                "evolution only adds or omits whole columns")
+        return
     if new != have:
         raise ValueError(
             f"append schema mismatch: container has {have}, increment "
             f"has {new} — appends must match the committed schema "
-            "(names AND types) exactly; project/cast the increment or "
-            "start a new container")
+            "(names AND types) exactly; project/cast the increment, "
+            "pass evolve_schema=True to add/omit columns, or start a "
+            "new container")
 
 
 def append_dataset(
@@ -131,6 +148,7 @@ def append_dataset(
     columns: list[str] | None = None,
     filesystem=None,
     append_id: str | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """Append an increment to an existing container (or create it).
 
@@ -138,6 +156,10 @@ def append_dataset(
     content hash of the resolved input files for path inputs; REQUIRED
     for Dataset inputs (a Dataset has no stable identity to hash — an
     append without one cannot resume into its reserved id range).
+    ``evolve_schema=True`` lets the increment ADD new columns (null for
+    historical rows) or OMIT committed ones (null for its rows); shared
+    columns must keep their types, and every reader harmonizes decoded
+    partitions to the union schema.
     Returns the increment's encode summary plus combined container
     totals under ``"container"``.
     """
@@ -152,7 +174,8 @@ def append_dataset(
         append_id = _input_append_id(input_path, filesystem)
 
     fsio.ensure_dir(out_dir)
-    _check_schema_compatible(input_path, out_dir, columns, filesystem)
+    _check_schema_compatible(input_path, out_dir, columns, filesystem,
+                             evolve=evolve_schema)
     sessions = _load_sessions(out_dir)
     mine = next((s for s in sessions if s["append_id"] == append_id), None)
     if mine is not None:

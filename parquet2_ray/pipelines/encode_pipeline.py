@@ -1168,6 +1168,54 @@ def lookup_rows(out_dir: str, key_column: str, key_values,
         _decode_lookup, batch_format="pyarrow", batch_size=1)
 
 
+def _union_fields(records: list[dict]) -> list[tuple[str, str]] | None:
+    """Column-set union across partitions as ``[(name, arrow_type)]``,
+    or ``None`` when every partition shares one column set — the
+    homogeneous fast path, which pays nothing.
+
+    Schema-evolved containers (``append_dataset(evolve_schema=True)``,
+    P48) hold partitions with different column sets; readers harmonize
+    each decoded partition to the union (missing columns → nulls).
+    Column NAMES come free from each record's ``codecs`` dict; types
+    are read from ONE footer per DISTINCT name-set (2-3 preads on a
+    real evolved container, not O(partitions))."""
+    name_sets: dict[tuple, str] = {}
+    for r in records:
+        names = tuple(sorted(r.get("codecs") or ()))
+        if names:  # 0-row tombstones carry no codecs — no schema info
+            name_sets.setdefault(names, r["path"])
+    if len(name_sets) <= 1:
+        return None
+    fields: dict[str, str] = {}
+    order: list[str] = []
+    for path in name_sets.values():
+        footer = mf.read_partition_footer(path)
+        meta = (footer["blocks"][0]["columns"] if footer.get("paged")
+                else footer["columns"])
+        for m in meta:
+            if m["name"] not in fields:
+                fields[m["name"]] = m["arrow_type"]
+                order.append(m["name"])
+            elif fields[m["name"]] != m["arrow_type"]:
+                raise ValueError(
+                    f"column {m['name']!r} has conflicting types across "
+                    f"partitions: {fields[m['name']]} vs "
+                    f"{m['arrow_type']} — evolution only ADDS columns")
+    return [(n, fields[n]) for n in order]
+
+
+def _pad_to_union(t: pa.Table, fields: list[tuple[str, str]]) -> pa.Table:
+    """Harmonize one decoded partition to the union schema: missing
+    columns become typed nulls; column order follows the union."""
+    from ..codecs.column import str_to_type
+
+    cols = {}
+    for n, ts in fields:
+        cols[n] = (t[n] if n in t.column_names
+                   else pa.nulls(t.num_rows, str_to_type(ts)))
+    return pa.table(cols)
+
+
 def decode_dataset(out_dir: str, key_values=None,
                    key_range: tuple | None = None,
                    columns: list[str] | None = None) -> rd.Dataset:
@@ -1213,6 +1261,17 @@ def decode_dataset(out_dir: str, key_values=None,
         paths = [r["path"] for r in by_id if r["path"] in keep]
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    # schema-evolved containers: harmonize every partition to the union
+    # (None for homogeneous containers — zero cost on the common path)
+    union = _union_fields(by_id)
+    if union is not None and columns is not None:
+        # typo safety moves up here: the per-partition decode must
+        # tolerate missing columns, so validate against the UNION
+        known = {n for n, _ in union}
+        bad = [c for c in columns if c not in known]
+        if bad:
+            raise KeyError(f"container has no column(s) {bad}; "
+                           f"available: {sorted(known)}")
 
     if key_range is not None:
         kcol, lo, hi = key_range
@@ -1221,11 +1280,19 @@ def decode_dataset(out_dir: str, key_values=None,
         read_cols = columns
         if columns is not None and kcol not in columns:
             read_cols = list(columns) + [kcol]
+        pad = (None if union is None else
+               [f for f in union
+                if read_cols is None or f[0] in set(read_cols)])
 
         def _decode_range(batch: pa.Table):
             for p in batch["path"]:
                 t = decode_partition_path(p.as_py(), kcol, lo, hi,
-                                          columns=read_cols)
+                                          columns=read_cols,
+                                          missing_ok=pad is not None)
+                if pad is not None:
+                    # pad BEFORE the filter: a partition predating the
+                    # key column holds only null keys → zero matches
+                    t = _pad_to_union(t, pad)
                 # exact filter on top of block-granular pruning
                 m = None
                 if lo is not None:
@@ -1243,9 +1310,14 @@ def decode_dataset(out_dir: str, key_values=None,
             _decode_range, batch_format="pyarrow", batch_size=1
         )
 
+    pad = (None if union is None else
+           [f for f in union if columns is None or f[0] in set(columns)])
+
     def _decode_gen(batch: pa.Table):
         for p in batch["path"]:
-            yield decode_partition_path(p.as_py(), columns=columns)
+            t = decode_partition_path(p.as_py(), columns=columns,
+                                      missing_ok=pad is not None)
+            yield t if pad is None else _pad_to_union(t, pad)
 
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         _decode_gen, batch_format="pyarrow", batch_size=1

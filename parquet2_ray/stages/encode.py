@@ -230,6 +230,7 @@ def decode_partition_path(
     path: str, key_col: str | None = None, lo=None, hi=None,
     columns: list[str] | None = None,
     block_range: tuple[int, int] | None = None,
+    missing_ok: bool = False,
 ) -> pa.Table:
     """Read + decode one container file back to a pyarrow Table.
 
@@ -243,7 +244,8 @@ def decode_partition_path(
     decoded (column projection — reference ColumnIterator,
     src/read/column/mod.rs:22-205)."""
     footer, block_cols, _ = mf.read_partition_blocks(
-        path, key_col, lo, hi, columns=columns, block_range=block_range)
+        path, key_col, lo, hi, columns=columns, block_range=block_range,
+        missing_ok=missing_ok)
     tables = []
     for cols in block_cols:
         arrays = [col_mod.decode_array(c) for c in cols]

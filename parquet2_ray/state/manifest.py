@@ -297,16 +297,20 @@ def block_overlaps(block_meta: dict, column: str, lo=None, hi=None) -> bool:
     return True
 
 
-def _project_meta(col_meta: list[dict], columns) -> list[dict]:
+def _project_meta(col_meta: list[dict], columns,
+                  missing_ok: bool = False) -> list[dict]:
     """Column projection over a block's footer entries (reference S7,
     /root/reference/src/read/column/mod.rs:22-205 — column-chunk-at-a-
     time iteration).  Preserves footer order; unknown names raise so a
-    typo can't silently return fewer columns."""
+    typo can't silently return fewer columns — except with
+    ``missing_ok`` (schema-evolved containers: the caller validated the
+    projection against the UNION schema, and this partition simply
+    predates the column)."""
     if columns is None:
         return col_meta
     names = {m["name"] for m in col_meta}
     missing = [c for c in columns if c not in names]
-    if missing:
+    if missing and not missing_ok:
         raise KeyError(f"container has no column(s) {missing}; "
                        f"available: {sorted(names)}")
     want = set(columns)
@@ -317,6 +321,7 @@ def read_partition_blocks(
     path: str, column: str | None = None, lo=None, hi=None,
     columns: list[str] | None = None,
     block_range: tuple[int, int] | None = None,
+    missing_ok: bool = False,
 ) -> tuple[dict, list[list[EncodedColumn]], int]:
     """Read a paged container, decoding ONLY the row-blocks whose page
     index overlaps [lo,hi] on ``column`` (all blocks when no predicate)
@@ -349,7 +354,7 @@ def read_partition_blocks(
             # single-block container: treat as one all-covering block
             if block_range is not None and block_range[0] > 0:
                 return footer, [], 0
-            meta = _project_meta(footer["columns"], columns)
+            meta = _project_meta(footer["columns"], columns, missing_ok)
             cols = _cols_from_meta(meta, pread)
             bytes_read += sum(m["size"] for m in meta)
             return footer, [cols], bytes_read
@@ -361,7 +366,7 @@ def read_partition_blocks(
                 continue
             if column is not None and not block_overlaps(bm, column, lo, hi):
                 continue
-            meta = _project_meta(bm["columns"], columns)
+            meta = _project_meta(bm["columns"], columns, missing_ok)
             out.append(_cols_from_meta(meta, pread))
             bytes_read += sum(m["size"] for m in meta)
     finally:
