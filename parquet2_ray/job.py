@@ -245,6 +245,9 @@ def cmd_agg(args) -> dict:
 
     aggs: dict = {}
     for spec in args.agg:
+        if ":" not in spec:
+            raise SystemExit(f"--agg {spec!r}: expected column:fn "
+                             "(sum|count|min|max|mean)")
         col, fn = spec.rsplit(":", 1)
         aggs.setdefault(col, []).append(fn)
     t = aggregate_clustered(args.container, args.key, aggs)
@@ -253,7 +256,8 @@ def cmd_agg(args) -> dict:
 
         pq.write_table(t, args.output)
         return {"groups": t.num_rows, "output": args.output}
-    return {"groups": t.num_rows, "rows": t.to_pylist()[:args.limit]}
+    return {"groups": t.num_rows,
+            "rows": t.slice(0, args.limit).to_pylist()}
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -104,11 +104,29 @@ def _check_schema_compatible(input_path, out_dir: str, columns,
         return                       # creating the container: any schema
     from ..codecs.column import type_to_str
 
-    first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
-    footer = mf.read_partition_footer(records[first]["path"])
-    cols = (footer["blocks"][0]["columns"] if footer.get("paged")
-            else footer["columns"])
-    have = [(m["name"], m["arrow_type"]) for m in cols]
+    if evolve:
+        # evolution must validate against the UNION of every committed
+        # column set — checking one footer would let a type conflict on
+        # an evolution-ADDED column commit and render the container
+        # unreadable (the union derivation itself raises on existing
+        # conflicts, so corruption can't compound)
+        from .encode_pipeline import _union_fields
+
+        union = _union_fields(list(records.values()))
+        if union is None:
+            first = min(records, key=lambda p: int(p[1:]))
+            footer = mf.read_partition_footer(records[first]["path"])
+            cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                    else footer["columns"])
+            have = [(m["name"], m["arrow_type"]) for m in cols]
+        else:
+            have = union
+    else:
+        first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
+        footer = mf.read_partition_footer(records[first]["path"])
+        cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                else footer["columns"])
+        have = [(m["name"], m["arrow_type"]) for m in cols]
     if isinstance(input_path, rd.Dataset):
         sch = input_path.schema()
         new = [(n, type_to_str(t)) for n, t in zip(sch.names, sch.types)]

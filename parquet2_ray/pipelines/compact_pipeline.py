@@ -61,6 +61,20 @@ def _compact_group(out_dir: str, new_id: int, members: list[dict],
     )
 
     tables = [decode_partition_path(m["path"]) for m in members]
+    schemas = {tuple(t.column_names) for t in tables if t.num_rows}
+    if len(schemas) > 1:
+        # schema-evolved container (P48): pad members to the group's
+        # union so the merge carries every column (missing → nulls)
+        from .encode_pipeline import _pad_to_union
+
+        from ..codecs.column import type_to_str
+
+        fields: dict[str, str] = {}
+        for t in tables:
+            for f in t.schema:
+                fields.setdefault(f.name, type_to_str(f.type))
+        union = list(fields.items())
+        tables = [_pad_to_union(t, union) for t in tables]
     full = pa.concat_tables(tables)
     full = full.append_column(PART_COL, pa.array(
         np.full(full.num_rows, new_id, dtype=np.int32)))

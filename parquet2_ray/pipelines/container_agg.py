@@ -77,6 +77,23 @@ def aggregate_clustered(
     his = sorted(hi for _, hi in spans)
     # a partition without a span could hold ANY key → nothing is final
     force_combine = spanless
+    # schema-evolved containers (P48): partitions missing the key or an
+    # aggregate column pad with nulls (null keys → the null group; null
+    # values contribute nothing, SQL semantics)
+    from ..functions.stats import key_span as _ks  # noqa: F401 (doc)
+    from .encode_pipeline import _pad_to_union, _union_fields
+
+    union = _union_fields(list(records.values()))
+    wanted = list(dict.fromkeys([key] + list(aggs)))
+    if union is not None:
+        known = {n for n, _ in union}
+        missing_cols = [c for c in wanted if c not in known]
+        if missing_cols:
+            raise KeyError(f"container has no column(s) {missing_cols}; "
+                           f"available: {sorted(known)}")
+        pad = [f for f in union if f[0] in set(wanted)]
+    else:
+        pad = None
 
     # physical aggregation plan: mean → (sum, count); every requested
     # fn maps onto decomposable partials
@@ -97,7 +114,10 @@ def aggregate_clustered(
 
         cols = list(dict.fromkeys([key] + [c for c, _ in phys]))
         for p in batch["path"]:
-            t = decode_partition_path(p.as_py(), columns=cols)
+            t = decode_partition_path(p.as_py(), columns=cols,
+                                      missing_ok=pad is not None)
+            if pad is not None:
+                t = _pad_to_union(t, pad)
             if t.num_rows == 0:
                 continue
             g = pa.TableGroupBy(t, key).aggregate(phys)

@@ -75,17 +75,38 @@ def merge_join_containers(
     # key span matches nothing on the right must still emit the full
     # joined schema (right columns all-null), or blocks would disagree
     from ..codecs.column import str_to_type
+    from .encode_pipeline import _pad_to_union, _union_fields
 
-    r_footer = mf.read_partition_footer(
-        next(iter(right_recs.values()))["path"])
-    r_meta = (r_footer["blocks"][0]["columns"] if r_footer.get("paged")
-              else r_footer["columns"])
-    r_fields = [(m["name"], str_to_type(m["arrow_type"])) for m in r_meta]
+    # schema-evolved containers (P48) on either side: pad each decoded
+    # partition to the union (missing key → null keys → no matches)
+    l_union = _union_fields(list(left_recs.values()))
+    r_union = _union_fields(list(right_recs.values()))
+    if r_union is None:
+        r_footer = mf.read_partition_footer(
+            next(iter(right_recs.values()))["path"])
+        r_meta = (r_footer["blocks"][0]["columns"] if r_footer.get("paged")
+                  else r_footer["columns"])
+        r_union = [(m["name"], m["arrow_type"]) for m in r_meta]
+        r_pad = None
+    else:
+        r_pad = r_union
+    r_fields = [(n, str_to_type(ts)) for n, ts in r_union]
     if right_columns is not None:
         want = set(right_columns) | {key}
         r_fields = [f for f in r_fields if f[0] in want]
+        if r_pad is not None:
+            r_pad = [f for f in r_pad if f[0] in want]
     if key not in {n for n, _ in r_fields}:
         raise ValueError(f"key {key!r} not in right container schema")
+    l_pad = None
+    if l_union is not None:
+        if left_columns is None:
+            l_pad = l_union
+        else:
+            lw = set(left_columns) | {key}
+            l_pad = [f for f in l_union if f[0] in lw]
+        if key not in {n for n, _ in l_union}:
+            raise ValueError(f"key {key!r} not in left container schema")
     empty_right = pa.table({n: pa.nulls(0, t) for n, t in r_fields})
     # right span table resolved ONCE on the driver and shipped in the
     # task closure — per-task manifest reloads would cost O(left ×
@@ -142,7 +163,10 @@ def merge_join_containers(
             hi = batch["hi"][i].as_py()
             a_cols = (list(dict.fromkeys(list(left_columns) + [key]))
                       if left_columns is not None else None)
-            t_a = decode_partition_path(path, columns=a_cols)
+            t_a = decode_partition_path(path, columns=a_cols,
+                                        missing_ok=l_pad is not None)
+            if l_pad is not None:
+                t_a = _pad_to_union(t_a, l_pad)
             if t_a.num_rows == 0:
                 continue
             if lo is None and t_a[key].null_count < t_a.num_rows:
@@ -156,7 +180,10 @@ def merge_join_containers(
             b_parts = []
             for bp in b_paths:
                 t_b = decode_partition_path(bp, key, lo, hi,
-                                            columns=b_cols)
+                                            columns=b_cols,
+                                            missing_ok=r_pad is not None)
+                if r_pad is not None:
+                    t_b = _pad_to_union(t_b, r_pad)
                 # profile-derived bounds are isoformat/surrogateescape
                 # STRINGS for temporal/binary keys — the Arrow compute
                 # filter needs the typed values back

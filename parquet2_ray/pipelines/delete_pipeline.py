@@ -43,6 +43,13 @@ def _rewrite_partition(out_dir: str, new_id: int, member: dict,
     from ..stages.encode import decode_partition_path, encode_partition_table
 
     tbl = decode_partition_path(member["path"])
+    if column not in tbl.column_names:
+        # schema-evolved container: this partition predates (or omitted)
+        # the predicate column — its rows are all null there and null
+        # rows never match a delete predicate (SQL semantics), so it is
+        # PROVEN untouched; commit nothing and leave the old id active
+        return {"new": None, "old": member["part_id"],
+                "deleted": 0, "remaining": tbl.num_rows}
     col = tbl[column]
     if values is not None:
         drop = pc.is_in(col, value_set=pa.array(values, col.type))
@@ -94,17 +101,25 @@ def delete_rows(
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
     # validate the predicate column up front — a missing or
     # non-comparable (list/struct/map) column would otherwise fail deep
-    # inside a rewrite task after partitions were already touched
-    first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
-    footer = mf.read_partition_footer(records[first]["path"])
-    cols = (footer["blocks"][0]["columns"] if footer.get("paged")
-            else footer["columns"])
-    meta_col = next((m for m in cols if m["name"] == column), None)
-    if meta_col is None:
+    # inside a rewrite task after partitions were already touched.
+    # Validation runs against the UNION schema: on an evolved container
+    # the column may postdate the oldest partition (still a valid
+    # predicate — partitions without it are proven untouched)
+    from .encode_pipeline import _union_fields
+
+    union = _union_fields(list(records.values()))
+    if union is None:
+        first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
+        footer = mf.read_partition_footer(records[first]["path"])
+        cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                else footer["columns"])
+        union = [(m["name"], m["arrow_type"]) for m in cols]
+    tmap = dict(union)
+    if column not in tmap:
         raise ValueError(
             f"column {column!r} not in container schema "
-            f"({[m['name'] for m in cols]})")
-    ts = meta_col["arrow_type"]
+            f"({sorted(tmap)})")
+    ts = tmap[column]
     if ts.startswith(("list<", "large_list<", "struct<", "map<")):
         raise ValueError(
             f"column {column!r} is {ts}: delete predicates need a "
@@ -178,9 +193,10 @@ def delete_rows(
 
     combined = refold_global(out_dir)   # keep the sidecar fresh
     return {
-        "n_touched": len(results),
+        "n_touched": sum(1 for r in results if r["new"] is not None),
         "n_deleted": int(sum(r["deleted"] for r in results)),
-        "tombstones": [r["new"] for r in results if r["remaining"] == 0],
+        "tombstones": [r["new"] for r in results
+                       if r["remaining"] == 0 and r["new"] is not None],
         "n_partitions": combined["n_partitions"],
         "n_rows": combined["n_rows"],
         "out_dir": out_dir,

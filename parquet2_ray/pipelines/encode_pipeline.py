@@ -1063,13 +1063,21 @@ def encode_dataset(
 
 
 def prune_partitions(out_dir: str, key_values,
-                     records: dict | None = None) -> list[str]:
+                     records: dict | None = None,
+                     column: str | None = None) -> list[str]:
     """Manifest-level partition pruning: keep only partitions whose bloom
     sketch might contain ANY of ``key_values`` (partitions without a
     sketch are kept).  The analog of the reference's PageFilter predicate
     pushdown (/root/reference/src/read/page/reader.rs:61) driven by the
     A6 membership sketch — a driver-side O(partitions) probe, no data
-    read."""
+    read.
+
+    ``column``: the column the values target.  When set, only records
+    whose ``bloom_key`` IS that column are probed; the rest are kept —
+    probing another column's bloom would false-prune and silently drop
+    matching rows (the same rule delete_rows applies to its refine).
+    When None (legacy callers), values are understood to target each
+    record's own bloom key."""
     import base64
 
     from ..functions import bloom
@@ -1081,7 +1089,8 @@ def prune_partitions(out_dir: str, key_values,
     keep = []
     for r in records.values():
         b64 = r.get("bloom")
-        if not b64:
+        if not b64 or (column is not None
+                       and r.get("bloom_key") != column):
             keep.append(r["path"])
             continue
         ts = r.get("bloom_type")
@@ -1144,7 +1153,9 @@ def lookup_rows(out_dir: str, key_column: str, key_values,
     keys = list(key_values)
     if not keys:
         raise ValueError("lookup_rows needs at least one key value")
-    paths = prune_partitions(out_dir, keys)
+    records = mf.load_manifest(out_dir)
+    paths = prune_partitions(out_dir, keys, records=records,
+                             column=key_column)
     if not paths:
         return rd.from_arrow(pa.table({}))
     lo, hi = min(keys), max(keys)
@@ -1152,13 +1163,23 @@ def lookup_rows(out_dir: str, key_column: str, key_values,
     if columns is not None and key_column not in columns:
         read_cols = list(columns) + [key_column]
     key_set = pa.array(keys)
+    # schema-evolved containers: pad each partition to the union so a
+    # partition predating the key or a projected column contributes its
+    # null-keyed (zero-match) rows instead of a KeyError
+    union = _union_fields(list(records.values()))
+    pad = (None if union is None else
+           [f for f in union
+            if read_cols is None or f[0] in set(read_cols)])
 
     def _decode_lookup(batch: pa.Table):
         from ..stages.encode import decode_partition_path
 
         for p in batch["path"]:
             t = decode_partition_path(p.as_py(), key_column, lo, hi,
-                                      columns=read_cols)
+                                      columns=read_cols,
+                                      missing_ok=pad is not None)
+            if pad is not None:
+                t = _pad_to_union(t, pad)
             t = t.filter(pc.is_in(t[key_column], value_set=key_set))
             if columns is not None and key_column not in columns:
                 t = t.drop_columns([key_column])
@@ -1178,10 +1199,14 @@ def _union_fields(records: list[dict]) -> list[tuple[str, str]] | None:
     each decoded partition to the union (missing columns → nulls).
     Column NAMES come free from each record's ``codecs`` dict; types
     are read from ONE footer per DISTINCT name-set (2-3 preads on a
-    real evolved container, not O(partitions))."""
+    real evolved container, not O(partitions)).  Name-sets are keyed
+    ORDER-SENSITIVE (codecs dict keys preserve footer column order):
+    two partitions with the same columns in different orders are
+    heterogeneous too — readers must normalize the order or block
+    concatenation fails downstream."""
     name_sets: dict[tuple, str] = {}
     for r in records:
-        names = tuple(sorted(r.get("codecs") or ()))
+        names = tuple(r.get("codecs") or ())
         if names:  # 0-row tombstones carry no codecs — no schema info
             name_sets.setdefault(names, r["path"])
     if len(name_sets) <= 1:

@@ -198,8 +198,11 @@ def incremental_recluster(
             core.add(pid)
             kept_hi = hi
     messy = statless + [pid for pid in spans if pid not in core]
-    if len(messy) < 2:
-        return {"n_messy": len(messy), "n_new": 0, "noop": True,
+    # a SINGLE messy partition is still worth rewriting — one wide
+    # appended partition overlaps every core span and poisons every
+    # range probe until split into range-fitting pieces
+    if not messy:
+        return {"n_messy": 0, "n_new": 0, "noop": True,
                 "n_partitions": len(records), "out_dir": out_dir}
 
     messy_recs = [records[pid] for pid in sorted(messy)]
@@ -220,14 +223,21 @@ def incremental_recluster(
         set(messy) | {x for r in messy_recs for x in (r.get("replaces") or ())})
 
     paths = [r["path"] for r in messy_recs]
+    # schema-evolved containers (P48): harmonize the messy set to ITS
+    # union so the exchange/encode see one schema (None = homogeneous)
+    from .encode_pipeline import _pad_to_union, _union_fields
+
+    pad = _union_fields(messy_recs)
 
     def _decode(batch: pa.Table):
         for p in batch["path"]:
-            yield decode_partition_path(p.as_py())
+            t = decode_partition_path(p.as_py())
+            yield t if pad is None else _pad_to_union(t, pad)
 
     ds = rd.from_items([{"path": p} for p in paths]).map_batches(
         _decode, batch_format="pyarrow", batch_size=1)
-    schema_names = ds.schema().names
+    schema_names = ([n for n, _ in pad] if pad is not None
+                    else ds.schema().names)
     weight_col = (base_opts.weight_col
                   if base_opts.weight_col in schema_names else None)
     # id allocation: a crashed run's staged records (same fid) pin the

@@ -52,16 +52,21 @@ __all__ = ["P2RDatasource"]
 
 
 def _read_one(path: str, key_range, key_filter, columns,
-              block_range=None) -> pa.Table:
+              block_range=None, pad=None) -> pa.Table:
     """Decode one partition (or one block-range slice of a paged
     partition) with projection + exact predicate semantics (range, or
     key-membership for ``key_values`` — partition pruning alone would
-    return every row of a bloom-surviving partition)."""
+    return every row of a bloom-surviving partition).  ``pad``: union
+    fields of a schema-evolved container — partitions predating a
+    column are harmonized (nulls) instead of failing."""
+    from ..pipelines.encode_pipeline import _pad_to_union
     from ..stages.encode import decode_partition_path
 
     if key_range is None and key_filter is None:
-        return decode_partition_path(path, columns=columns,
-                                     block_range=block_range)
+        t = decode_partition_path(path, columns=columns,
+                                  block_range=block_range,
+                                  missing_ok=pad is not None)
+        return t if pad is None else _pad_to_union(t, pad)
     if key_range is not None:
         kcol, lo, hi = key_range
     else:
@@ -71,7 +76,10 @@ def _read_one(path: str, key_range, key_filter, columns,
     if columns is not None and kcol not in columns:
         read_cols = list(columns) + [kcol]
     t = decode_partition_path(path, kcol, lo, hi, columns=read_cols,
-                              block_range=block_range)
+                              block_range=block_range,
+                              missing_ok=pad is not None)
+    if pad is not None:
+        t = _pad_to_union(t, pad)
     m = None
     if key_filter is not None:
         m = pc.is_in(t[kcol], value_set=pa.array(list(key_filter[1])))
@@ -136,6 +144,22 @@ class P2RDatasource(Datasource):
         self._columns = columns
         self._key_range = key_range
         self._exact_rows = key_range is None and self._key_filter is None
+        # schema-evolved containers (P48): read tasks harmonize each
+        # partition to the union (None = homogeneous, zero cost)
+        from ..pipelines.encode_pipeline import _union_fields
+
+        union = _union_fields(self._parts)
+        if union is None:
+            self._pad = None
+        elif columns is None:
+            self._pad = union
+        else:
+            need = set(columns)
+            if key_range is not None:
+                need.add(key_range[0])
+            if self._key_filter is not None:
+                need.add(self._key_filter[0])
+            self._pad = [f for f in union if f[0] in need]
 
     def get_name(self) -> str:
         return "P2R1Container"
@@ -173,8 +197,9 @@ class P2RDatasource(Datasource):
                     input_files=[path],
                 )
 
-                def fn(path=path):
-                    return [_read_one(path, key_range, key_filter, columns)]
+                def fn(path=path, pad=self._pad):
+                    return [_read_one(path, key_range, key_filter, columns,
+                                      pad=pad)]
 
                 tasks.append(ReadTask(fn, meta))
                 continue
@@ -192,9 +217,10 @@ class P2RDatasource(Datasource):
                     input_files=[path],
                 )
 
-                def fn(path=path, s=s, e=e):
+                def fn(path=path, s=s, e=e, pad=self._pad):
                     return [_read_one(path, key_range, key_filter,
-                                      columns, block_range=(s, e))]
+                                      columns, block_range=(s, e),
+                                      pad=pad)]
 
                 tasks.append(ReadTask(fn, meta))
         return tasks
