@@ -516,3 +516,78 @@ def test_incremental_rerun_with_changed_options_gets_fresh_family(
     assert s["n_rows"] == union.num_rows
     got = _gather(out, "rid")
     assert got.select(union.column_names).equals(union.sort_by("rid"))
+
+
+def test_randomized_maintenance_lifecycle_with_recluster(ray_session,
+                                                         tmp_path):
+    """Property-style stress over the FULL maintenance family: a random
+    interleaving of appends, incremental reclusters (some crashed
+    before the family marker), compactions, and range deletes must keep
+    decode == the expected row set at every step — the family-atomic
+    staging, raw-id allocation, GC, and replaces machinery all
+    interacting on one container."""
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.compact_pipeline import compact_container
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+    from parquet2_ray.pipelines.recluster_pipeline import incremental_recluster
+    from parquet2_ray.state import manifest as mf
+
+    rng = np.random.default_rng(4096)
+    out = f"{tmp_path}/cont"
+    opts = EncodeOptions(group_col=None, weight_col=None, sort_key="k",
+                         target_rows=600, fsync=False)
+
+    def mk(i, n):
+        return pa.table({
+            "rid": pa.array([f"s{i:02d}-{j:05d}" for j in range(n)]),
+            "k": pa.array(rng.integers(0, 100_000, n), type=pa.int64()),
+            "n_tok": pa.array(rng.integers(1, 30, n), type=pa.int32()),
+        })
+
+    t0 = mk(0, 1500)
+    pq.write_table(t0, f"{tmp_path}/s00.parquet")
+    encode_dataset(f"{tmp_path}/s00.parquet", out,
+                   EncodeOptions(group_col=None, weight_col=None,
+                                 sort_key="k", range_key="k",
+                                 target_rows=600, fsync=False))
+    expected = t0
+    n_inc = 0
+    for step in range(10):
+        op = int(rng.integers(0, 4))
+        if op == 0:                       # append
+            n_inc += 1
+            t = mk(n_inc, int(rng.integers(100, 400)))
+            pq.write_table(t, f"{tmp_path}/s{n_inc:02d}.parquet")
+            append_dataset(f"{tmp_path}/s{n_inc:02d}.parquet", out, opts,
+                           append_id=f"s{n_inc:02d}")
+            expected = pa.concat_tables([expected, t])
+        elif op == 1:                     # incremental recluster
+            crash = bool(rng.integers(0, 2))
+            if crash:
+                real = mf.commit_family
+                mf.commit_family = lambda *a, **kw: (_ for _ in ()).throw(
+                    RuntimeError("injected"))
+                try:
+                    # raises only when a rewrite actually staged (a
+                    # clean container no-ops before the marker)
+                    incremental_recluster(out, "k", opts, gc=False)
+                except RuntimeError:
+                    pass
+                finally:
+                    mf.commit_family = real
+            else:
+                incremental_recluster(out, "k", opts)
+        elif op == 2:                     # compact
+            compact_container(out, target_weight=25_000,
+                              gc=bool(rng.integers(0, 2)), fsync=False)
+        else:                             # range delete on k
+            lo = int(rng.integers(0, 90_000))
+            hi = lo + int(rng.integers(500, 4_000))
+            delete_rows(out, "k", lo=lo, hi=hi, fsync=False)
+            kv = expected["k"]
+            keep = pc.or_kleene(pc.less(kv, lo), pc.greater(kv, hi))
+            expected = expected.filter(pc.fill_null(keep, True))
+        got = _gather(out, "rid") if expected.num_rows else None
+        if expected.num_rows:
+            assert got.select(expected.column_names).equals(
+                expected.sort_by("rid")), f"divergence at step {step}"
