@@ -260,6 +260,51 @@ def cmd_agg(args) -> dict:
             "rows": t.slice(0, args.limit).to_pylist()}
 
 
+def cmd_history(args) -> dict:
+    from .pipelines.history_pipeline import container_history
+
+    entries = container_history(args.container)
+    if not args.verbose:
+        for e in entries:   # ids are the bulky part; keep the default
+            e.pop("part_ids", None)   # output one line per txn
+    return {"container": args.container, "history": entries}
+
+
+def cmd_rollback(args) -> dict:
+    from .pipelines.history_pipeline import rollback_container
+
+    return rollback_container(args.container, args.to_txn,
+                              sweep=not args.no_sweep)
+
+
+def cmd_changes(args) -> dict:
+    from .pipelines.history_pipeline import changes_since
+
+    ds = changes_since(args.container, args.since,
+                       columns=args.columns.split(",")
+                       if args.columns else None)
+    if args.output:
+        ds.write_parquet(args.output)
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        try:
+            n = pads.dataset(args.output).count_rows()
+        except (OSError, pa.ArrowInvalid):  # empty increment → no files
+            n = 0
+        return {"rows": n, "since": args.since, "output": args.output}
+    return {"rows": ds.count(), "since": args.since}
+
+
+def cmd_sweep(args) -> dict:
+    from .pipelines.compact_pipeline import sweep_invisible
+
+    swept = sweep_invisible(args.container,
+                            retain_from_txn=args.retain_from)
+    return {"swept": swept, "container": args.container,
+            "retain_from_txn": args.retain_from}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="parquet2_ray.job")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -389,13 +434,45 @@ def main(argv: list[str] | None = None) -> int:
     mix.add_argument("--seed", type=int, default=0)
     mix.add_argument("--upsample", action="store_true")
 
+    hist = sub.add_parser("history",
+                          help="per-transaction commit history")
+    hist.add_argument("--container", required=True)
+    hist.add_argument("--verbose", action="store_true",
+                      help="include per-txn partition id lists")
+
+    rbk = sub.add_parser("rollback",
+                         help="restore the snapshot at --to-txn, "
+                              "discarding later transactions")
+    rbk.add_argument("--container", required=True)
+    rbk.add_argument("--to-txn", type=int, required=True)
+    rbk.add_argument("--no-sweep", action="store_true",
+                     help="skip the post-rollback invisible-state sweep")
+
+    chg = sub.add_parser("changes",
+                         help="incremental read: rows appended after "
+                              "--since (append-only window required)")
+    chg.add_argument("--container", required=True)
+    chg.add_argument("--since", type=int, required=True)
+    chg.add_argument("--columns", default=None,
+                     help="comma-separated projection")
+    chg.add_argument("--output", default=None,
+                     help="parquet output dir (omit to just count)")
+
+    swp = sub.add_parser("sweep",
+                         help="GC invisible records/files; --retain-from "
+                              "keeps snapshots at txn >= N restorable")
+    swp.add_argument("--container", required=True)
+    swp.add_argument("--retain-from", type=int, default=None)
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
            "compact": cmd_compact, "delete": cmd_delete,
            "recluster": cmd_recluster, "join": cmd_join, "agg": cmd_agg,
            "dedup": cmd_dedup, "prepare": cmd_prepare,
-           "mix": cmd_mix}[args.cmd](args)
+           "mix": cmd_mix, "history": cmd_history,
+           "rollback": cmd_rollback, "changes": cmd_changes,
+           "sweep": cmd_sweep}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

@@ -200,6 +200,10 @@ def append_dataset(
         # resume: reuse the reserved base — per-partition fingerprint
         # resume then skips whatever already committed
         base = int(mine["base"])
+        # reuse the reserved txn stamp too, so a resumed append's late
+        # partitions land in the SAME snapshot as its crashed-run ones
+        # (pre-txn-era ledgers lack the key: allocate fresh)
+        txn = int(mine.get("txn") or mf.next_txn(out_dir))
     else:
         pending = next((s for s in sessions
                         if s.get("n_parts") is None), None)
@@ -225,8 +229,13 @@ def append_dataset(
         base = max(committed_max, reserved_max) + 1
         # reserve BEFORE encoding (two-phase): a crash mid-encode raises
         # committed_max, and recomputing the base on the re-run would
-        # shift ids and duplicate the increment's rows under fresh names
-        mine = {"append_id": append_id, "base": base, "n_parts": None}
+        # shift ids and duplicate the increment's rows under fresh names.
+        # The txn stamp is reserved alongside for the same reason — a
+        # crash after SOME records commit raises the max raw txn, and a
+        # recomputed stamp would split one append across two snapshots
+        txn = mf.next_txn(out_dir)
+        mine = {"append_id": append_id, "base": base, "n_parts": None,
+                "txn": txn}
         sessions.append(mine)
         fsio.atomic_write(_ledger_path(out_dir),
                           json.dumps(sessions, indent=1).encode(),
@@ -238,7 +247,13 @@ def append_dataset(
     # had already re-encoded over the NEXT append's committed ids
     expected = (int(mine["n_parts"])
                 if mine.get("n_parts") is not None else None)
-    run_opts = replace(opts, id_offset=base, expected_n_parts=expected)
+    run_opts = replace(
+        opts, id_offset=base, expected_n_parts=expected,
+        # snapshot lineage: every record of this increment carries the
+        # append's reserved txn stamp (time travel / history / rollback
+        # resolve on it — state/manifest.py resolve_active)
+        record_extra={**(opts.record_extra or {}),
+                      "txn": txn, "op": "append"})
     try:
         summary = encode_dataset(input_path, out_dir, run_opts,
                                  columns=columns, filesystem=filesystem)

@@ -51,7 +51,7 @@ def _raw_record_ids(out_dir: str) -> list[int]:
 
 @ray.remote
 def _compact_group(out_dir: str, new_id: int, members: list[dict],
-                   fsync: bool) -> dict:
+                   fsync: bool, txn: int) -> dict:
     import numpy as np
 
     from ..stages.encode import (
@@ -96,7 +96,7 @@ def _compact_group(out_dir: str, new_id: int, members: list[dict],
         compression=eo.get("compression"),
         fsync=fsync,
         rows_per_block=eo.get("rows_per_block"),
-        extra_record={"replaces": replaces},
+        extra_record={"replaces": replaces, "txn": txn, "op": "compact"},
         # explicit: an all-tombstone group builds an EMPTY table, and
         # the PART_COL row-0 fallback would commit it as "p0" — which
         # hides ids above the active max and makes the id allocator
@@ -106,7 +106,7 @@ def _compact_group(out_dir: str, new_id: int, members: list[dict],
     return rec.to_pylist()[0]
 
 
-def sweep_invisible(out_dir: str) -> int:
+def sweep_invisible(out_dir: str, retain_from_txn: int | None = None) -> int:
     """GC: a general invisible-state sweep, not tied to any one run —
     records hidden by an ACTIVE record's ``replaces`` (including a
     previous gc=False pass), records staged under a never-committed
@@ -116,25 +116,39 @@ def sweep_invisible(out_dir: str) -> int:
     Everything swept is invisible to every reader; idempotent — a
     crash mid-sweep leaves only more invisible leftovers.
 
+    ``retain_from_txn``: snapshot retention — ALSO keep every record
+    (and file) visible in some snapshot at txn ≥ the horizon, so
+    ``load_manifest(as_of=...)`` time travel, ``rollback_container``
+    and ``changes_since`` stay answerable back to it.  Default None
+    collapses history to the current snapshot (the plain-VACUUM
+    contract).  Abandoned staged families are never visible in ANY
+    snapshot and are reclaimed either way.
+
     Single-writer contract: like every maintenance op, never run
     concurrently with an in-progress encode/append/recluster on the
     same container (the sweep would reclaim its staged state)."""
-    import json as _json
-
     swept = 0
     mdir = os.path.join(out_dir, "_manifest")
-    active = mf.load_manifest(out_dir)
-    families_in_use: set = set()
-    for name in fsio.listdir(mdir):
-        if not (name.startswith("part-") and name.endswith(".json")):
+    raw, committed_families = mf.load_raw_records(out_dir)
+    keep = set(mf.resolve_active(raw, committed_families))
+    if retain_from_txn is not None:
+        # union of the active sets at every distinct stamp ≥ horizon:
+        # visibility is constant between stamps, so this covers every
+        # as_of the horizon promises (O(txns) driver-side resolutions
+        # over the one raw scan — no file IO)
+        ftxn = mf.family_txns(raw)
+        stamps = {ftxn[r["family"]] if r.get("family")
+                  else mf.record_txn(r) for r in raw.values()}
+        for t in stamps:
+            if t >= retain_from_txn:
+                keep |= set(mf.resolve_active(raw, committed_families,
+                                              as_of=t))
+    families_in_use = {raw[pid]["family"] for pid in keep
+                       if raw[pid].get("family")}
+    for pid, r in raw.items():
+        if pid in keep:
             continue
-        pid = name[len("part-"):-len(".json")]
-        r = _json.loads(fsio.read_bytes(os.path.join(mdir, name)))
-        if pid in active:
-            if r.get("family"):
-                families_in_use.add(r["family"])
-            continue
-        fsio.delete(os.path.join(mdir, name))
+        fsio.delete(os.path.join(mdir, f"part-{pid}.json"))
         fsio.delete(r["path"])
         swept += 1
     for name in fsio.listdir(out_dir):
@@ -227,8 +241,13 @@ def compact_container(
         if weight_col is not None:
             groups = [[dict(m, weight_col=weight_col) for m in g]
                       for g in groups]
+        # one txn stamp for the whole pass (a crashed pass's re-run
+        # allocates a fresh stamp for its remaining groups: each group
+        # flip is independently consistent, so the history just reads
+        # as two sequential compactions)
+        txn = mf.next_txn(out_dir)
         recs = ray.get([
-            _compact_group.remote(out_dir, base + i, g, fsync)
+            _compact_group.remote(out_dir, base + i, g, fsync, txn)
             for i, g in enumerate(groups)
         ])
 

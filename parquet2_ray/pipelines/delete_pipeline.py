@@ -39,7 +39,8 @@ __all__ = ["delete_rows"]
 
 @ray.remote
 def _rewrite_partition(out_dir: str, new_id: int, member: dict,
-                       column: str, lo, hi, values, fsync: bool) -> dict:
+                       column: str, lo, hi, values, fsync: bool,
+                       txn: int) -> dict:
     from ..stages.encode import decode_partition_path, encode_partition_table
 
     tbl = decode_partition_path(member["path"])
@@ -73,7 +74,8 @@ def _rewrite_partition(out_dir: str, new_id: int, member: dict,
         fsync=fsync,
         rows_per_block=eo.get("rows_per_block"),
         extra_record={"replaces": sorted(
-            {member["part_id"]} | set(member.get("replaces") or ()))},
+            {member["part_id"]} | set(member.get("replaces") or ())),
+            "txn": txn, "op": "delete"},
         part_id=f"p{new_id:06d}",
     )
     r = rec.to_pylist()[0]
@@ -183,9 +185,10 @@ def delete_rows(
         default=-1)
     base = max(committed_max, reserved_max) + 1
 
+    txn = mf.next_txn(out_dir)   # one snapshot stamp per delete pass
     results = ray.get([
         _rewrite_partition.remote(out_dir, base + i, m, column,
-                                  lo, hi, values, fsync)
+                                  lo, hi, values, fsync, txn)
         for i, m in enumerate(
             sorted(touched, key=lambda r: int(r["part_id"][1:])))
     ])

@@ -1243,7 +1243,9 @@ def _pad_to_union(t: pa.Table, fields: list[tuple[str, str]]) -> pa.Table:
 
 def decode_dataset(out_dir: str, key_values=None,
                    key_range: tuple | None = None,
-                   columns: list[str] | None = None) -> rd.Dataset:
+                   columns: list[str] | None = None,
+                   as_of: int | None = None,
+                   part_ids: set | None = None) -> rd.Dataset:
     """Stream decoded partitions back as a Ray Dataset.
 
     ``key_values``: optional iterable of key-column values — partitions
@@ -1259,9 +1261,16 @@ def decode_dataset(out_dir: str, key_values=None,
     ``columns``: optional projection — only the named column chunks are
     read from disk and decoded (reference S7 / ColumnIterator,
     src/read/column/mod.rs:22-205).  At 100 TB a 2-column consumer of a
-    20-column table must not pay for 18 columns of IO + decode."""
+    20-column table must not pay for 18 columns of IO + decode.
+
+    ``as_of``: time travel — decode the snapshot at that transaction
+    (see ``manifest.load_manifest``); valid until the superseded files
+    are GC'd.  ``part_ids``: restrict to those partition ids (the
+    changes-since incremental read routes here)."""
     # one manifest read serves pruning AND ordering
-    records = mf.load_manifest(out_dir)
+    records = mf.load_manifest(out_dir, as_of=as_of)
+    if part_ids is not None:
+        records = {pid: r for pid, r in records.items() if pid in part_ids}
     if key_values is not None:
         paths = prune_partitions(out_dir, key_values, records=records)
     elif key_range is not None:

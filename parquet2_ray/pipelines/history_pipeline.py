@@ -1,0 +1,265 @@
+"""Snapshot lineage over a container: history, time travel, rollback,
+and incremental (changes-since) reads — the table-maintenance half the
+``replaces``/``family`` commit algebra already implies but never
+exposed.
+
+Model: every maintenance op (append / compact / delete / incremental
+recluster) stamps a monotonically-allocated ``txn`` into each record it
+commits, in the SAME atomic write as the record itself (the base
+encode's records read as txn 0).  A snapshot is then pure resolution:
+``manifest.load_manifest(out_dir, as_of=n)`` includes only records
+stamped ≤ n and applies only THEIR ``replaces`` — the pre-rewrite
+partitions resurface exactly as committed, no data movement, no copies.
+The same one-scan resolution drives everything here.
+
+No reference analog: parquet2 is a file codec library (its metadata is
+per-file, /root/reference/src/metadata/file_metadata.rs); this is the
+dataset-level lineage layer built on the manifest the engine added on
+top — the Iceberg-snapshot / Delta-time-travel shape, expressed in the
+container's own single-writer commit terms.
+
+Interaction with GC: ``sweep_invisible`` reclaims everything outside
+the snapshots it is told to retain (default: only the current one) —
+after a sweep, ``as_of`` older than the retained horizon and
+``rollback_container`` past it refuse loudly rather than answer with
+partial data.  Scale note: every function here is O(raw manifest
+records) driver-side JSON reads plus O(1) per-record deletes — no data
+files are read, and the restored partitions are never rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..state import fsio
+from ..state import manifest as mf
+
+__all__ = ["container_history", "rollback_container", "changes_since"]
+
+
+def container_history(out_dir: str) -> list[dict]:
+    """Per-transaction summary of a container's commit history, oldest
+    first: which op ran, how many records/rows it committed, and how
+    many prior partitions it replaced.  Reads only the manifest.
+
+    Entries describe RAW records (replaced ones included — that is the
+    point: history), so a swept container's history collapses to what
+    the sweep retained.  Staged families without a committed marker are
+    reported with ``committed: False`` (an in-flight or abandoned
+    incremental recluster)."""
+    raw, committed_families = mf.load_raw_records(out_dir)
+    if not raw:
+        raise FileNotFoundError(f"no manifest records under {out_dir}")
+    ftxn = mf.family_txns(raw)
+    by_txn: dict[tuple, dict] = {}
+    for r in raw.values():
+        fid = r.get("family")
+        txn = ftxn[fid] if fid else mf.record_txn(r)
+        op = r.get("op") or ("encode" if txn == 0 else "unknown")
+        key = (txn, op, fid or "")
+        e = by_txn.setdefault(key, {
+            "txn": txn, "op": op, "n_records": 0, "n_rows": 0,
+            "n_replaced": 0, "part_ids": []})
+        e["n_records"] += 1
+        e["n_rows"] += int(r["n_rows"])
+        e["n_replaced"] += len(r.get("replaces") or ())
+        e["part_ids"].append(r["part_id"])
+        if fid:
+            e["family"] = fid
+            e["committed"] = fid in committed_families
+    out = sorted(by_txn.values(), key=lambda e: (e["txn"], e["op"]))
+    for e in out:
+        e["part_ids"] = sorted(e["part_ids"], key=lambda p: int(p[1:]))
+    return out
+
+
+def _check_restorable(raw: dict, committed_families: set,
+                      to_txn: int) -> dict:
+    """The snapshot at ``to_txn`` must be fully materializable: every
+    record it activates needs its data file on disk, and every id any
+    to-be-removed record hides must still have a raw record — a GC'd
+    predecessor means the pre-rewrite rows are GONE and the rollback
+    would silently lose them."""
+    target = mf.resolve_active(raw, committed_families, as_of=to_txn)
+    ftxn = mf.family_txns(raw)
+
+    def _txn(r: dict) -> int:
+        fid = r.get("family")
+        return ftxn[fid] if fid else mf.record_txn(r)
+
+    # ids already hidden AT the target snapshot: a retention sweep may
+    # have reclaimed them (they are in no retained snapshot), and their
+    # absence does not impair restoring the target
+    hidden_at_target: set = set()
+    for r in raw.values():
+        if _txn(r) <= to_txn:
+            hidden_at_target.update(r.get("replaces") or ())
+    for r in raw.values():
+        if _txn(r) <= to_txn:
+            continue
+        missing = [pid for pid in (r.get("replaces") or ())
+                   if pid not in raw and pid not in hidden_at_target]
+        if missing:
+            raise RuntimeError(
+                f"rollback to txn {to_txn} impossible: record "
+                f"{r['part_id']} replaced {missing} whose manifest "
+                "records were GC'd (sweep_invisible collapses history "
+                "— retain snapshots at sweep time to keep them "
+                "restorable)")
+    gone = [r["part_id"] for r in target.values()
+            if not fsio.exists(r["path"])]
+    if gone:
+        raise RuntimeError(
+            f"rollback to txn {to_txn} impossible: data files of "
+            f"{gone} were GC'd")
+    return target
+
+
+def rollback_container(out_dir: str, to_txn: int,
+                       sweep: bool = True) -> dict:
+    """Restore the container to its snapshot at ``to_txn`` by REMOVING
+    every later transaction's records (and their files) — the
+    destructive rollback: later history is discarded, the restored
+    partitions are the original files untouched.
+
+    Crash safety = unwinding in reverse txn order, one atomic step at a
+    time: a family's marker is deleted FIRST (one unlink un-commits the
+    whole family — its replaces stop applying and every pre-recluster
+    partition is active again in the same instant), then its member
+    records; plain records' deletion each atomically re-activates
+    exactly the ids that record was hiding.  A crash mid-rollback
+    leaves a consistent intermediate snapshot; re-running the same
+    rollback completes it (idempotent).
+
+    The append ledger is left intact on purpose: its id reservations
+    keep rolled-back ids from ever being reused, and re-appending the
+    same increment (same ``append_id``) resumes into its reserved range
+    and re-encodes cleanly.  Refuses if the target snapshot was GC'd.
+    Single writer per container, like every maintenance op."""
+    raw, committed_families = mf.load_raw_records(out_dir)
+    if not raw:
+        raise FileNotFoundError(f"no manifest records under {out_dir}")
+    ftxn = mf.family_txns(raw)
+
+    def _txn(r: dict) -> int:
+        fid = r.get("family")
+        return ftxn[fid] if fid else mf.record_txn(r)
+
+    doomed = [r for r in raw.values() if _txn(r) > to_txn]
+    if not doomed:
+        cur = mf.resolve_active(raw, committed_families)
+        return {"rolled_back": 0, "noop": True, "to_txn": to_txn,
+                "n_partitions": len(cur), "out_dir": out_dir}
+    _check_restorable(raw, committed_families, to_txn)
+    mdir = os.path.join(out_dir, "_manifest")
+    # unwind newest-first, family markers before member records
+    for txn in sorted({_txn(r) for r in doomed}, reverse=True):
+        step = [r for r in doomed if _txn(r) == txn]
+        for fid in sorted({r["family"] for r in step if r.get("family")}):
+            marker = os.path.join(mdir, f"family-{fid}.json")
+            if fsio.exists(marker):
+                fsio.delete(marker)
+        for r in step:
+            fsio.delete(os.path.join(mdir, f"part-{r['part_id']}.json"))
+            if fsio.exists(r["path"]):
+                fsio.delete(r["path"])
+    from .compact_pipeline import sweep_invisible
+
+    swept = sweep_invisible(out_dir) if sweep else 0
+
+    from .append_pipeline import refold_global
+
+    combined = refold_global(out_dir)
+    return {
+        "rolled_back": len(doomed),
+        "to_txn": to_txn,
+        "gc_swept": swept,
+        "n_partitions": combined["n_partitions"],
+        "n_rows": combined["n_rows"],
+        "out_dir": out_dir,
+    }
+
+
+def changes_since(out_dir: str, since_txn: int,
+                  columns: list[str] | None = None):
+    """Incremental read: a Ray Dataset of exactly the rows ADDED after
+    ``since_txn`` — the consume-only-new-appends primitive an
+    incremental training-data pipeline runs per cycle (dedup the new
+    increment, score it, append the survivors, advance the cursor).
+
+    Contract (the Iceberg-incremental-scan shape): the window must be
+    append-only IN EFFECT — an active post-cursor record that replaces
+    any pre-cursor record (a compaction / delete / recluster that
+    touched old rows) makes "rows added since" unanswerable from
+    lineage alone, and this raises rather than double- or under-counts.
+    A post-cursor rewrite of post-cursor records is fine (those rows
+    are all new); tombstones and same-window compactions pass.
+
+    Streams through ``decode_dataset`` (projection and all) — nothing
+    is materialized driver-side beyond the id list."""
+    raw, committed_families = mf.load_raw_records(out_dir)
+    if not raw:
+        raise FileNotFoundError(f"no manifest records under {out_dir}")
+    ftxn = mf.family_txns(raw)
+    max_txn = max((ftxn[r["family"]] if r.get("family")
+                   else mf.record_txn(r)) for r in raw.values())
+    if since_txn > max_txn:
+        raise ValueError(
+            f"since_txn {since_txn} is beyond the container's latest "
+            f"transaction {max_txn}")
+    active = mf.resolve_active(raw, committed_families)
+    new = {pid: r for pid, r in active.items()
+           if (ftxn[r["family"]] if r.get("family")
+               else mf.record_txn(r)) > since_txn}
+    # ids already hidden AT the cursor: a post-cursor record carrying
+    # one in ``replaces`` inherited it transitively (the resurrection
+    # guard) — it was not a data source, so it neither breaks the
+    # append-only contract nor needs its record retained
+    hidden_at_cursor: set = set()
+    for r in raw.values():
+        if (ftxn[r["family"]] if r.get("family")
+                else mf.record_txn(r)) <= since_txn:
+            hidden_at_cursor.update(r.get("replaces") or ())
+    for r in new.values():
+        for pid in (r.get("replaces") or ()):
+            if pid in hidden_at_cursor:
+                continue
+            old = raw.get(pid)
+            if old is None:
+                raise RuntimeError(
+                    f"changes_since({since_txn}): record {r['part_id']} "
+                    f"replaced {pid} whose manifest record was GC'd — "
+                    "the window's lineage is gone; advance the cursor "
+                    "or retain history at sweep time")
+            old_txn = (ftxn[old["family"]] if old.get("family")
+                       else mf.record_txn(old))
+            if old_txn <= since_txn:
+                raise RuntimeError(
+                    f"changes_since({since_txn}): {r['part_id']} "
+                    f"(op {r.get('op')!r}, txn > {since_txn}) rewrote "
+                    f"pre-cursor partition {pid} — the window is not "
+                    "append-only, so added-rows cannot be derived from "
+                    "lineage; read a full snapshot instead")
+    if not new:
+        # empty increment: an empty Dataset with the container's schema
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ..codecs.column import str_to_type
+        from .encode_pipeline import _union_fields
+
+        union = _union_fields(list(active.values()))
+        if union is None:
+            first = min(active.values(),
+                        key=lambda r: int(r["part_id"][1:]))
+            footer = mf.read_partition_footer(first["path"])
+            cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                    else footer["columns"])
+            union = [(m["name"], m["arrow_type"]) for m in cols]
+        if columns is not None:
+            union = [f for f in union if f[0] in set(columns)]
+        schema = pa.schema([(n, str_to_type(t)) for n, t in union])
+        return rd.from_arrow(schema.empty_table())
+    from .encode_pipeline import decode_dataset
+
+    return decode_dataset(out_dir, columns=columns, part_ids=set(new))

@@ -247,15 +247,23 @@ def incremental_recluster(
     # content + same options → same edges → same ids), so
     # fingerprint-resume skips already-encoded members.
     staged_ids = _family_member_ids(out_dir, fid)
+    raw, _fams = mf.load_raw_records(out_dir)
     if staged_ids:
         base = min(staged_ids)
+        # resume into the crashed attempt's txn stamp so the family's
+        # members stay one snapshot unit (resolve_active takes the max
+        # member stamp either way — reusing it keeps history readable)
+        txn = max(mf.record_txn(r) for r in raw.values()
+                  if r.get("family") == fid)
     else:
         base = max((_raw_record_ids(out_dir) or [-1])) + 1
         base = max(base, max((int(s["base"]) + int(s["n_parts"])
                               for s in sessions), default=0))
+        txn = mf.next_txn(out_dir, raw)
     ropts = replace(base_opts, group_col=None, weight_col=weight_col,
                     range_key=key, sort_key=key, id_offset=base,
-                    record_extra={"family": fid, "replaces": replaces})
+                    record_extra={"family": fid, "replaces": replaces,
+                                  "txn": txn, "op": "recluster"})
     summary = encode_dataset(ds, out_dir, ropts)
     # pre-commit guard: the marker activates EVERY raw record carrying
     # this fid — refuse if any sits outside this run's id range (a

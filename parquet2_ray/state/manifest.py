@@ -47,6 +47,11 @@ __all__ = [
     "read_partition_file",
     "commit_manifest_record",
     "load_manifest",
+    "load_raw_records",
+    "resolve_active",
+    "record_txn",
+    "family_txns",
+    "next_txn",
     "manifest_dir",
     "write_global_manifest",
 ]
@@ -73,9 +78,24 @@ def canonical_fingerprint(table: pa.Table, sort_key: str | list[str] | None = No
     (Fingerprints from earlier blake2b-era manifests don't compare
     equal — a resume against one re-encodes, which is safe: commit is
     atomic and idempotent.)
+
+    Physical-layout canonicalization: the IPC bytes of a table are NOT
+    a function of its logical content alone — a zero-copy slice (what
+    the exchange hands a reduce task for a small group) or a redundant
+    all-valid validity buffer serializes differently from a freshly
+    built table with the same rows, which made encode-side and
+    verify-side fingerprints of 1-row partitions disagree.  ``take``
+    rebuilds every buffer compacted and offset-free, so the hash sees
+    one layout per content; the sort path gets this for free from its
+    own take, the unsorted/1-row path pays one explicit identity take
+    (a memcpy — small next to the sha256 itself).
     """
     if sort_key is not None and table.num_rows > 1:
         table = sort_table(table, sort_key)
+    elif table.num_rows:
+        import numpy as np
+
+        table = table.take(pa.array(np.arange(table.num_rows)))
     table = table.combine_chunks()
     # normalize schema: drop key-value/field metadata (e.g. parquet's
     # ARROW:schema), nullability flags, and list child field names
@@ -445,7 +465,77 @@ def load_manifest_record(out_dir: str, part_id: str) -> dict | None:
     return json.loads(fsio.read_bytes(path))
 
 
-def load_manifest(out_dir: str) -> dict[str, dict]:
+def record_txn(r: dict) -> int:
+    """A record's transaction stamp.  Maintenance ops (append, compact,
+    delete, incremental recluster) stamp ``txn``/``op`` into every
+    record they commit; the base encode's records carry none and read
+    as txn 0 — the container's initial snapshot."""
+    return int(r.get("txn") or 0)
+
+
+def load_raw_records(
+        out_dir: str) -> tuple[dict[str, dict], set[str]]:
+    """EVERY committed part record (active, replaced, family-staged)
+    keyed by part_id, plus the set of committed family ids — the one
+    O(partitions) manifest scan behind visibility resolution, GC,
+    history and rollback."""
+    d = os.path.join(out_dir, "_manifest")
+    raw: dict[str, dict] = {}
+    committed_families: set[str] = set()
+    for name in fsio.listdir(d):
+        if name.startswith("family-") and name.endswith(".json"):
+            committed_families.add(name[len("family-"):-len(".json")])
+        elif name.startswith("part-") and name.endswith(".json"):
+            r = json.loads(fsio.read_bytes(os.path.join(d, name)))
+            raw[r["part_id"]] = r
+    return raw, committed_families
+
+
+def family_txns(raw: dict[str, dict]) -> dict[str, int]:
+    """Per-family transaction stamp: the MAX over members.  A resumed
+    incremental recluster can stamp late members with a higher txn than
+    the crashed attempt's; the family activates (and time-travels) as
+    one unit at the latest stamp — all-or-none, never a partial
+    family."""
+    out: dict[str, int] = {}
+    for r in raw.values():
+        fid = r.get("family")
+        if fid:
+            out[fid] = max(out.get(fid, 0), record_txn(r))
+    return out
+
+
+def resolve_active(
+    raw: dict[str, dict],
+    committed_families: set[str],
+    as_of: int | None = None,
+) -> dict[str, dict]:
+    """Visibility resolution over raw records: which partitions a
+    reader sees.  With ``as_of`` the snapshot is reconstructed at that
+    transaction — records stamped later (and families whose stamp is
+    later) are excluded, and only the INCLUDED records' ``replaces``
+    apply, so the pre-rewrite partitions become visible again exactly
+    as they were."""
+    ftxn = family_txns(raw) if as_of is not None else {}
+    records: dict[str, dict] = {}
+    replaced: set[str] = set()
+    for r in raw.values():
+        fid = r.get("family")
+        if fid:
+            if fid not in committed_families:
+                continue
+            if as_of is not None and ftxn[fid] > as_of:
+                continue
+        elif as_of is not None and record_txn(r) > as_of:
+            continue
+        records[r["part_id"]] = r
+        replaced.update(r.get("replaces") or ())
+    for pid in replaced:
+        records.pop(pid, None)
+    return records
+
+
+def load_manifest(out_dir: str, as_of: int | None = None) -> dict[str, dict]:
     """Active partition records.  A record's ``replaces`` list names
     partition ids whose rows it now carries (compaction): those ids are
     dropped here, so the visibility flip is the ONE atomic commit of
@@ -462,30 +552,24 @@ def load_manifest(out_dir: str) -> dict[str, dict]:
     activates every member and their replaces together.  Staged state a
     crashed run abandons is invisible forever and reclaimed by the
     standard GC sweep; records without a family behave exactly as
-    before."""
-    d = os.path.join(out_dir, "_manifest")
-    records: dict[str, dict] = {}
-    replaced: set[str] = set()
-    staged: list[dict] = []
-    committed_families: set[str] = set()
-    for name in fsio.listdir(d):
-        if name.startswith("family-") and name.endswith(".json"):
-            committed_families.add(name[len("family-"):-len(".json")])
-            continue
-        if name.startswith("part-") and name.endswith(".json"):
-            r = json.loads(fsio.read_bytes(os.path.join(d, name)))
-            if r.get("family"):
-                staged.append(r)
-                continue
-            records[r["part_id"]] = r
-            replaced.update(r.get("replaces") or ())
-    for r in staged:
-        if r["family"] in committed_families:
-            records[r["part_id"]] = r
-            replaced.update(r.get("replaces") or ())
-    for pid in replaced:
-        records.pop(pid, None)
-    return records
+    before.
+
+    ``as_of``: reconstruct the snapshot at that transaction instead of
+    the current one (time travel) — valid while the superseded
+    records/files have not been GC'd (``sweep_invisible`` collapses
+    history to the snapshots it is told to retain)."""
+    raw, committed_families = load_raw_records(out_dir)
+    return resolve_active(raw, committed_families, as_of)
+
+
+def next_txn(out_dir: str, raw: dict[str, dict] | None = None) -> int:
+    """Allocate the next transaction stamp: max over ALL raw records
+    (replaced and staged included — their stamps are history) + 1.
+    Maintenance ops are single-writer per container, so driver-side
+    allocation is race-free by the same contract as id allocation."""
+    if raw is None:
+        raw, _ = load_raw_records(out_dir)
+    return max((record_txn(r) for r in raw.values()), default=0) + 1
 
 
 def commit_family(out_dir: str, family_id: str, fsync: bool = True) -> str:

@@ -94,3 +94,31 @@ def test_shards_of_different_widths_concat_after_widen():
     merged = pa.concat_tables([_widen_from_wire(na), _widen_from_wire(nb)])
     assert merged["v"].type == pa.int32()
     assert merged["v"].to_pylist() == [1, 200, 1, 70000]
+
+
+def test_fingerprint_is_physical_layout_invariant():
+    """A zero-copy slice (what the exchange hands a reduce task for a
+    1-row group) and an IPC-roundtripped slice must fingerprint the
+    same as a freshly built table with the same rows — found live: the
+    encode-side fp of exchange-sliced 1-row partitions disagreed with
+    the decode-verify fp of the identical content."""
+    t = _zoo()
+    for i in range(t.num_rows):
+        rebuilt = pa.Table.from_pylist(t.slice(i, 1).to_pylist(),
+                                       schema=t.schema)
+        want = canonical_fingerprint(rebuilt)
+        assert canonical_fingerprint(t.slice(i, 1)) == want
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        rt = pa.ipc.open_stream(sink.getvalue()).read_all()
+        assert canonical_fingerprint(rt.slice(i, 1)) == want
+    # multi-row unsorted: slice-of-middle vs rebuilt
+    mid = t.slice(1, 2)
+    rebuilt = pa.Table.from_pylist(mid.to_pylist(), schema=t.schema)
+    assert canonical_fingerprint(mid) == canonical_fingerprint(rebuilt)
+    # and the sorted path still agrees with itself across layouts
+    assert (canonical_fingerprint(t.slice(0, 3), "s")
+            == canonical_fingerprint(
+                pa.Table.from_pylist(t.slice(0, 3).to_pylist(),
+                                     schema=t.schema), "s"))
