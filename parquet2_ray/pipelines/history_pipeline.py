@@ -165,7 +165,12 @@ def rollback_container(out_dir: str, to_txn: int,
                 fsio.delete(r["path"])
     from .compact_pipeline import sweep_invisible
 
-    swept = sweep_invisible(out_dir) if sweep else 0
+    # retain_from_txn=0: the post-rollback sweep reclaims only state
+    # visible in NO snapshot (abandoned staged families, recordless
+    # orphan files) — rollback restores history, it must not GC the
+    # still-answerable snapshots BEFORE the restore point (an explicit
+    # `sweep` collapses them when the user wants that)
+    swept = sweep_invisible(out_dir, retain_from_txn=0) if sweep else 0
 
     from .append_pipeline import refold_global
 

@@ -104,6 +104,7 @@ class P2RDatasource(Datasource):
         columns: Optional[List[str]] = None,
         key_values: Optional[Iterable] = None,
         key_range: Optional[tuple] = None,
+        as_of: Optional[int] = None,
     ):
         if key_values is not None and key_range is not None:
             raise ValueError("pass key_values OR key_range, not both")
@@ -118,13 +119,17 @@ class P2RDatasource(Datasource):
             prune_partitions_by_range,
         )
 
-        records = mf.load_manifest(container_dir)
+        # as_of: time-travel read of a past snapshot (see
+        # manifest.load_manifest) — pruning below reuses THIS record
+        # set so the snapshot's own partitions are what gets pruned
+        records = mf.load_manifest(container_dir, as_of=as_of)
         if not records:
             raise FileNotFoundError(
                 f"no committed partitions under {container_dir}")
         self._key_filter = None
         if key_values is not None:
-            keep = set(prune_partitions(container_dir, key_values))
+            keep = set(prune_partitions(container_dir, key_values,
+                                        records=records))
             # exact row semantics need the bloomed key column: rows of
             # bloom-surviving partitions are filtered to the value set
             kcols = {r.get("bloom_key") for r in records.values()
@@ -135,7 +140,8 @@ class P2RDatasource(Datasource):
                     f"container has {sorted(kcols) or 'none'}")
             self._key_filter = (kcols.pop(), list(key_values))
         elif key_range is not None:
-            keep = set(prune_partitions_by_range(container_dir, *key_range))
+            keep = set(prune_partitions_by_range(container_dir, *key_range,
+                                                 records=records))
         else:
             keep = {r["path"] for r in records.values()}
         self._parts = [r for r in sorted(records.values(),

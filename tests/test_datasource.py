@@ -127,3 +127,33 @@ def test_key_values_prune_everything(container, ray_session):
     assert src._parts == []
     assert src.get_read_tasks(32) == []
     assert rd.read_datasource(src).count() == 0
+
+
+def test_as_of_time_travel_read(tmp_path, ray_session):
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    out = str(tmp_path / "cont")
+    base = make_tokens_table(500, seed=41)
+    inc = make_tokens_table(200, seed=43)
+    pq.write_table(base, tmp_path / "b.parquet")
+    pq.write_table(inc, tmp_path / "i.parquet")
+    opts = EncodeOptions(target_weight=150_000, fsync=False)
+    encode_dataset(str(tmp_path / "b.parquet"), out, opts)
+    append_dataset(str(tmp_path / "i.parquet"), out, opts,
+                   append_id="inc")
+    assert rd.read_datasource(P2RDatasource(out)).count() == 700
+    snap = rd.read_datasource(P2RDatasource(out, as_of=0))
+    assert snap.count() == 500
+    # snapshot pruning composes: range over the snapshot's partitions
+    snap_rng = rd.read_datasource(
+        P2RDatasource(out, as_of=0, key_range=("n_tok", 100, 500)))
+    import pyarrow.compute as pc
+
+    want = base.filter(pc.and_(pc.greater_equal(base["n_tok"], 100),
+                               pc.less_equal(base["n_tok"], 500)))
+    assert snap_rng.count() == want.num_rows

@@ -215,3 +215,44 @@ def test_job_join_and_agg(tmp_path, capsys):
     want = sum(a["v"].to_pylist()[i] for i in range(500)
                if a["uid"].to_pylist()[i] == s["rows"][0]["uid"])
     assert s["rows"][0]["v_sum"] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_history_changes_rollback_sweep(tmp_path, capsys):
+    from parquet2_ray.sources.tokens import make_tokens_table
+
+    def _out():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    base = tmp_path / "base.parquet"
+    inc = tmp_path / "inc.parquet"
+    pq.write_table(make_tokens_table(400, seed=4), base)
+    pq.write_table(make_tokens_table(150, seed=5), inc)
+    cont = str(tmp_path / "cont")
+    assert main(["encode", "--input", str(base), "--output", cont,
+                 "--target-weight", "60000"]) == 0
+    capsys.readouterr()
+    assert main(["encode", "--append", "--input", str(inc),
+                 "--output", cont, "--target-weight", "60000"]) == 0
+    capsys.readouterr()
+
+    assert main(["history", "--container", cont]) == 0
+    h = _out()["history"]
+    assert [(e["txn"], e["op"]) for e in h] == [(0, "encode"),
+                                                (1, "append")]
+    assert "part_ids" not in h[0]   # default output stays terse
+
+    chg = str(tmp_path / "chg")
+    assert main(["changes", "--container", cont, "--since", "0",
+                 "--output", chg]) == 0
+    assert _out()["rows"] == 150
+    assert pq.read_table(chg).num_rows == 150
+
+    assert main(["rollback", "--container", cont, "--to-txn", "0"]) == 0
+    assert _out()["n_rows"] == 400
+    assert main(["history", "--container", cont, "--verbose"]) == 0
+    h = _out()["history"]
+    assert len(h) == 1 and h[0]["part_ids"]
+
+    assert main(["sweep", "--container", cont]) == 0
+    assert _out()["swept"] == 0   # rollback already swept

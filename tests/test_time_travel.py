@@ -298,3 +298,108 @@ def test_resumed_append_reuses_txn_stamp(ray_session, tmp_path):
     h = container_history(out)
     assert [(e["txn"], e["op"]) for e in h] == [(0, "encode"),
                                                 (1, "append")]
+
+
+def test_randomized_lifecycle_with_snapshots(ray_session, tmp_path):
+    """Property-style stress: a random interleaving of appends, deletes,
+    compactions, incremental reclusters (some crashed pre-marker),
+    retention sweeps, and rollbacks — with the FULL per-txn snapshot
+    ledger tracked driver-side and a random retained snapshot
+    re-checked via ``as_of`` after every step."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from parquet2_ray.pipelines.recluster_pipeline import (
+        incremental_recluster,
+    )
+    from parquet2_ray.pipelines.history_pipeline import container_history
+
+    rng = np.random.default_rng(20260819)
+    out = str(tmp_path / "cont")
+    opts = EncodeOptions(group_col=None, weight_col=None, sort_key="k",
+                         target_rows=500, fsync=False)
+
+    def mk(i, n):
+        return pa.table({
+            "rid": pa.array([f"s{i:02d}-{j:05d}" for j in range(n)]),
+            "k": pa.array(rng.integers(0, 100_000, n), type=pa.int64()),
+            "n_tok": pa.array(rng.integers(1, 30, n), type=pa.int32()),
+        })
+
+    def rows(**kw):
+        ds = decode_dataset(out, columns=["rid"], **kw)
+        got = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            got.update(b["rid"].to_pylist())
+        return got
+
+    t0 = mk(0, 1200)
+    pq.write_table(t0, str(tmp_path / "s00.parquet"))
+    encode_dataset(str(tmp_path / "s00.parquet"), out,
+                   EncodeOptions(group_col=None, weight_col=None,
+                                 sort_key="k", range_key="k",
+                                 target_rows=500, fsync=False))
+    expected = t0
+    snapshots = {0: t0}   # txn -> expected table (the driver ledger)
+    n_inc = 0
+
+    def _max_txn():
+        return max(e["txn"] for e in container_history(out))
+
+    for step in range(14):
+        op = int(rng.integers(0, 6))
+        if op == 0:                           # append
+            n_inc += 1
+            t = mk(n_inc, int(rng.integers(80, 300)))
+            p = str(tmp_path / f"s{n_inc:02d}.parquet")
+            pq.write_table(t, p)
+            append_dataset(p, out, opts, append_id=f"s{n_inc:02d}")
+            expected = pa.concat_tables([expected, t])
+        elif op == 1:                         # range delete on k
+            lo = int(rng.integers(0, 90_000))
+            hi = lo + int(rng.integers(500, 4_000))
+            delete_rows(out, "k", lo=lo, hi=hi, fsync=False)
+            kv = expected["k"]
+            keep = pc.or_kleene(pc.less(kv, lo), pc.greater(kv, hi))
+            expected = expected.filter(pc.fill_null(keep, True))
+        elif op == 2:                         # compact, history kept
+            compact_container(out, target_weight=20_000, gc=False,
+                              fsync=False)
+        elif op == 3:                         # incremental recluster
+            crash = bool(rng.integers(0, 2))
+            if crash:
+                real = mf.commit_family
+                mf.commit_family = lambda *a, **kw: (_ for _ in ()).throw(
+                    RuntimeError("injected"))
+                try:
+                    incremental_recluster(out, "k", opts, gc=False)
+                except RuntimeError:
+                    pass
+                finally:
+                    mf.commit_family = real
+            else:
+                incremental_recluster(out, "k", opts, gc=False)
+        elif op == 4 and len(snapshots) > 1:  # retention sweep
+            horizon = int(rng.choice(sorted(snapshots)))
+            sweep_invisible(out, retain_from_txn=horizon)
+            cur = max(snapshots)
+            snapshots = {t: v for t, v in snapshots.items()
+                         if t >= horizon or t == cur}
+        elif op == 5 and len(snapshots) > 1:  # rollback
+            to = int(rng.choice(sorted(snapshots)[:-1]))
+            rollback_container(out, to, sweep=True)
+            snapshots = {t: v for t, v in snapshots.items() if t <= to}
+            expected = snapshots[to]   # rollback may resurrect rows a
+            #                            later delete removed
+        # ledger update + invariants
+        cur = _max_txn()
+        snapshots[cur] = expected
+        assert rows() == set(expected["rid"].to_pylist()), \
+            f"divergence at step {step}"
+        probe = int(rng.choice(sorted(snapshots)))
+        assert rows(as_of=probe) == set(
+            snapshots[probe]["rid"].to_pylist()), \
+            f"snapshot {probe} divergence at step {step}"
+    from parquet2_ray.pipelines.verify_pipeline import verify_manifest
+
+    assert verify_manifest(out)["n_bad"] == 0
