@@ -296,6 +296,18 @@ def cmd_changes(args) -> dict:
     return {"rows": ds.count(), "since": args.since}
 
 
+def cmd_ingest(args) -> dict:
+    from .pipelines.encode_pipeline import EncodeOptions
+    from .pipelines.ingest_pipeline import ingest_increment
+
+    opts = EncodeOptions(target_weight=args.target_weight,
+                         compression=args.compression)
+    return ingest_increment(args.input, args.container, args.index,
+                            opts, text_col=args.text_col,
+                            id_col=args.id_col,
+                            ingest_id=args.ingest_id)
+
+
 def cmd_sweep(args) -> dict:
     from .pipelines.compact_pipeline import sweep_invisible
 
@@ -458,6 +470,23 @@ def main(argv: list[str] | None = None) -> int:
     chg.add_argument("--output", default=None,
                      help="parquet output dir (omit to just count)")
 
+    ing = sub.add_parser("ingest",
+                         help="daily-ingest cycle: dedup the increment "
+                              "against the corpus hash index, append "
+                              "survivors, fold their hashes back "
+                              "(crash-safe phase ledger)")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--container", required=True)
+    ing.add_argument("--index", required=True,
+                     help="hash-index dir (bootstrapped when empty)")
+    ing.add_argument("--text-col", default="text")
+    ing.add_argument("--id-col", default="doc_id")
+    ing.add_argument("--ingest-id", default=None,
+                     help="stable increment id (defaults to a content "
+                          "hash of the input files)")
+    ing.add_argument("--target-weight", type=int, default=4_000_000)
+    ing.add_argument("--compression", default=None)
+
     swp = sub.add_parser("sweep",
                          help="GC invisible records/files; --retain-from "
                               "keeps snapshots at txn >= N restorable")
@@ -472,7 +501,7 @@ def main(argv: list[str] | None = None) -> int:
            "dedup": cmd_dedup, "prepare": cmd_prepare,
            "mix": cmd_mix, "history": cmd_history,
            "rollback": cmd_rollback, "changes": cmd_changes,
-           "sweep": cmd_sweep}[args.cmd](args)
+           "sweep": cmd_sweep, "ingest": cmd_ingest}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

@@ -278,4 +278,4 @@ def append_dataset(
     # increment; refold it over ALL committed partitions
     combined = refold_global(out_dir)
     return dict(summary, container=combined, append_id=append_id,
-                id_offset=base)
+                id_offset=base, txn=txn)

@@ -256,3 +256,33 @@ def test_job_history_changes_rollback_sweep(tmp_path, capsys):
 
     assert main(["sweep", "--container", cont]) == 0
     assert _out()["swept"] == 0   # rollback already swept
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_ingest_cycle(tmp_path, capsys):
+    import pyarrow as pa
+
+    def _out():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    d1 = tmp_path / "d1.parquet"
+    d2 = tmp_path / "d2.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"a{i}" for i in range(30)]),
+        "text": pa.array([f"text {i}" for i in range(30)])}), d1)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"b{i}" for i in range(10)] + ["b_old"]),
+        "text": pa.array([f"new {i}" for i in range(10)] + ["text 7"])}),
+        d2)
+    cont, idx = str(tmp_path / "cont"), str(tmp_path / "idx")
+    assert main(["ingest", "--input", str(d1), "--container", cont,
+                 "--index", idx, "--target-weight", "50000"]) == 0
+    assert _out()["ingested"] == 30
+    assert main(["ingest", "--input", str(d2), "--container", cont,
+                 "--index", idx, "--target-weight", "50000"]) == 0
+    r = _out()
+    assert (r["ingested"], r["dropped"]) == (10, 1)
+    assert main(["history", "--container", cont]) == 0
+    h = _out()["history"]
+    assert [(e["txn"], e["op"]) for e in h] == [(1, "append"),
+                                                (2, "append")]
