@@ -296,6 +296,21 @@ def cmd_changes(args) -> dict:
     return {"rows": ds.count(), "since": args.since}
 
 
+def cmd_tag(args) -> dict:
+    from .pipelines.history_pipeline import (
+        delete_tag,
+        list_tags,
+        tag_snapshot,
+    )
+
+    if args.delete:
+        return delete_tag(args.container, args.delete)
+    if args.name:
+        return tag_snapshot(args.container, args.name, txn=args.txn)
+    return {"container": args.container,
+            "tags": list_tags(args.container)}
+
+
 def cmd_ingest(args) -> dict:
     from .pipelines.encode_pipeline import EncodeOptions
     from .pipelines.ingest_pipeline import ingest_increment
@@ -470,6 +485,15 @@ def main(argv: list[str] | None = None) -> int:
     chg.add_argument("--output", default=None,
                      help="parquet output dir (omit to just count)")
 
+    tag = sub.add_parser("tag",
+                         help="name a snapshot (a retention root the "
+                              "sweep keeps restorable); no args = list")
+    tag.add_argument("--container", required=True)
+    tag.add_argument("--name", default=None)
+    tag.add_argument("--txn", type=int, default=None,
+                     help="snapshot to tag (default: latest)")
+    tag.add_argument("--delete", default=None, metavar="NAME")
+
     ing = sub.add_parser("ingest",
                          help="daily-ingest cycle: dedup the increment "
                               "against the corpus hash index, append "
@@ -501,7 +525,8 @@ def main(argv: list[str] | None = None) -> int:
            "dedup": cmd_dedup, "prepare": cmd_prepare,
            "mix": cmd_mix, "history": cmd_history,
            "rollback": cmd_rollback, "changes": cmd_changes,
-           "sweep": cmd_sweep, "ingest": cmd_ingest}[args.cmd](args)
+           "sweep": cmd_sweep, "ingest": cmd_ingest,
+           "tag": cmd_tag}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

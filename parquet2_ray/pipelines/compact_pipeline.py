@@ -124,25 +124,53 @@ def sweep_invisible(out_dir: str, retain_from_txn: int | None = None) -> int:
     contract).  Abandoned staged families are never visible in ANY
     snapshot and are reclaimed either way.
 
+    TAGGED snapshots (``tag_snapshot``) are retention roots: they stay
+    restorable through every sweep regardless of ``retain_from_txn``
+    (delete the tag to release them).
+
     Single-writer contract: like every maintenance op, never run
     concurrently with an in-progress encode/append/recluster on the
     same container (the sweep would reclaim its staged state)."""
+    from .history_pipeline import (
+        list_tags,
+        load_retention,
+        save_retention,
+    )
+
     swept = 0
     mdir = os.path.join(out_dir, "_manifest")
     raw, committed_families = mf.load_raw_records(out_dir)
     keep = set(mf.resolve_active(raw, committed_families))
-    if retain_from_txn is not None:
-        # union of the active sets at every distinct stamp ≥ horizon:
-        # visibility is constant between stamps, so this covers every
-        # as_of the horizon promises (O(txns) driver-side resolutions
-        # over the one raw scan — no file IO)
-        ftxn = mf.family_txns(raw)
-        stamps = {ftxn[r["family"]] if r.get("family")
-                  else mf.record_txn(r) for r in raw.values()}
-        for t in stamps:
-            if t >= retain_from_txn:
-                keep |= set(mf.resolve_active(raw, committed_families,
-                                              as_of=t))
+    tagged = set(list_tags(out_dir).values())
+    ftxn = mf.family_txns(raw)
+    stamps = {ftxn[r["family"]] if r.get("family")
+              else mf.record_txn(r) for r in raw.values()}
+    cur = max(stamps, default=0)
+    # union of the active sets at every retained stamp: the current one,
+    # every stamp ≥ the horizon, and every TAGGED stamp (a tag needs
+    # exactly resolve_active(as_of=tag_txn) — stamps below it that the
+    # tag's snapshot hides stay sweepable).  Visibility is constant
+    # between stamps, so this covers every as_of the horizon promises
+    # (O(txns) driver-side resolutions over the one raw scan — no file
+    # IO).
+    per_stamp = {t: set(mf.resolve_active(raw, committed_families,
+                                          as_of=t)) for t in stamps}
+    for t in stamps:
+        if t == cur or t in tagged or (
+                retain_from_txn is not None and t >= retain_from_txn):
+            keep |= per_stamp[t]
+    # retention ledger: which snapshots remain FULLY intact after this
+    # sweep — rollback consults it to accept targets whose missing
+    # replaced-ids are provably just swept intermediates, not lost
+    # target records.  Exact, not heuristic: a snapshot survives iff it
+    # was intact before and every record it resolves to is kept now.
+    prior = load_retention(out_dir)
+    intact = {t for t in stamps
+              if (prior is None or t in prior["intact"]
+                  or t > prior["max_at_sweep"])
+              and per_stamp[t] <= keep}
+    save_retention(out_dir, {"intact": sorted(intact),
+                             "max_at_sweep": cur})
     families_in_use = {raw[pid]["family"] for pid in keep
                        if raw[pid].get("family")}
     for pid, r in raw.items():

@@ -1244,7 +1244,7 @@ def _pad_to_union(t: pa.Table, fields: list[tuple[str, str]]) -> pa.Table:
 def decode_dataset(out_dir: str, key_values=None,
                    key_range: tuple | None = None,
                    columns: list[str] | None = None,
-                   as_of: int | None = None,
+                   as_of: int | str | None = None,
                    part_ids: set | None = None) -> rd.Dataset:
     """Stream decoded partitions back as a Ray Dataset.
 
@@ -1264,9 +1264,14 @@ def decode_dataset(out_dir: str, key_values=None,
     20-column table must not pay for 18 columns of IO + decode.
 
     ``as_of``: time travel — decode the snapshot at that transaction
-    (see ``manifest.load_manifest``); valid until the superseded files
-    are GC'd.  ``part_ids``: restrict to those partition ids (the
-    changes-since incremental read routes here)."""
+    (or tag name; see ``manifest.load_manifest`` / ``tag_snapshot``);
+    valid until the superseded files are GC'd.  ``part_ids``: restrict
+    to those partition ids (the changes-since incremental read routes
+    here)."""
+    if isinstance(as_of, str):
+        from .history_pipeline import resolve_as_of
+
+        as_of = resolve_as_of(out_dir, as_of)
     # one manifest read serves pruning AND ordering
     records = mf.load_manifest(out_dir, as_of=as_of)
     if part_ids is not None:

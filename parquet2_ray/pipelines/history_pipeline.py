@@ -34,7 +34,104 @@ import os
 from ..state import fsio
 from ..state import manifest as mf
 
-__all__ = ["container_history", "rollback_container", "changes_since"]
+__all__ = ["container_history", "rollback_container", "changes_since",
+           "tag_snapshot", "list_tags", "delete_tag", "resolve_as_of"]
+
+
+def _tags_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest", "tags.json")
+
+
+def list_tags(out_dir: str) -> dict[str, int]:
+    p = _tags_path(out_dir)
+    if not fsio.exists(p):
+        return {}
+    import json
+
+    return json.loads(fsio.read_bytes(p))
+
+
+def tag_snapshot(out_dir: str, name: str, txn: int | None = None) -> dict:
+    """Name a snapshot (``txn`` defaults to the latest transaction) —
+    the ref a consumer pins a training run or an audit to.  Tags are
+    first-class retention roots: ``sweep_invisible(..., retain
+    tags)`` keeps every tagged snapshot restorable, and ``as_of``
+    accepts the tag name anywhere a txn is accepted.  One atomic write;
+    re-tagging an existing name moves it."""
+    if name.lstrip("-").isdigit():
+        raise ValueError(f"tag name {name!r} would shadow txn numbers")
+    raw, _fams = mf.load_raw_records(out_dir)
+    if not raw:
+        raise FileNotFoundError(f"no manifest records under {out_dir}")
+    ftxn = mf.family_txns(raw)
+    max_txn = max((ftxn[r["family"]] if r.get("family")
+                   else mf.record_txn(r)) for r in raw.values())
+    txn = max_txn if txn is None else int(txn)
+    if txn > max_txn:
+        raise ValueError(f"txn {txn} is beyond the latest transaction "
+                         f"{max_txn}")
+    import json
+
+    tags = list_tags(out_dir)
+    tags[name] = txn
+    fsio.atomic_write(_tags_path(out_dir),
+                      json.dumps(tags, indent=1).encode(), fsync=False)
+    return {"tag": name, "txn": txn, "out_dir": out_dir}
+
+
+def delete_tag(out_dir: str, name: str) -> dict:
+    import json
+
+    tags = list_tags(out_dir)
+    if name not in tags:
+        raise KeyError(f"no tag {name!r}; have {sorted(tags)}")
+    txn = tags.pop(name)
+    fsio.atomic_write(_tags_path(out_dir),
+                      json.dumps(tags, indent=1).encode(), fsync=False)
+    return {"deleted": name, "txn": txn}
+
+
+def _retention_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest", "retention.json")
+
+
+def load_retention(out_dir: str) -> dict | None:
+    """The sweep's retention ledger: which snapshots are still FULLY
+    intact (``intact`` list) as of the last sweep, and the max stamp at
+    that moment (every later stamp is intact by construction — nothing
+    had swept it yet).  ``None`` = no sweep ever ran: everything the
+    manifest ever committed is still there."""
+    p = _retention_path(out_dir)
+    if not fsio.exists(p):
+        return None
+    import json
+
+    return json.loads(fsio.read_bytes(p))
+
+
+def save_retention(out_dir: str, ledger: dict) -> None:
+    import json
+
+    fsio.atomic_write(_retention_path(out_dir),
+                      json.dumps(ledger).encode(), fsync=False)
+
+
+def snapshot_intact(out_dir: str, txn: int) -> bool:
+    led = load_retention(out_dir)
+    return (led is None or txn in led["intact"]
+            or txn > led["max_at_sweep"])
+
+
+def resolve_as_of(out_dir: str, as_of: int | str | None) -> int | None:
+    """Accept a txn number OR a tag name wherever ``as_of`` appears."""
+    if as_of is None or isinstance(as_of, int):
+        return as_of
+    tags = list_tags(out_dir)
+    if as_of in tags:
+        return int(tags[as_of])
+    if str(as_of).lstrip("-").isdigit():
+        return int(as_of)
+    raise KeyError(f"unknown snapshot tag {as_of!r}; have {sorted(tags)}")
 
 
 def container_history(out_dir: str) -> list[dict]:
@@ -73,13 +170,17 @@ def container_history(out_dir: str) -> list[dict]:
     return out
 
 
-def _check_restorable(raw: dict, committed_families: set,
+def _check_restorable(out_dir: str, raw: dict, committed_families: set,
                       to_txn: int) -> dict:
     """The snapshot at ``to_txn`` must be fully materializable: every
-    record it activates needs its data file on disk, and every id any
-    to-be-removed record hides must still have a raw record — a GC'd
-    predecessor means the pre-rewrite rows are GONE and the rollback
-    would silently lose them."""
+    record it activates needs its data file on disk, and the snapshot
+    itself must not have been hollowed out by GC.  The sweep's
+    retention ledger answers the second part exactly: a target it
+    marks intact resolved to kept-records-only at sweep time, so any
+    replaced ids missing from the raw pile are provably just swept
+    INTERMEDIATES of later rewrites, never lost target records.  For
+    targets the ledger cannot vouch for (no ledger entry), fall back to
+    the conservative missing-replaced-id check."""
     target = mf.resolve_active(raw, committed_families, as_of=to_txn)
     ftxn = mf.family_txns(raw)
 
@@ -87,25 +188,38 @@ def _check_restorable(raw: dict, committed_families: set,
         fid = r.get("family")
         return ftxn[fid] if fid else mf.record_txn(r)
 
-    # ids already hidden AT the target snapshot: a retention sweep may
-    # have reclaimed them (they are in no retained snapshot), and their
-    # absence does not impair restoring the target
-    hidden_at_target: set = set()
-    for r in raw.values():
-        if _txn(r) <= to_txn:
-            hidden_at_target.update(r.get("replaces") or ())
-    for r in raw.values():
-        if _txn(r) <= to_txn:
-            continue
-        missing = [pid for pid in (r.get("replaces") or ())
-                   if pid not in raw and pid not in hidden_at_target]
-        if missing:
-            raise RuntimeError(
-                f"rollback to txn {to_txn} impossible: record "
-                f"{r['part_id']} replaced {missing} whose manifest "
-                "records were GC'd (sweep_invisible collapses history "
-                "— retain snapshots at sweep time to keep them "
-                "restorable)")
+    # visibility is constant between stamps: the target's snapshot IS
+    # the one at the largest stamp ≤ to_txn (the ledger records stamps)
+    stamps = {_txn(r) for r in raw.values()}
+    eff = max((t for t in stamps if t <= to_txn), default=0)
+    led = load_retention(out_dir)
+    if led is not None and not snapshot_intact(out_dir, eff):
+        raise RuntimeError(
+            f"rollback to txn {to_txn} impossible: the sweep's "
+            f"retention ledger records snapshot {eff} as hollowed out "
+            "by GC (retain or tag snapshots at sweep time to keep "
+            "them restorable)")
+    if led is None:
+        # pre-ledger containers: the conservative heuristic — ids
+        # already hidden AT the target are exempt (their absence does
+        # not impair restoring it), any other missing replaced id means
+        # collapsed history
+        hidden_at_target: set = set()
+        for r in raw.values():
+            if _txn(r) <= to_txn:
+                hidden_at_target.update(r.get("replaces") or ())
+        for r in raw.values():
+            if _txn(r) <= to_txn:
+                continue
+            missing = [pid for pid in (r.get("replaces") or ())
+                       if pid not in raw and pid not in hidden_at_target]
+            if missing:
+                raise RuntimeError(
+                    f"rollback to txn {to_txn} impossible: record "
+                    f"{r['part_id']} replaced {missing} whose manifest "
+                    "records were GC'd (sweep_invisible collapses "
+                    "history — retain or tag snapshots at sweep time "
+                    "to keep them restorable)")
     gone = [r["part_id"] for r in target.values()
             if not fsio.exists(r["path"])]
     if gone:
@@ -115,7 +229,7 @@ def _check_restorable(raw: dict, committed_families: set,
     return target
 
 
-def rollback_container(out_dir: str, to_txn: int,
+def rollback_container(out_dir: str, to_txn: int | str,
                        sweep: bool = True) -> dict:
     """Restore the container to its snapshot at ``to_txn`` by REMOVING
     every later transaction's records (and their files) — the
@@ -135,7 +249,10 @@ def rollback_container(out_dir: str, to_txn: int,
     keep rolled-back ids from ever being reused, and re-appending the
     same increment (same ``append_id``) resumes into its reserved range
     and re-encodes cleanly.  Refuses if the target snapshot was GC'd.
+    Tags pointing past the restore point are dropped (their snapshots
+    no longer exist); ``to_txn`` may itself be a tag name.
     Single writer per container, like every maintenance op."""
+    to_txn = resolve_as_of(out_dir, to_txn)
     raw, committed_families = mf.load_raw_records(out_dir)
     if not raw:
         raise FileNotFoundError(f"no manifest records under {out_dir}")
@@ -150,7 +267,7 @@ def rollback_container(out_dir: str, to_txn: int,
         cur = mf.resolve_active(raw, committed_families)
         return {"rolled_back": 0, "noop": True, "to_txn": to_txn,
                 "n_partitions": len(cur), "out_dir": out_dir}
-    _check_restorable(raw, committed_families, to_txn)
+    _check_restorable(out_dir, raw, committed_families, to_txn)
     mdir = os.path.join(out_dir, "_manifest")
     # unwind newest-first, family markers before member records
     for txn in sorted({_txn(r) for r in doomed}, reverse=True):
@@ -163,6 +280,10 @@ def rollback_container(out_dir: str, to_txn: int,
             fsio.delete(os.path.join(mdir, f"part-{r['part_id']}.json"))
             if fsio.exists(r["path"]):
                 fsio.delete(r["path"])
+    # tags pointing past the restore point reference discarded history
+    for name, t in list(list_tags(out_dir).items()):
+        if t > to_txn:
+            delete_tag(out_dir, name)
     from .compact_pipeline import sweep_invisible
 
     # retain_from_txn=0: the post-rollback sweep reclaims only state
@@ -185,7 +306,7 @@ def rollback_container(out_dir: str, to_txn: int,
     }
 
 
-def changes_since(out_dir: str, since_txn: int,
+def changes_since(out_dir: str, since_txn: int | str,
                   columns: list[str] | None = None):
     """Incremental read: a Ray Dataset of exactly the rows ADDED after
     ``since_txn`` — the consume-only-new-appends primitive an
@@ -201,7 +322,9 @@ def changes_since(out_dir: str, since_txn: int,
     are all new); tombstones and same-window compactions pass.
 
     Streams through ``decode_dataset`` (projection and all) — nothing
-    is materialized driver-side beyond the id list."""
+    is materialized driver-side beyond the id list.  ``since_txn`` may
+    be a tag name (tag the cursor, advance it per cycle)."""
+    since_txn = resolve_as_of(out_dir, since_txn)
     raw, committed_families = mf.load_raw_records(out_dir)
     if not raw:
         raise FileNotFoundError(f"no manifest records under {out_dir}")

@@ -104,7 +104,7 @@ class P2RDatasource(Datasource):
         columns: Optional[List[str]] = None,
         key_values: Optional[Iterable] = None,
         key_range: Optional[tuple] = None,
-        as_of: Optional[int] = None,
+        as_of: "Optional[int | str]" = None,
     ):
         if key_values is not None and key_range is not None:
             raise ValueError("pass key_values OR key_range, not both")
@@ -119,9 +119,13 @@ class P2RDatasource(Datasource):
             prune_partitions_by_range,
         )
 
-        # as_of: time-travel read of a past snapshot (see
+        # as_of: time-travel read of a past snapshot (txn or tag; see
         # manifest.load_manifest) — pruning below reuses THIS record
         # set so the snapshot's own partitions are what gets pruned
+        if isinstance(as_of, str):
+            from ..pipelines.history_pipeline import resolve_as_of
+
+            as_of = resolve_as_of(container_dir, as_of)
         records = mf.load_manifest(container_dir, as_of=as_of)
         if not records:
             raise FileNotFoundError(

@@ -257,6 +257,13 @@ def test_job_history_changes_rollback_sweep(tmp_path, capsys):
     assert main(["sweep", "--container", cont]) == 0
     assert _out()["swept"] == 0   # rollback already swept
 
+    assert main(["tag", "--container", cont, "--name", "v1"]) == 0
+    assert _out()["txn"] == 0
+    assert main(["tag", "--container", cont]) == 0
+    assert _out()["tags"] == {"v1": 0}
+    assert main(["tag", "--container", cont, "--delete", "v1"]) == 0
+    assert _out()["deleted"] == "v1"
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_job_ingest_cycle(tmp_path, capsys):

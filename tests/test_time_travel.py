@@ -135,7 +135,7 @@ def test_rollback_restores_and_container_stays_maintainable(
 def test_rollback_refuses_after_plain_sweep(storied):
     out, *_ = storied
     assert sweep_invisible(out) > 0   # collapse history to current
-    with pytest.raises(RuntimeError, match="GC'd"):
+    with pytest.raises(RuntimeError, match="GC"):
         rollback_container(out, 1)
 
 
@@ -403,3 +403,63 @@ def test_randomized_lifecycle_with_snapshots(ray_session, tmp_path):
     from parquet2_ray.pipelines.verify_pipeline import verify_manifest
 
     assert verify_manifest(out)["n_bad"] == 0
+
+
+def test_tags_are_retention_roots(storied):
+    from parquet2_ray.pipelines.history_pipeline import (
+        delete_tag,
+        list_tags,
+        tag_snapshot,
+    )
+
+    out, base, inc, kept = storied
+    tag_snapshot(out, "pre-delete", txn=1)
+    tag_snapshot(out, "release")          # defaults to latest (3)
+    assert list_tags(out) == {"pre-delete": 1, "release": 3}
+    with pytest.raises(ValueError, match="shadow"):
+        tag_snapshot(out, "7")
+    with pytest.raises(ValueError, match="beyond"):
+        tag_snapshot(out, "future", txn=9)
+    # a plain sweep keeps every TAGGED snapshot restorable
+    sweep_invisible(out)
+    assert _ids(out, as_of="pre-delete") == set(
+        base["doc_id"].to_pylist()) | set(inc["doc_id"].to_pylist())
+    assert _ids(out, as_of="release") == kept
+    # tag-addressed rollback; tags past the restore point are dropped
+    rollback_container(out, "pre-delete")
+    assert _ids(out) == set(base["doc_id"].to_pylist()) | set(
+        inc["doc_id"].to_pylist())
+    assert list_tags(out) == {"pre-delete": 1}
+    delete_tag(out, "pre-delete")
+    assert list_tags(out) == {}
+    with pytest.raises(KeyError):
+        delete_tag(out, "pre-delete")
+
+
+def test_untagged_history_still_collapses(storied):
+    from parquet2_ray.pipelines.history_pipeline import tag_snapshot
+
+    out, base, inc, kept = storied
+    tag_snapshot(out, "keep2", txn=2)
+    swept = sweep_invisible(out)
+    assert swept > 0          # txn<=1 originals NOT covered by the tag
+    assert _ids(out, as_of=2) == kept          # the tag's snapshot holds
+    with pytest.raises(RuntimeError):
+        rollback_container(out, 1)             # untagged history is gone
+
+
+def test_changes_since_accepts_tag_cursor(ray_session, tmp_path):
+    from parquet2_ray.pipelines.history_pipeline import tag_snapshot
+
+    out = str(tmp_path / "cont")
+    base = _prefixed(80, 1, "base/")
+    a = _prefixed(40, 2, "a/")
+    pq.write_table(base, tmp_path / "b.parquet")
+    pq.write_table(a, tmp_path / "a.parquet")
+    encode_dataset(str(tmp_path / "b.parquet"), out, OPTS)
+    tag_snapshot(out, "cursor")
+    append_dataset(str(tmp_path / "a.parquet"), out, OPTS)
+    got = {r["doc_id"] for bt in changes_since(
+        out, "cursor", columns=["doc_id"]).iter_batches(
+        batch_format="pyarrow") for r in bt.to_pylist()}
+    assert got == set(a["doc_id"].to_pylist())
