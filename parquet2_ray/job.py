@@ -296,6 +296,17 @@ def cmd_changes(args) -> dict:
     return {"rows": ds.count(), "since": args.since}
 
 
+def cmd_upsert(args) -> dict:
+    from .pipelines.encode_pipeline import EncodeOptions
+    from .pipelines.upsert_pipeline import upsert_rows
+
+    opts = EncodeOptions(target_weight=args.target_weight,
+                         sort_key=args.sort_key or args.key,
+                         compression=args.compression)
+    return upsert_rows(args.container, args.input, args.key, opts,
+                       upsert_id=args.upsert_id, gc=not args.no_gc)
+
+
 def cmd_tag(args) -> dict:
     from .pipelines.history_pipeline import (
         delete_tag,
@@ -485,6 +496,21 @@ def main(argv: list[str] | None = None) -> int:
     chg.add_argument("--output", default=None,
                      help="parquet output dir (omit to just count)")
 
+    ups = sub.add_parser("upsert",
+                         help="MERGE: increment rows replace container "
+                              "rows sharing their key; the rest insert "
+                              "(one family-atomic flip)")
+    ups.add_argument("--input", required=True)
+    ups.add_argument("--container", required=True)
+    ups.add_argument("--key", required=True)
+    ups.add_argument("--sort-key", default=None,
+                     help="sort key for rewritten/new partitions "
+                          "(default: --key)")
+    ups.add_argument("--upsert-id", default=None)
+    ups.add_argument("--target-weight", type=int, default=4_000_000)
+    ups.add_argument("--compression", default=None)
+    ups.add_argument("--no-gc", action="store_true")
+
     tag = sub.add_parser("tag",
                          help="name a snapshot (a retention root the "
                               "sweep keeps restorable); no args = list")
@@ -526,7 +552,7 @@ def main(argv: list[str] | None = None) -> int:
            "mix": cmd_mix, "history": cmd_history,
            "rollback": cmd_rollback, "changes": cmd_changes,
            "sweep": cmd_sweep, "ingest": cmd_ingest,
-           "tag": cmd_tag}[args.cmd](args)
+           "tag": cmd_tag, "upsert": cmd_upsert}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

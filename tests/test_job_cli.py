@@ -293,3 +293,27 @@ def test_job_ingest_cycle(tmp_path, capsys):
     h = _out()["history"]
     assert [(e["txn"], e["op"]) for e in h] == [(1, "append"),
                                                 (2, "append")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_upsert(tmp_path, capsys):
+    import pyarrow as pa
+
+    def _out():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    base = tmp_path / "base.parquet"
+    inc = tmp_path / "inc.parquet"
+    pq.write_table(pa.table({"k": pa.array(range(100), pa.int64()),
+                             "v": [f"old-{i}" for i in range(100)]}), base)
+    pq.write_table(pa.table({"k": pa.array([3, 777], pa.int64()),
+                             "v": ["new-3", "new-777"]}), inc)
+    cont = str(tmp_path / "cont")
+    assert main(["encode", "--input", str(base), "--output", cont,
+                 "--sort-key", "k", "--target-weight", "50000"]) == 0
+    capsys.readouterr()
+    assert main(["upsert", "--input", str(inc), "--container", cont,
+                 "--key", "k", "--target-weight", "50000"]) == 0
+    r = _out()
+    assert (r["matched"], r["inserted"]) == (1, 2)
+    assert r["n_rows"] == 101

@@ -347,7 +347,7 @@ def test_randomized_lifecycle_with_snapshots(ray_session, tmp_path):
         return max(e["txn"] for e in container_history(out))
 
     for step in range(14):
-        op = int(rng.integers(0, 6))
+        op = int(rng.integers(0, 7))
         if op == 0:                           # append
             n_inc += 1
             t = mk(n_inc, int(rng.integers(80, 300)))
@@ -391,6 +391,25 @@ def test_randomized_lifecycle_with_snapshots(ray_session, tmp_path):
             snapshots = {t: v for t, v in snapshots.items() if t <= to}
             expected = snapshots[to]   # rollback may resurrect rows a
             #                            later delete removed
+        elif op == 6 and expected.num_rows:   # upsert (update + insert)
+            import ray.data as rd
+
+            from parquet2_ray.pipelines.upsert_pipeline import upsert_rows
+
+            n_up = min(int(rng.integers(1, 40)), expected.num_rows)
+            pick = rng.choice(expected.num_rows, n_up, replace=False)
+            upd = expected.take(pa.array(sorted(pick)))
+            upd = upd.set_column(
+                upd.column_names.index("n_tok"), "n_tok",
+                pa.array(rng.integers(100, 200, n_up), type=pa.int32()))
+            fresh = mk(90 + step, int(rng.integers(5, 30)))
+            inc = pa.concat_tables([upd, fresh])
+            upsert_rows(out, rd.from_arrow(inc), "rid", opts,
+                        upsert_id=f"u{step}", gc=False)
+            keep = pc.invert(pc.is_in(
+                expected["rid"], value_set=inc["rid"].combine_chunks()))
+            expected = pa.concat_tables(
+                [expected.filter(keep), inc])
         # ledger update + invariants
         cur = _max_txn()
         snapshots[cur] = expected
