@@ -262,12 +262,27 @@ def q_codec_fsst(sf_dir: str):
     return _codec_roundtrip(sf_dir, "documents", "text", "fsst")
 
 
-def q_codec_bss(sf_dir: str):
-    """BYTE_STREAM_SPLIT roundtrip on a double column (beyond-reference:
-    the reference declares the encoding but never implements it,
-    parquet_bridge.rs:329; the auto-selector picks it for float columns
-    only when block compression is on — see functions/selector.py)."""
-    return _codec_roundtrip(sf_dir, "events", "value", "byte_stream_split")
+def q_codec_float(sf_dir: str):
+    """All three float-transform codecs roundtripped on the same double
+    column in one driver row: BYTE_STREAM_SPLIT (reference declares it
+    but never implements it, parquet_bridge.rs:329), ALP classic
+    (decimal-scale → int64 → PFOR) and ALP-RD (IEEE cut-point coding) —
+    both from the public SIGMOD 2023 technique, no reference analog;
+    the auto-selector now picks the ALP family on every real float
+    column (prices/balances → alp, embedding children → alp_rd), see
+    codecs/alp.py.  Decode must be bit-identical for each."""
+    from parquet2_ray.codecs import decode_array, encode_array
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def rt(b: pa.Table) -> pa.Table:
+        arr = b["value"].combine_chunks()
+        return pa.table({
+            f"value_{tag}": decode_array(encode_array("value", arr, codec))
+            for tag, codec in (("bss", "byte_stream_split"),
+                               ("alp", "alp"), ("alp_rd", "alp_rd"))})
+
+    return ds.map_batches(rt, batch_format="pyarrow")
 
 
 def q_codec_decimal(sf_dir: str):
@@ -1142,7 +1157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_codec_delta_length": q_codec_delta_length,
         "q_codec_delta_ba": q_codec_delta_ba,
         "q_codec_fsst": q_codec_fsst,
-        "q_codec_bss": q_codec_bss,
+        # q_codec_bss widened r4 into q_codec_float: the same slot now
+        # roundtrips BSS + ALP + ALP-RD (codecs/alp.py) on one column
+        "q_codec_float": q_codec_float,
         "q_codec_decimal": q_codec_decimal,
         "q_parquet_interop": q_parquet_interop,
         "q_decode_projected_range": q_decode_projected_range,
@@ -1373,7 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         "q_codec_delta_length": "SELECT text FROM documents",
         "q_codec_delta_ba": "SELECT event_type FROM events",
         "q_codec_fsst": "SELECT text FROM documents",
-        "q_codec_bss": "SELECT value FROM events",
+        "q_codec_float": ("SELECT value AS value_bss, value AS value_alp,"
+                          " value AS value_alp_rd FROM events"),
         "q_codec_decimal": (
             "SELECT CAST(CAST(l_orderkey AS DECIMAL(21,2)) AS DOUBLE) AS price "
             "FROM lineitem"

@@ -74,7 +74,7 @@ TIMED_QUERIES = [
     "q_dup_tiles",
     "q_text_metrics",
     "q_text_quality",
-    "q_codec_bss",
+    "q_codec_float",
     "q_ann_topk",
     "q_window_tumbling",
     "q_sessionize",

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import (
+    alp,
     byte_array,
     byte_stream_split,
     delta,
@@ -187,6 +188,8 @@ _NUMERIC_ENC = {
     "dict_rle": lambda v: dictionary.encode_int(v),
     "rle": _enc_rle,
     "byte_stream_split": byte_stream_split.encode,
+    "alp": alp.encode,
+    "alp_rd": alp.encode_rd,
 }
 
 
@@ -210,10 +213,15 @@ _NUMERIC_DEC = {
     "rle": lambda b, at, n: _dec_rle(b),
     "byte_stream_split": lambda b, at, n: byte_stream_split.decode(
         b, _np_dtype_of(at), n),
+    "alp": lambda b, at, n: alp.decode(b),
+    "alp_rd": lambda b, at, n: alp.decode_rd(b),
 }
 
-NUMERIC_CODECS = set(_NUMERIC_ENC)
-FLOAT_CODECS = {"plain", "byte_stream_split"}
+# alp/alp_rd are float-only: they live in the numeric registries (same
+# np-array value contract) but codecs_for_type offers them only for
+# floating types, so integer/temporal columns never price them
+NUMERIC_CODECS = set(_NUMERIC_ENC) - {"alp", "alp_rd"}
+FLOAT_CODECS = {"plain", "byte_stream_split", "alp", "alp_rd"}
 
 # binary value codecs: (offsets:int64, data:uint8) -> bytes
 # 16 KB train sample — the FSST paper's own sampling scale; measured

@@ -33,6 +33,8 @@ SAMPLE_VALUES = 8192
 _PRIORITY = [
     "plain",
     "byte_stream_split",
+    "alp",
+    "alp_rd",
     "bitmap",
     "for_bitpack",
     "rle",

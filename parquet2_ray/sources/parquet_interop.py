@@ -56,6 +56,10 @@ _TO_PARQUET_ENCODING = {
     "plain_flba": "PLAIN",
     "fsst": "PLAIN",
     "byte_stream_split": "BYTE_STREAM_SPLIT",
+    # parquet has no ALP encoding; BYTE_STREAM_SPLIT is its float
+    # transform with the closest intent (codecs/alp.py docstring)
+    "alp": "BYTE_STREAM_SPLIT",
+    "alp_rd": "BYTE_STREAM_SPLIT",
 }
 
 _DICT_CODECS = {"dict_rle", "dict_binary", "dict_flba"}

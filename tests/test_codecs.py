@@ -447,11 +447,19 @@ def test_selector_bss_only_under_compression(rng):
 
     from parquet2_ray.functions.selector import select_codec
 
-    # smooth floats: exponent bytes near-constant → BSS wins under zstd,
-    # but ties with PLAIN uncompressed where PLAIN wins the priority tie
+    # smooth floats: exponent bytes near-constant.  ALP-RD now beats
+    # both floors outright (the near-constant left part dictionary-codes
+    # to ~2 bits); the original BSS-vs-PLAIN contrast survives in the
+    # RELATIVE sizes — BSS ties PLAIN uncompressed but beats it under
+    # zstd, which is what the compression-aware pricing exists to see
+    from parquet2_ray.functions.selector import candidate_sizes
+
     f = pa.array(rng.normal(1.0, 0.01, 8192).astype(np.float32))
-    assert select_codec(f) == "plain"
-    assert select_codec(f, compression="zstd") == "byte_stream_split"
+    assert select_codec(f) == "alp_rd"
+    raw = candidate_sizes(f)
+    comp = candidate_sizes(f, compression="zstd")
+    assert raw["byte_stream_split"] == raw["plain"]
+    assert comp["byte_stream_split"] < comp["plain"]
 
 
 def test_bss_small_int_arrow_roundtrip(rng):

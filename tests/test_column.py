@@ -158,7 +158,13 @@ def test_selector_sorted_prefixed_keys_pick_front_coding():
 
 
 def test_selector_float_and_bool():
-    assert select_codec(pa.array([1.5, 2.5])) == "plain"
+    # decimal-looking floats price smallest under ALP (15, 25 at k=1
+    # pack to a couple of bytes vs 16 raw)
+    assert select_codec(pa.array([1.5, 2.5])) == "alp"
+    # true high-entropy reals must NOT pick classic ALP
+    rng = np.random.default_rng(7)
+    assert select_codec(pa.array(rng.standard_normal(4000))) in (
+        "plain", "byte_stream_split", "alp_rd")
     assert select_codec(pa.array([True, False])) == "bitmap"
 
 

@@ -233,11 +233,12 @@ def test_hierarchical_exchange_bit_identical(ray_session, tokens_table,
     assert tbl.num_rows == tokens_table.num_rows
 
 
-def test_compressed_float_pipeline_picks_bss(ray_session, tmp_path):
-    """End-to-end: under block compression the selector picks
-    BYTE_STREAM_SPLIT for smooth float columns and the roundtrip is
-    exact (beyond-reference encoding — parquet_bridge.rs:329 declares
-    it unimplemented)."""
+def test_compressed_float_pipeline_picks_float_transform(ray_session, tmp_path):
+    """End-to-end: under block compression the selector picks a
+    float-transform codec (ALP-RD since codecs/alp.py landed; BSS was
+    the pre-ALP winner) for smooth float columns and the roundtrip is
+    exact (beyond-reference encodings — parquet_bridge.rs:329 declares
+    BYTE_STREAM_SPLIT unimplemented, ALP has no reference analog)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -263,7 +264,7 @@ def test_compressed_float_pipeline_picks_bss(ray_session, tmp_path):
         target_rows=100_000, compression="zstd"))
     recs = mf.load_manifest(out)
     codecs = {c: k for r in recs.values() for c, k in r["codecs"].items()}
-    assert codecs["price"] == "byte_stream_split"
+    assert codecs["price"] in ("byte_stream_split", "alp_rd")
     got = decode_dataset(out).to_pandas().sort_values("k", ignore_index=True)
     assert got["price"].tolist() == tbl["price"].to_pylist()
 
