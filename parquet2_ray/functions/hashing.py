@@ -16,7 +16,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["hash_strings", "rolling_window_hashes", "window_hashes_at",
-           "md5_hex", "shard_of", "MERSENNE_P"]
+           "md5_hex", "shard_of", "MERSENNE_P",
+           "column_hashes", "row_fingerprints"]
 
 MERSENNE_P = (1 << 61) - 1
 _BASE = np.uint64(1099511628211)
@@ -83,3 +84,68 @@ def shard_of(keys: np.ndarray, nshards: int) -> np.ndarray:
     co-locate the same key agrees on the shard."""
     h = np.asarray(keys).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     return ((h >> np.uint64(33)) % np.uint64(nshards)).astype(np.int64)
+
+
+_NULL_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def column_hashes(arr) -> np.ndarray:
+    """Per-row uint64 content hash of one Arrow column, null-aware and
+    list-aware (the per-column half of :func:`row_fingerprints`).
+
+    Scalar types reuse the spec-canonical xxh64 forms of
+    ``functions.bloom.hash_arrow`` (PLAIN byte layouts, so hashes are
+    stable across processes and library versions); nulls take a fixed
+    sentinel.  ``list<scalar>`` rows hash the byte-run of their
+    elements' hashes (order-sensitive, variable length); structs mix
+    their fields.  Unsupported shapes (nulls inside list values,
+    nested lists) raise rather than mis-hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .bloom import hash_arrow
+    from .xxh import xxh64_bytes
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    t = arr.type
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        out = np.full(n, _NULL_SENTINEL, dtype=np.uint64)
+        if arr.null_count < n:
+            out[valid] = column_hashes(arr.drop_null())
+        return out
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # flatten() yields exactly THIS array's elements (a sliced list
+        # array's .values would be the whole child buffer)
+        values = arr.flatten()
+        if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
+            raise TypeError("column_hashes: nested lists unsupported")
+        if values.null_count:
+            raise TypeError("column_hashes: nulls inside list values unsupported")
+        eh = column_hashes(values)
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return xxh64_bytes(offs * 8, eh.view(np.uint8))
+    if pa.types.is_struct(t):
+        out = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        for f in t:
+            out = (out * _FNV_PRIME) ^ column_hashes(arr.field(f.name))
+        return out
+    return hash_arrow(arr)
+
+
+def row_fingerprints(tbl) -> np.ndarray:
+    """uint64 content fingerprint per ROW of an Arrow table/batch —
+    column-order-sensitive FNV-style mix of the per-column hashes.
+    Deterministic across processes (pinned canonical byte forms), so
+    two decodes of the same logical rows agree regardless of physical
+    layout.  The row-level change-data-feed (P56) keys its unchanged-
+    row cancellation on this."""
+    h = np.full(tbl.num_rows, np.uint64(0x84222325CBF29CE4), dtype=np.uint64)
+    for name in tbl.column_names:
+        h = (h * _FNV_PRIME) ^ column_hashes(tbl[name])
+    return h

@@ -296,6 +296,41 @@ def cmd_changes(args) -> dict:
     return {"rows": ds.count(), "since": args.since}
 
 
+def cmd_diff(args) -> dict:
+    from .pipelines.history_pipeline import row_changes
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = row_changes(args.container, args.since, args.key,
+                     to_txn=args.to_txn,
+                     columns=args.columns.split(",")
+                     if args.columns else None)
+    counts: dict = {}
+
+    def _tally(arr) -> None:
+        for e in pc.value_counts(arr).to_pylist():
+            counts[e["values"]] = counts.get(e["values"], 0) + e["counts"]
+
+    if args.output:
+        # one execution: write the feed, then count from the files
+        ds.write_parquet(args.output)
+        import pyarrow.dataset as pads
+
+        try:
+            tbl = pads.dataset(args.output).to_table(
+                columns=["_change_type"])
+            _tally(tbl["_change_type"].combine_chunks())
+        except (OSError, pa.ArrowInvalid):  # empty feed -> no files
+            pass
+        return {"since": args.since, "to": args.to_txn,
+                "changes": counts, "output": args.output}
+    for b in ds.select_columns(["_change_type"]).iter_batches(
+            batch_format="pyarrow"):
+        _tally(b["_change_type"].combine_chunks())
+    return {"since": args.since, "to": args.to_txn, "changes": counts}
+
+
 def cmd_upsert(args) -> dict:
     from .pipelines.encode_pipeline import EncodeOptions
     from .pipelines.upsert_pipeline import upsert_rows
@@ -496,6 +531,21 @@ def main(argv: list[str] | None = None) -> int:
     chg.add_argument("--output", default=None,
                      help="parquet output dir (omit to just count)")
 
+
+    dif = sub.add_parser("diff",
+                         help="row-level change feed: net snapshot diff "
+                              "between --since and --to-txn, tagged "
+                              "insert/delete/update_pre/update_post")
+    dif.add_argument("--container", required=True)
+    dif.add_argument("--since", required=True)
+    dif.add_argument("--to-txn", dest="to_txn", default=None)
+    dif.add_argument("--key", required=True,
+                     help="pairing column for update detection")
+    dif.add_argument("--columns", default=None,
+                     help="comma-separated projection (must include key)")
+    dif.add_argument("--output", default=None,
+                     help="parquet output dir (omit to just count)")
+
     ups = sub.add_parser("upsert",
                          help="MERGE: increment rows replace container "
                               "rows sharing their key; the rest insert "
@@ -551,6 +601,7 @@ def main(argv: list[str] | None = None) -> int:
            "dedup": cmd_dedup, "prepare": cmd_prepare,
            "mix": cmd_mix, "history": cmd_history,
            "rollback": cmd_rollback, "changes": cmd_changes,
+           "diff": cmd_diff,
            "sweep": cmd_sweep, "ingest": cmd_ingest,
            "tag": cmd_tag, "upsert": cmd_upsert}[args.cmd](args)
     print(json.dumps(out, default=str))

@@ -35,6 +35,7 @@ from ..state import fsio
 from ..state import manifest as mf
 
 __all__ = ["container_history", "rollback_container", "changes_since",
+           "row_changes",
            "tag_snapshot", "list_tags", "delete_tag", "resolve_as_of"]
 
 
@@ -391,3 +392,186 @@ def changes_since(out_dir: str, since_txn: int | str,
     from .encode_pipeline import decode_dataset
 
     return decode_dataset(out_dir, columns=columns, part_ids=set(new))
+
+
+def _union_schema_table(records: list[dict], columns=None):
+    """Empty Arrow table with the union schema of ``records`` (the
+    changes_since empty-increment shape, shared with row_changes)."""
+    import pyarrow as pa
+
+    from ..codecs.column import str_to_type
+    from .encode_pipeline import _union_fields
+
+    union = _union_fields(records)
+    if union is None:
+        first = min(records, key=lambda r: int(r["part_id"][1:]))
+        footer = mf.read_partition_footer(first["path"])
+        cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                else footer["columns"])
+        union = [(m["name"], m["arrow_type"]) for m in cols]
+    if columns is not None:
+        keep = set(columns)
+        union = [f for f in union if f[0] in keep]
+    return pa.schema([(n, str_to_type(t)) for n, t in union]).empty_table()
+
+
+def row_changes(out_dir: str, since_txn: int | str, key: str,
+                to_txn: int | str | None = None,
+                columns: list[str] | None = None,
+                nshards: int = 64):
+    """P56 row-level change-data-feed: a Ray Dataset of the NET row
+    changes between two snapshots, each row tagged ``_change_type`` in
+    {'insert', 'delete', 'update_pre', 'update_post'} — the Delta-CDF /
+    debezium-snapshot-diff shape, derived from the container's own
+    lineage with no change journal.
+
+    Semantics (snapshot diff, not an event log): rows are compared
+    between the ``since_txn`` snapshot and the ``to_txn`` snapshot
+    (default: current).  A row present in both with identical content
+    is NOT a change even if rewrites moved it between partitions; a
+    key present on both sides with different content emits an
+    update_pre/update_post pair; otherwise delete / insert.  Unlike
+    ``changes_since`` (append-only windows, rows ADDED), this answers
+    arbitrary windows — delete / upsert / compact / recluster included.
+
+    ``key``: the pairing column for update detection.  Duplicate keys
+    are handled as multisets (leftovers pair off in decode order);
+    null keys never pair (SQL semantics, matching merge_join/upsert) —
+    a changed null-key row surfaces as delete + insert.
+
+    Scale contract: partitions active in BOTH snapshots are skipped
+    without reading a byte (files are immutable, so shared partitions
+    are proven row-identical); only the churned partitions decode, and
+    exactly one hash exchange of those rows runs (shard = key hash %
+    ``nshards``).  Unchanged-row cancellation uses the deterministic
+    uint64 content fingerprint (``functions.hashing.row_fingerprints``),
+    so a compaction-only window exchanges the compacted rows but emits
+    zero changes.  With ``columns`` set, comparison (and therefore
+    update detection) is relative to the PROJECTION — ``key`` must be
+    included.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.hashing import column_hashes, row_fingerprints
+    from .encode_pipeline import decode_dataset
+
+    since = resolve_as_of(out_dir, since_txn)
+    to = resolve_as_of(out_dir, to_txn)
+    raw, committed_families = mf.load_raw_records(out_dir)
+    if not raw:
+        raise FileNotFoundError(f"no manifest records under {out_dir}")
+    ftxn = mf.family_txns(raw)
+    max_txn = max((ftxn[r["family"]] if r.get("family")
+                   else mf.record_txn(r)) for r in raw.values())
+    if since > max_txn:
+        raise ValueError(f"since_txn {since} is beyond the container's "
+                         f"latest transaction {max_txn}")
+    if to is not None:
+        if to > max_txn:
+            raise ValueError(f"to_txn {to} is beyond the container's "
+                             f"latest transaction {max_txn}")
+        if to < since:
+            raise ValueError(f"window reversed: since_txn {since} > to_txn {to}")
+    if not snapshot_intact(out_dir, since):
+        raise RuntimeError(
+            f"row_changes: snapshot {since} was hollowed by a retention "
+            "sweep — its partitions are gone; advance the cursor")
+    recs_a = mf.load_manifest(out_dir, as_of=since)
+    recs_b = mf.load_manifest(out_dir, as_of=to)
+    removed = set(recs_a) - set(recs_b)
+    added = set(recs_b) - set(recs_a)
+    # key/projection validation against the union of both snapshots
+    all_records = list({**recs_a, **recs_b}.values())
+    schema_probe = _union_schema_table(all_records)
+    known = set(schema_probe.column_names)
+    if key not in known:
+        raise KeyError(f"container has no column {key!r}; "
+                       f"available: {sorted(known)}")
+    if columns is not None and key not in columns:
+        raise ValueError(f"columns projection must include the key "
+                         f"column {key!r}")
+    ct_field = pa.field("_change_type", pa.string())
+    if not removed and not added:
+        empty = _union_schema_table(all_records, columns)
+        return rd.from_arrow(empty.append_column(
+            ct_field, pa.array([], pa.string())))
+
+    def _tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            rh = row_fingerprints(b)
+            kh = column_hashes(b[key])
+            kv = b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray) else b[key]
+            null_key = np.zeros(n, dtype=bool)
+            if kv.null_count:
+                import pyarrow.compute as pc
+                null_key = pc.is_null(kv).to_numpy(zero_copy_only=False)
+            # null keys must never pair as updates: give each a pairing
+            # id derived from its CONTENT hash, so identical rows still
+            # cancel in pass 1 but differing null-key rows can't pair
+            kh = np.where(null_key, rh ^ np.uint64(0xD1B54A32D192ED03), kh)
+            shard = ((kh * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+                % np.uint64(nshards)
+            return (b.append_column("_rh", pa.array(rh))
+                     .append_column("_kh", pa.array(kh))
+                     .append_column("_side", pa.array(
+                         np.full(n, side, dtype=np.int8)))
+                     .append_column("_shard", pa.array(
+                         shard.astype(np.int64))))
+        return f
+
+    parts = []
+    if removed:
+        parts.append(decode_dataset(out_dir, columns=columns, as_of=since,
+                                    part_ids=removed)
+                     .map_batches(_tag(0), batch_format="pyarrow"))
+    if added:
+        parts.append(decode_dataset(out_dir, columns=columns, as_of=to,
+                                    part_ids=added)
+                     .map_batches(_tag(1), batch_format="pyarrow"))
+    u = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def _diff(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = g.num_rows
+        df = pd.DataFrame({
+            "rh": g["_rh"].to_numpy(zero_copy_only=False),
+            "kh": g["_kh"].to_numpy(zero_copy_only=False),
+            "side": g["_side"].to_numpy(zero_copy_only=False),
+        })
+        # pass 1 — cancel unchanged rows: identical (rh) multisets
+        # across sides pair off by rank
+        rank = df.groupby(["rh", "side"]).cumcount()
+        cnt = df.groupby(["rh", "side"]).size().unstack(fill_value=0)
+        for s in (0, 1):
+            if s not in cnt.columns:
+                cnt[s] = 0
+        cancelled = np.minimum(cnt[0], cnt[1])
+        keep = (rank.to_numpy() >= df["rh"].map(cancelled).to_numpy())
+        if not keep.any():
+            return (g.slice(0, 0)
+                    .drop_columns(["_rh", "_kh", "_side", "_shard"])
+                    .append_column(ct_field, pa.array([], pa.string())))
+        s = df[keep]
+        # pass 2 — pair updates by key among survivors
+        r2 = s.groupby(["kh", "side"]).cumcount().to_numpy()
+        c2 = s.groupby(["kh", "side"]).size().unstack(fill_value=0)
+        for c in (0, 1):
+            if c not in c2.columns:
+                c2[c] = 0
+        pairs = np.minimum(c2[0], c2[1])
+        p = s["kh"].map(pairs).to_numpy()
+        side = s["side"].to_numpy()
+        change = np.where(
+            r2 < p,
+            np.where(side == 0, "update_pre", "update_post"),
+            np.where(side == 0, "delete", "insert"))
+        sel = np.flatnonzero(keep)
+        return (g.take(sel)
+                .drop_columns(["_rh", "_kh", "_side", "_shard"])
+                .append_column(ct_field, pa.array(change, pa.string())))
+
+    return u.groupby("_shard").map_groups(_diff, batch_format="pyarrow")
