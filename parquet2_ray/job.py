@@ -331,6 +331,15 @@ def cmd_diff(args) -> dict:
     return {"since": args.since, "to": args.to_txn, "changes": counts}
 
 
+def cmd_clone(args) -> dict:
+    from .pipelines.clone_pipeline import clone_container
+
+    as_of = args.as_of
+    if as_of is not None and str(as_of).lstrip("-").isdigit():
+        as_of = int(as_of)
+    return clone_container(args.src, args.dst, as_of=as_of)
+
+
 def cmd_upsert(args) -> dict:
     from .pipelines.encode_pipeline import EncodeOptions
     from .pipelines.upsert_pipeline import upsert_rows
@@ -546,6 +555,15 @@ def main(argv: list[str] | None = None) -> int:
     dif.add_argument("--output", default=None,
                      help="parquet output dir (omit to just count)")
 
+
+    cln = sub.add_parser("clone",
+                         help="shallow clone: branch a container in "
+                              "O(metadata), data files shared")
+    cln.add_argument("--src", required=True)
+    cln.add_argument("--dst", required=True)
+    cln.add_argument("--as-of", dest="as_of", default=None,
+                     help="clone a past snapshot (txn or tag)")
+
     ups = sub.add_parser("upsert",
                          help="MERGE: increment rows replace container "
                               "rows sharing their key; the rest insert "
@@ -601,7 +619,7 @@ def main(argv: list[str] | None = None) -> int:
            "dedup": cmd_dedup, "prepare": cmd_prepare,
            "mix": cmd_mix, "history": cmd_history,
            "rollback": cmd_rollback, "changes": cmd_changes,
-           "diff": cmd_diff,
+           "diff": cmd_diff, "clone": cmd_clone,
            "sweep": cmd_sweep, "ingest": cmd_ingest,
            "tag": cmd_tag, "upsert": cmd_upsert}[args.cmd](args)
     print(json.dumps(out, default=str))

@@ -177,7 +177,10 @@ def sweep_invisible(out_dir: str, retain_from_txn: int | None = None) -> int:
         if pid in keep:
             continue
         fsio.delete(os.path.join(mdir, f"part-{pid}.json"))
-        fsio.delete(r["path"])
+        # shallow-clone records (P57) reference files the SOURCE
+        # container owns — reclaim the record, never the shared bytes
+        if not r.get("external"):
+            fsio.delete(r["path"])
         swept += 1
     for name in fsio.listdir(out_dir):
         if name.startswith("part-p") and name.endswith(".bin"):

@@ -279,7 +279,9 @@ def rollback_container(out_dir: str, to_txn: int | str,
                 fsio.delete(marker)
         for r in step:
             fsio.delete(os.path.join(mdir, f"part-{r['part_id']}.json"))
-            if fsio.exists(r["path"]):
+            # clone records (P57) never own their files — see
+            # clone_pipeline.py; unwinding one must not touch the source
+            if not r.get("external") and fsio.exists(r["path"]):
                 fsio.delete(r["path"])
     # tags pointing past the restore point reference discarded history
     for name, t in list(list_tags(out_dir).items()):
