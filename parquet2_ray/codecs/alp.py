@@ -81,7 +81,10 @@ def _digits_and_ok(v64: np.ndarray, k: int, out_dtype) -> tuple[np.ndarray, np.n
     with np.errstate(over="ignore", invalid="ignore"):
         scaled = v64 * (10.0 ** k)
         finite = np.isfinite(scaled)
-        rounded = np.round(scaled)
+        # rint, not round: same ties-to-even result for decimals=0 but
+        # without round's scale/unscale detour (~40x faster), and any
+        # disagreement would be caught by the bitwise verify anyway
+        rounded = np.rint(scaled)
     ok = finite & (np.abs(rounded) < _MAX_EXACT)
     digits = np.where(ok, rounded, 0.0).astype(np.int64)
     recon = digits.astype(np.float64) * (10.0 ** -k)
@@ -234,16 +237,21 @@ def encode_rd(values: np.ndarray) -> bytes:
     r = total_bits - left_w
     left = u >> np.uint64(r)
     right = u & np.uint64((1 << r) - 1)
-    uniq, counts = np.unique(left, return_counts=True)
-    order = np.argsort(counts)[::-1][:_RD_MAX_DICT]
-    dict_vals = uniq[order]
+    # left parts fit 16 bits: a direct 2^left_w LUT replaces the
+    # sort-based unique+searchsorted dict match (O(n) gathers instead
+    # of two O(n log n) sorts — measured ~2x on the encode wall)
+    counts = np.bincount(left.astype(np.int64), minlength=1 << left_w)
+    nz = np.flatnonzero(counts)
+    order = nz[np.argsort(counts[nz])[::-1][:_RD_MAX_DICT]]
+    dict_vals = order.astype(np.uint64)
+    lut = np.zeros(1 << left_w, dtype=np.uint64)
+    lut[order] = np.arange(len(order), dtype=np.uint64)
+    in_dict = np.zeros(1 << left_w, dtype=bool)
+    in_dict[order] = True
+    left_i = left.astype(np.int64)
     # codes: index into dict_vals; missing -> exception (code 0 parked)
-    sorter = np.argsort(dict_vals)
-    pos_in_sorted = np.searchsorted(dict_vals, left, sorter=sorter)
-    pos_in_sorted = np.clip(pos_in_sorted, 0, len(dict_vals) - 1)
-    cand = sorter[pos_in_sorted]
-    hit = dict_vals[cand] == left
-    codes = np.where(hit, cand, 0).astype(np.uint64)
+    codes = lut[left_i]
+    hit = in_dict[left_i]
     exc_pos = np.flatnonzero(~hit)
     n_exc = len(exc_pos)
     dw = bitpack.bits_needed(max(len(dict_vals) - 1, 0))
