@@ -505,15 +505,24 @@ def q_hash_split(sf_dir: str):
 
 
 def q_time_travel(sf_dir: str):
-    """P49 snapshot lineage, driver-oracled end to end: encode two
-    thirds of events (txn 0), append the remaining third (txn 1,
-    txn-stamped through the append ledger), DELETE the first half of
-    the month (txn 2, a replaces-flip rewrite), then read the snapshot
-    BETWEEN the append and the delete — ``as_of=1`` must reconstruct
-    the complete events table, resurrecting every deleted row from the
-    superseded files without any data movement.  The oracle is simply
-    SELECT * FROM events: if txn resolution leaked the delete into the
-    snapshot (or dropped the append from it), the hash mismatches."""
+    """P49 snapshot lineage + P56 change-data-feed, driver-oracled end
+    to end in one row: encode two thirds of events (txn 0), append the
+    remaining third (txn 1, txn-stamped through the append ledger),
+    DELETE the first half of the month (txn 2, a replaces-flip
+    rewrite), then UNION two lineage reads, disambiguated by a
+    ``_change_type`` column:
+
+    * the snapshot BETWEEN the append and the delete (``as_of=1``,
+      tagged 'snapshot') — must reconstruct the complete events table,
+      resurrecting every deleted row from the superseded files;
+    * the ``row_changes`` feed over the 1→current window (P56) — must
+      emit exactly the deleted rows tagged 'delete' (the snapshots
+      share every other partition, which the diff skips unread).
+
+    The oracle is SELECT events twice: all rows as 'snapshot', the
+    deleted range as 'delete'.  If txn resolution leaked the delete
+    into the snapshot, dropped the append, or the diff emitted an
+    unchanged/update row, the hash mismatches."""
     import datetime as dt
 
     import pyarrow.compute as pc
@@ -550,7 +559,22 @@ def q_time_travel(sf_dir: str):
     append_dataset(inc, out, opts, append_id="tt-inc")
     delete_rows(out, "ts", lo=dt.datetime(2024, 1, 1),
                 hi=dt.datetime(2024, 1, 15))
-    return decode_dataset(out, as_of=1)
+    from parquet2_ray.pipelines.history_pipeline import row_changes
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def _tagged(ct: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.select(cols).append_column(
+                "_change_type", pa.array([ct] * b.num_rows, pa.string()))
+        return f
+
+    snap = decode_dataset(out, as_of=1).map_batches(
+        _tagged("snapshot"), batch_format="pyarrow")
+    feed = row_changes(out, 1, "event_id").map_batches(
+        lambda b: b.select(cols + ["_change_type"]),
+        batch_format="pyarrow")
+    return snap.union(feed)
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1167,6 +1191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": q_lang_id,
         "q_ann_ivf": q_ann_ivf,
         "q_dedup_corpus": q_dedup_corpus,
+        # q_time_travel also carries P56 (row_changes feed UNIONed in,
+        # disambiguated by _change_type) — two lineage ops, one slot.
         # q_hash_split retired late r4 for q_time_travel under the
         # 50-row driver cap: the md5 split is a pure per-row tag whose
         # machinery q_stratified_sample's md5 ranking already exercises
@@ -1397,8 +1423,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem"
         ),
         "q_time_travel": (
-            "SELECT event_id, ts, user_id, event_type, value, props "
-            "FROM events"),
+            "SELECT event_id, ts, user_id, event_type, value, props, "
+            "'snapshot' AS _change_type FROM events "
+            "UNION ALL "
+            "SELECT event_id, ts, user_id, event_type, value, props, "
+            "'delete' FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts <= TIMESTAMP '2024-01-15'"),
         "q_stratified_sample": (
             "SELECT doc_id, source FROM ("
             "  SELECT doc_id, source, row_number() OVER ("
