@@ -591,3 +591,44 @@ def test_randomized_maintenance_lifecycle_with_recluster(ray_session,
         if expected.num_rows:
             assert got.select(expected.column_names).equals(
                 expected.sort_by("rid")), f"divergence at step {step}"
+
+
+def test_compact_preserves_clustering(ray_session, tokens_table,
+                                      tmp_path):
+    """Compaction of a key-clustered container must keep the layout
+    clustered: merged groups re-sort on the recorded sort key and
+    their [min,max] is the union of CONSECUTIVE ranges, so the overlap
+    factor cannot degrade and range probes keep pruning."""
+    import pyarrow.parquet as pq
+
+    from parquet2_ray.pipelines.compact_pipeline import compact_container
+
+    d = str(tmp_path)
+    src_pq = f"{d}/src.parquet"
+    pq.write_table(tokens_table, src_pq)
+    flat = f"{d}/flat"
+    clustered = f"{d}/clustered"
+    encode_dataset(src_pq, flat,
+                   EncodeOptions(group_col=None, target_weight=120_000,
+                                 fsync=False))
+    # many deliberately-small range partitions so compaction has work
+    recluster_container(flat, clustered, "doc_id",
+                        EncodeOptions(target_weight=15_000, fsync=False))
+    q_before = clustering_quality(clustered, "doc_id")
+    assert q_before["n_partitions"] >= 8
+    c = compact_container(clustered, target_weight=60_000, fsync=False)
+    assert c["n_groups"] >= 1 and c["n_partitions"] < q_before["n_partitions"]
+    q_after = clustering_quality(clustered, "doc_id")
+    assert q_after["overlap_factor"] <= q_before["overlap_factor"] + 1e-9
+    # range probe still prunes to O(selectivity) partitions + rows exact
+    lo, hi = "code/", "code/~"
+    got = decode_dataset(clustered, key_range=("doc_id", lo, hi)).to_pandas()
+    pdf = tokens_table.to_pandas()
+    want = pdf[(pdf.doc_id >= lo) & (pdf.doc_id <= hi)]
+    assert sorted(got.doc_id) == sorted(want.doc_id)
+    from parquet2_ray.pipelines.encode_pipeline import (
+        prune_partitions_by_range,
+    )
+
+    touched = prune_partitions_by_range(clustered, "doc_id", lo, hi)
+    assert len(touched) <= max(2, q_after["n_partitions"] // 2)
