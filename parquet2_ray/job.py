@@ -378,6 +378,13 @@ def cmd_ingest(args) -> dict:
                             ingest_id=args.ingest_id)
 
 
+def cmd_checkpoint(args) -> dict:
+    from .state.manifest import write_manifest_checkpoint
+
+    out = write_manifest_checkpoint(args.container)
+    return {**out, "container": args.container}
+
+
 def cmd_sweep(args) -> dict:
     from .pipelines.compact_pipeline import sweep_invisible
 
@@ -611,6 +618,12 @@ def main(argv: list[str] | None = None) -> int:
     swp.add_argument("--container", required=True)
     swp.add_argument("--retain-from", type=int, default=None)
 
+    ckp = sub.add_parser("checkpoint",
+                         help="collapse the per-partition manifest scan "
+                              "into one file; later loads read checkpoint "
+                              "+ only post-checkpoint changes")
+    ckp.add_argument("--container", required=True)
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
@@ -621,6 +634,7 @@ def main(argv: list[str] | None = None) -> int:
            "rollback": cmd_rollback, "changes": cmd_changes,
            "diff": cmd_diff, "clone": cmd_clone,
            "sweep": cmd_sweep, "ingest": cmd_ingest,
+           "checkpoint": cmd_checkpoint,
            "tag": cmd_tag, "upsert": cmd_upsert}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0

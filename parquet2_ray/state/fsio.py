@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 
 __all__ = ["resolve", "atomic_write", "read_bytes", "open_input",
-           "exists", "getsize", "listdir", "ensure_dir"]
+           "exists", "getsize", "listdir", "listdir_stat", "ensure_dir"]
 
 
 # one FileSystem instance per scheme://authority, reused across calls:
@@ -126,6 +126,34 @@ def listdir(path: str) -> list[str]:
 
     sel = pafs.FileSelector(p, allow_not_found=True, recursive=False)
     return sorted(i.base_name for i in f.get_file_info(sel))
+
+
+def listdir_stat(path: str) -> list[tuple[str, int, int]]:
+    """``(base_name, size_bytes, mtime_ns)`` per directory entry,
+    sorted by name ([] if the dir doesn't exist).  The stats ride free
+    with the listing on both backends (``os.scandir`` dirents / the
+    object-store LIST response carry them) — this is what lets the
+    manifest checkpoint validate cached records WITHOUT reading the
+    per-partition files.  ``mtime_ns`` is 0 when the backend reports
+    none; writer and reader both source it from THIS helper, so the
+    comparison stays consistent per backend."""
+    f, p = resolve(path)
+    if f is None:
+        if not os.path.isdir(p):
+            return []
+        out = []
+        with os.scandir(p) as it:
+            for e in it:
+                st = e.stat()
+                out.append((e.name, st.st_size, st.st_mtime_ns))
+        return sorted(out)
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(p, allow_not_found=True, recursive=False)
+    return sorted(
+        (i.base_name, i.size or 0, i.mtime_ns or 0)
+        for i in f.get_file_info(sel)
+    )
 
 
 def delete(path: str, missing_ok: bool = True) -> None:

@@ -48,6 +48,7 @@ __all__ = [
     "commit_manifest_record",
     "load_manifest",
     "load_raw_records",
+    "write_manifest_checkpoint",
     "resolve_active",
     "record_txn",
     "family_txns",
@@ -473,20 +474,103 @@ def record_txn(r: dict) -> int:
     return int(r.get("txn") or 0)
 
 
+CHECKPOINT_NAME = "checkpoint.bin"
+_CKPT_MAGIC = b"P2RC"
+
+
+def write_manifest_checkpoint(out_dir: str, fsync: bool = True) -> dict:
+    """Collapse the per-partition manifest scan into ONE file (P58).
+
+    ``load_raw_records`` reads one small JSON object per partition —
+    at 10^6 partitions on an object store that is 10^6 GET round trips
+    *per driver-side manifest load* (every decode plan, history op,
+    GC, append validation).  The checkpoint stores every ``part-*``
+    record RAW (replaces/family/txn intact — time travel, GC and
+    rollback semantics are resolution-time concerns and unchanged)
+    keyed by file name, each entry validated at load time against the
+    listing's ``(size, mtime_ns)`` — stats that ride free with the
+    LIST response — so the checkpoint is a pure read-amplification
+    cache, never a second source of truth:
+
+    - records committed AFTER the checkpoint are simply absent and
+      read from their files as before;
+    - records a rollback/sweep UNLINKED disappear from the listing
+      and are dropped (the Delta-style "delete covered files" design
+      would instead have to rewrite the checkpoint inside those ops'
+      crash windows);
+    - a REWRITTEN file (id reuse after a sweep, resumed-run
+      re-commit) fails the stat match and is re-read;
+    - a corrupt/missing checkpoint degrades to the full scan.
+
+    Payload is zstd-compressed JSON behind a magic + raw-length
+    header.  Single-writer per container, like every maintenance op.
+    Returns ``{"files": n, "bytes": compressed, "raw_bytes": n}``.
+    """
+    d = manifest_dir(out_dir)
+    files: dict[str, list] = {}
+    for name, size, mtime in fsio.listdir_stat(d):
+        if name.startswith("part-") and name.endswith(".json"):
+            rec = json.loads(fsio.read_bytes(os.path.join(d, name)))
+            files[name] = [size, mtime, rec]
+    payload = json.dumps({"version": 1, "files": files},
+                         separators=(",", ":")).encode()
+    codec = pa.Codec("zstd", compression_level=3)
+    blob = (_CKPT_MAGIC + len(payload).to_bytes(8, "little")
+            + codec.compress(payload, asbytes=True))
+    _atomic_write(os.path.join(d, CHECKPOINT_NAME), blob, fsync=fsync)
+    return {"files": len(files), "bytes": len(blob),
+            "raw_bytes": len(payload)}
+
+
+def _load_checkpoint(mdir: str) -> dict:
+    """Cached record entries ``{file_name: [size, mtime_ns, record]}``;
+    {} when absent or unreadable (any failure degrades to the full
+    scan — a checkpoint must never be able to fail a read)."""
+    path = os.path.join(mdir, CHECKPOINT_NAME)
+    try:
+        blob = fsio.read_bytes(path)
+        if blob[:4] != _CKPT_MAGIC:
+            return {}
+        rawlen = int.from_bytes(blob[4:12], "little")
+        payload = pa.Codec("zstd").decompress(
+            blob[12:], rawlen, asbytes=True)
+        doc = json.loads(payload)
+        if doc.get("version") != 1:
+            return {}
+        return doc["files"]
+    except (FileNotFoundError, OSError, ValueError, KeyError):
+        return {}
+
+
 def load_raw_records(
         out_dir: str) -> tuple[dict[str, dict], set[str]]:
     """EVERY committed part record (active, replaced, family-staged)
     keyed by part_id, plus the set of committed family ids — the one
     O(partitions) manifest scan behind visibility resolution, GC,
-    history and rollback."""
+    history and rollback.
+
+    With a checkpoint present (``write_manifest_checkpoint``) the scan
+    reads ONE checkpoint file plus only the part files the listing's
+    ``(size, mtime_ns)`` stats say the checkpoint does not cover —
+    O(changes since checkpoint) instead of O(partitions) GETs; the
+    directory listing itself (where deletions and new commits surface)
+    remains the ground truth, so results are bit-identical to the
+    uncheckpointed scan."""
     d = os.path.join(out_dir, "_manifest")
     raw: dict[str, dict] = {}
     committed_families: set[str] = set()
-    for name in fsio.listdir(d):
+    entries = fsio.listdir_stat(d)
+    cached = (_load_checkpoint(d)
+              if any(n == CHECKPOINT_NAME for n, _, _ in entries) else {})
+    for name, size, mtime in entries:
         if name.startswith("family-") and name.endswith(".json"):
             committed_families.add(name[len("family-"):-len(".json")])
         elif name.startswith("part-") and name.endswith(".json"):
-            r = json.loads(fsio.read_bytes(os.path.join(d, name)))
+            ent = cached.get(name)
+            if ent is not None and ent[0] == size and ent[1] == mtime:
+                r = ent[2]
+            else:
+                r = json.loads(fsio.read_bytes(os.path.join(d, name)))
             raw[r["part_id"]] = r
     return raw, committed_families
 
