@@ -55,7 +55,14 @@ def refold_global(out_dir: str) -> dict:
     """Recompute the `_MANIFEST.json` sidecar from ALL active partition
     records — O(partitions) driver reads, no data touched.  Every
     maintenance op (append, compact, delete) calls this so the sidecar
-    never goes stale relative to the per-partition manifest."""
+    never goes stale relative to the per-partition manifest.
+
+    Also the one shared hook where a P58 manifest checkpoint (if the
+    operator created one) is refreshed after each op's commits —
+    O(this op's changes) reads, and the checkpoint stays near a 100%
+    hit ratio without manual re-checkpoints.  fsync=False: the
+    checkpoint is a cache; losing it on a crash only costs reads."""
+    mf.refresh_checkpoint(out_dir, fsync=False)
     records = mf.load_manifest(out_dir)
     combined = {
         "n_partitions": len(records),

@@ -194,6 +194,9 @@ def sweep_invisible(out_dir: str, retain_from_txn: int | None = None) -> int:
             if fid not in families_in_use:
                 fsio.delete(os.path.join(mdir, name))
                 swept += 1
+    # a standalone sweep (CLI) has no refold_global tail — drop the
+    # swept records out of any P58 checkpoint here
+    mf.refresh_checkpoint(out_dir, fsync=False)
     return swept
 
 

@@ -507,11 +507,21 @@ def write_manifest_checkpoint(out_dir: str, fsync: bool = True) -> dict:
     Returns ``{"files": n, "bytes": compressed, "raw_bytes": n}``.
     """
     d = manifest_dir(out_dir)
+    entries = fsio.listdir_stat(d)
+    # reuse the previous checkpoint's still-valid entries so a REFRESH
+    # costs O(changes since last checkpoint) reads, not O(partitions) —
+    # what lets maintenance ops refresh after every commit
+    cached = (_load_checkpoint(d)
+              if any(n == CHECKPOINT_NAME for n, _, _ in entries) else {})
     files: dict[str, list] = {}
-    for name, size, mtime in fsio.listdir_stat(d):
+    for name, size, mtime in entries:
         if name.startswith("part-") and name.endswith(".json"):
-            rec = json.loads(fsio.read_bytes(os.path.join(d, name)))
-            files[name] = [size, mtime, rec]
+            ent = cached.get(name)
+            if ent is not None and ent[0] == size and ent[1] == mtime:
+                files[name] = ent
+            else:
+                rec = json.loads(fsio.read_bytes(os.path.join(d, name)))
+                files[name] = [size, mtime, rec]
     payload = json.dumps({"version": 1, "files": files},
                          separators=(",", ":")).encode()
     codec = pa.Codec("zstd", compression_level=3)
@@ -520,6 +530,20 @@ def write_manifest_checkpoint(out_dir: str, fsync: bool = True) -> dict:
     _atomic_write(os.path.join(d, CHECKPOINT_NAME), blob, fsync=fsync)
     return {"files": len(files), "bytes": len(blob),
             "raw_bytes": len(payload)}
+
+
+def refresh_checkpoint(out_dir: str, fsync: bool = True) -> None:
+    """Re-write the checkpoint IF one exists (no-op otherwise) — called
+    at the end of every maintenance op that commits or unlinks records,
+    so a container whose operator opted into checkpointing stays at a
+    near-100% cache hit ratio without manual re-checkpoints.  Cost is
+    O(this op's changes) reads (the writer reuses still-valid cached
+    entries) + one small write.  A crash between the op's commit and
+    this refresh only leaves the checkpoint stale, which the loader's
+    stat reconciliation already absorbs."""
+    d = os.path.join(out_dir, "_manifest")
+    if fsio.exists(os.path.join(d, CHECKPOINT_NAME)):
+        write_manifest_checkpoint(out_dir, fsync=fsync)
 
 
 def _load_checkpoint(mdir: str) -> dict:

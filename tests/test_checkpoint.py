@@ -144,10 +144,10 @@ def test_corrupt_or_garbage_checkpoint_degrades(container):
         assert mf.load_raw_records(container) == truth
 
 
-def test_read_amplification_bound(container, tmp_path, monkeypatch):
+def test_read_amplification_bound(container, monkeypatch):
     """The point of P58: after a checkpoint, a manifest load reads ZERO
-    per-partition files; after K new commits it reads exactly the new
-    records' files."""
+    per-partition files; after K commits the checkpoint does not cover,
+    it reads exactly those K files."""
     mf.write_manifest_checkpoint(container)
     real = fsio.read_bytes
     part_reads: list[str] = []
@@ -161,12 +161,49 @@ def test_read_amplification_bound(container, tmp_path, monkeypatch):
     mf.load_raw_records(container)
     assert part_reads == []
 
-    monkeypatch.undo()
-    r = append_dataset(_write(tmp_path, "inc2.parquet",
-                              _prefixed(60, 4, "inc2/")), container, OPTS)
+    # commit K records below the op layer (no auto-refresh fires)
+    raw, _ = mf.load_raw_records(container)
+    tmpl = next(iter(raw.values()))
+    for i in (900, 901, 902):
+        mf.commit_manifest_record(
+            container, {**tmpl, "part_id": f"p{i:05d}", "txn": 5},
+            fsync=False)
+    part_reads.clear()
+    got, _ = mf.load_raw_records(container)
+    assert len(part_reads) == 3 and len(got) == len(raw) + 3
+
+
+def test_auto_refresh_after_maintenance(container, tmp_path, monkeypatch):
+    """Once an operator checkpoints a container, every maintenance op
+    keeps the checkpoint fresh: a load AFTER an append/delete/rollback
+    reads zero per-partition files.  Containers that never checkpointed
+    never get one implicitly."""
+    mf.write_manifest_checkpoint(container)
+    append_dataset(_write(tmp_path, "inc2.parquet",
+                          _prefixed(60, 4, "inc2/")), container, OPTS)
+    d = delete_rows(container, "n_tok", lo=4000, hi=None)
+    assert d["n_deleted"] > 0
+    real = fsio.read_bytes
+    part_reads: list[str] = []
+
+    def counting(path):
+        if "_manifest" in path and os.path.basename(path).startswith("part-"):
+            part_reads.append(path)
+        return real(path)
+
     monkeypatch.setattr(fsio, "read_bytes", counting)
-    mf.load_raw_records(container)
-    assert len(part_reads) == r["n_partitions"]
+    got = mf.load_raw_records(container)
+    assert part_reads == []
+    monkeypatch.undo()
+    assert got == _scan_no_ckpt(container)
+
+
+def test_no_implicit_checkpoint(container, tmp_path):
+    append_dataset(_write(tmp_path, "inc2.parquet",
+                          _prefixed(60, 4, "inc2/")), container, OPTS)
+    sweep_invisible(container)
+    assert not fsio.exists(os.path.join(container, "_manifest",
+                                        mf.CHECKPOINT_NAME))
 
 
 def test_checkpoint_cli(container, capsys):
