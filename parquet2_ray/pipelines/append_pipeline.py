@@ -15,13 +15,38 @@ Crash-safe id allocation: ``base = max(committed id, reserved id) + 1``
 alone would SHIFT ids on a resumed append (a crash mid-append commits
 some partitions, raising the max), so a re-run could re-encode the same
 rows under fresh ids — duplicating data.  Instead each append first
-reserves its id range in an ``_appends.json`` session ledger keyed by a
-deterministic ``append_id`` (hash of the resolved input files + sizes);
-a re-run of the same increment finds its session, reuses its base, and
-the per-partition fingerprint resume skips what already committed.
-One appender per container at a time (the ledger update is
-read-modify-write); concurrent appends of DIFFERENT increments must be
-serialized by the caller.
+PLANS its increment (``plan_encode`` — read-only, so the extent
+``n_parts`` is known up front), then reserves a FIXED id range + txn
+stamp in an atomically-created claim file
+(``_manifest/claim-<base>.json``, keyed by a deterministic
+``append_id`` = hash of the resolved input files + sizes).  A re-run
+of the same increment finds its claim, reuses its base/txn, and the
+per-partition fingerprint resume skips what already committed.
+
+CONCURRENT appends (P59): claim creation is a create-exclusive
+test-and-set (``fsio.atomic_create``) on the claim's base id.  Two
+appenders computing from the same visible manifest state derive the
+SAME ``(base, txn)`` — base and txn are both max+1 counters over one
+listing — so they collide on the claim name and the loser re-reads
+and re-claims past the winner; appenders with different visible
+states already derive disjoint ranges.  Fixed extents mean an
+in-flight (or crashed) append never blocks another: its claim is just
+a consumed range; abandoned claims burn ids/txns, which are cheap and
+sparse-safe.  On LOCAL filesystems the test-and-set is exact
+(``os.link``); on object stores it is best-effort (pyarrow.fs has no
+conditional PUT), so the multi-appender contract there remains
+single-appender until a conditional-put backend exists.  Maintenance
+ops stay single-writer and must not run concurrently with appends
+(same contract as before); their txn allocation consults claims
+(``next_txn_all``) so a reserved-but-uncommitted append txn is never
+reused.
+
+Legacy ``_appends.json`` session ledgers remain readable: their
+sessions count toward id/txn allocation, resume into them works
+(including finalizing a crashed legacy session's extent), and an
+unfinished legacy session of a DIFFERENT increment still refuses new
+appends exactly as before (its extent is unknown, so nothing can
+allocate past it).
 """
 
 from __future__ import annotations
@@ -35,20 +60,130 @@ import ray.data as rd
 
 from ..state import fsio
 from ..state import manifest as mf
-from .encode_pipeline import EncodeOptions, encode_dataset
+from .encode_pipeline import EncodeOptions, encode_dataset, plan_encode
 
-__all__ = ["append_dataset"]
+__all__ = ["append_dataset", "next_txn_all"]
 
 
 def _ledger_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_appends.json")
 
 
-def _load_sessions(out_dir: str) -> list[dict]:
+def _legacy_sessions(out_dir: str) -> list[dict]:
+    """Pre-claim-era session ledger (one shared JSON list, single-
+    appender).  Still honored: allocation counts its ranges, resume
+    finalizes its pending entries."""
     p = _ledger_path(out_dir)
     if not fsio.exists(p):
         return []
     return json.loads(fsio.read_bytes(p))
+
+
+def _claim_path(out_dir: str, base: int) -> str:
+    return os.path.join(out_dir, "_manifest", f"claim-{base}.json")
+
+
+def _load_claims(out_dir: str) -> list[dict]:
+    """All claim files (same shape as legacy sessions: append_id, base,
+    n_parts, txn).  Unparseable files are skipped — on object stores a
+    claim PUT is atomic, and locally the link-commit publishes full
+    content, so a torn claim can only be foreign garbage."""
+    d = os.path.join(out_dir, "_manifest")
+    out = []
+    for name in fsio.listdir(d):
+        if name.startswith("claim-") and name.endswith(".json"):
+            try:
+                out.append(json.loads(
+                    fsio.read_bytes(os.path.join(d, name))))
+            except (ValueError, OSError):
+                continue
+    return sorted(out, key=lambda c: int(c["base"]))
+
+
+def _load_sessions(out_dir: str) -> list[dict]:
+    """Every reservation that consumes id/txn space: legacy ledger
+    sessions + claim files.  Consumers (compact/delete/upsert/recluster
+    reserved_max, ingest txn lookup, the global-manifest appends field)
+    see one merged view."""
+    return _legacy_sessions(out_dir) + _load_claims(out_dir)
+
+
+def next_txn_all(out_dir: str) -> int:
+    """Next transaction stamp over committed records AND reservations.
+    ``mf.next_txn`` alone sees only raw records, so a maintenance op
+    running after a claimed-but-uncommitted (crashed or in-flight)
+    append would reuse the claim's reserved stamp — and the resumed
+    append would then share a txn with the maintenance op's commit.
+    Every txn allocation outside append's own claim goes through
+    here."""
+    reserved = max((int(s["txn"]) for s in _load_sessions(out_dir)
+                    if s.get("txn") is not None), default=0)
+    return max(mf.next_txn(out_dir), reserved + 1)
+
+
+def _claim_range(out_dir: str, append_id: str, n_parts: int,
+                 fsync: bool) -> dict:
+    """Reserve (or find) this append's fixed ``[base, base+n_parts)``
+    id range and txn stamp.  Lock-free: the claim file's atomic
+    create-exclusive write is the only synchronization (see module
+    docstring for why same-state writers always collide on the name).
+    """
+    from .compact_pipeline import _raw_record_ids
+
+    while True:
+        claims = _load_claims(out_dir)
+        mine = next((c for c in claims
+                     if c["append_id"] == append_id), None)
+        if mine is None:
+            legacy = _legacy_sessions(out_dir)
+            mine = next((s for s in legacy
+                         if s["append_id"] == append_id), None)
+            if mine is not None:
+                if mine.get("n_parts") is None:
+                    return mine        # legacy pending: we ARE its resume
+            else:
+                pending = next((s for s in legacy
+                                if s.get("n_parts") is None), None)
+                if pending is not None:
+                    raise RuntimeError(
+                        f"container has an unfinished append "
+                        f"{pending['append_id']!r} (base "
+                        f"{pending['base']}, legacy ledger): its extent "
+                        "is unknown, so nothing can allocate past it — "
+                        "resume it (same input / append_id) before "
+                        "appending a different increment")
+        if mine is not None:
+            if int(mine["n_parts"]) != n_parts:
+                raise RuntimeError(
+                    f"append {append_id!r} re-ran with a different plan "
+                    f"({n_parts} partitions, reserved "
+                    f"{mine['n_parts']}): the increment's content "
+                    "changed under a reused append_id — give the "
+                    "changed input a new id")
+            return mine
+
+        # fresh claim: both counters from one pass over visible state
+        raw, _fams = mf.load_raw_records(out_dir)
+        committed_id_max = max(_raw_record_ids(out_dir), default=-1)
+        sessions = _legacy_sessions(out_dir) + claims
+        reserved_id_max = max(
+            (int(s["base"]) + int(s["n_parts"]) - 1 for s in sessions
+             if s.get("n_parts") is not None), default=-1)
+        base = max(committed_id_max, reserved_id_max) + 1
+        txn = max(
+            max((mf.record_txn(r) for r in raw.values()), default=0),
+            max((int(s["txn"]) for s in sessions
+                 if s.get("txn") is not None), default=0),
+        ) + 1
+        claim = {"append_id": append_id, "base": base,
+                 "n_parts": n_parts, "txn": txn, "op": "append"}
+        try:
+            fsio.atomic_create(
+                _claim_path(out_dir, base),
+                json.dumps(claim, indent=1).encode(), fsync=fsync)
+            return claim
+        except FileExistsError:
+            continue                   # lost the race: re-read, re-claim
 
 
 def refold_global(out_dir: str) -> dict:
@@ -61,7 +196,13 @@ def refold_global(out_dir: str) -> dict:
     operator created one) is refreshed after each op's commits —
     O(this op's changes) reads, and the checkpoint stays near a 100%
     hit ratio without manual re-checkpoints.  fsync=False: the
-    checkpoint is a cache; losing it on a crash only costs reads."""
+    checkpoint is a cache; losing it on a crash only costs reads.
+
+    Both artifacts are CACHES, so the P59 concurrent-append race is
+    benign here: two appenders refolding at once can leave the sidecar
+    (or checkpoint) one commit stale — the next op refolds it fresh,
+    and the checkpoint loader stat-reconciles regardless.  The
+    manifest records themselves are never written here."""
     mf.refresh_checkpoint(out_dir, fsync=False)
     records = mf.load_manifest(out_dir)
     combined = {
@@ -199,59 +340,27 @@ def append_dataset(
         append_id = _input_append_id(input_path, filesystem)
 
     fsio.ensure_dir(out_dir)
+    mf.manifest_dir(out_dir)             # claims live here
     _check_schema_compatible(input_path, out_dir, columns, filesystem,
                              evolve=evolve_schema)
-    sessions = _load_sessions(out_dir)
-    mine = next((s for s in sessions if s["append_id"] == append_id), None)
-    if mine is not None:
-        # resume: reuse the reserved base — per-partition fingerprint
-        # resume then skips whatever already committed
-        base = int(mine["base"])
-        # reuse the reserved txn stamp too, so a resumed append's late
-        # partitions land in the SAME snapshot as its crashed-run ones
-        # (pre-txn-era ledgers lack the key: allocate fresh)
-        txn = int(mine.get("txn") or mf.next_txn(out_dir))
-    else:
-        pending = next((s for s in sessions
-                        if s.get("n_parts") is None), None)
-        if pending is not None:
-            # another increment reserved a base but never finalized its
-            # range (crashed mid-encode): its extent is unknown, so a
-            # new base cannot be allocated safely past it
-            raise RuntimeError(
-                f"container has an unfinished append "
-                f"{pending['append_id']!r} (base {pending['base']}): "
-                "resume it (same input / append_id) before appending "
-                "a different increment")
-        # RAW record ids (replaced + family-staged included): the active
-        # set hides a replaced or staged record whose id must still
-        # never be reused — an abandoned incremental recluster's staged
-        # ids would otherwise collide with this append's
-        from .compact_pipeline import _raw_record_ids
-
-        committed_max = max(_raw_record_ids(out_dir), default=-1)
-        reserved_max = max(
-            (int(s["base"]) + int(s["n_parts"]) - 1 for s in sessions),
-            default=-1)
-        base = max(committed_max, reserved_max) + 1
-        # reserve BEFORE encoding (two-phase): a crash mid-encode raises
-        # committed_max, and recomputing the base on the re-run would
-        # shift ids and duplicate the increment's rows under fresh names.
-        # The txn stamp is reserved alongside for the same reason — a
-        # crash after SOME records commit raises the max raw txn, and a
-        # recomputed stamp would split one append across two snapshots
-        txn = mf.next_txn(out_dir)
-        mine = {"append_id": append_id, "base": base, "n_parts": None,
-                "txn": txn}
-        sessions.append(mine)
-        fsio.atomic_write(_ledger_path(out_dir),
-                          json.dumps(sessions, indent=1).encode(),
-                          fsync=opts.fsync)
-
-    # a FINALIZED reservation pins the plan size: encode_dataset
-    # validates it right after planning, BEFORE any task launches — a
-    # post-hoc check would fire only after a larger changed increment
-    # had already re-encoded over the NEXT append's committed ids
+    # plan FIRST (read-only): knowing the extent up front is what makes
+    # the reservation a fixed range other appends can allocate past —
+    # legacy reserved extents were unknown until after the encode, so
+    # one pending append serialized the whole container
+    ctx = plan_encode(input_path, opts, columns=columns,
+                      filesystem=filesystem)
+    mine = _claim_range(out_dir, append_id, ctx["plan"].n_parts,
+                        opts.fsync)
+    base = int(mine["base"])
+    # reuse the reserved txn stamp, so a resumed append's late
+    # partitions land in the SAME snapshot as its crashed-run ones
+    # (pre-txn-era legacy ledgers lack the key: allocate fresh)
+    txn = int(mine["txn"]) if mine.get("txn") is not None \
+        else next_txn_all(out_dir)
+    # a reservation with a known extent pins the plan size:
+    # encode_dataset re-validates it before any task launches (claims
+    # are checked in _claim_range already; this also covers finalized
+    # legacy sessions)
     expected = (int(mine["n_parts"])
                 if mine.get("n_parts") is not None else None)
     run_opts = replace(
@@ -263,7 +372,8 @@ def append_dataset(
                       "txn": txn, "op": "append"})
     try:
         summary = encode_dataset(input_path, out_dir, run_opts,
-                                 columns=columns, filesystem=filesystem)
+                                 columns=columns, filesystem=filesystem,
+                                 _plan_ctx=ctx)
     except RuntimeError as e:
         if "resumed reservation" in str(e):
             raise RuntimeError(
@@ -275,8 +385,16 @@ def append_dataset(
 
     n_parts = int(summary["plan"]["n_parts"])
     if mine.get("n_parts") is None:
-        # finalize the reservation with the realized extent
-        mine["n_parts"] = n_parts
+        # finalize a resumed LEGACY pending session with the realized
+        # extent (new-style claims are born finalized); single-appender
+        # RMW is safe here — a legacy-pending container refuses other
+        # appends until this completes
+        sessions = _legacy_sessions(out_dir)
+        for s in sessions:
+            if s["append_id"] == append_id:
+                s["n_parts"] = n_parts
+                if s.get("txn") is None:
+                    s["txn"] = txn
         fsio.atomic_write(_ledger_path(out_dir),
                           json.dumps(sessions, indent=1).encode(),
                           fsync=opts.fsync)

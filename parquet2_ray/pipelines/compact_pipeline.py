@@ -279,7 +279,9 @@ def compact_container(
         # allocates a fresh stamp for its remaining groups: each group
         # flip is independently consistent, so the history just reads
         # as two sequential compactions)
-        txn = mf.next_txn(out_dir)
+        from .append_pipeline import next_txn_all
+
+        txn = next_txn_all(out_dir)
         recs = ray.get([
             _compact_group.remote(out_dir, base + i, g, fsync, txn)
             for i, g in enumerate(groups)

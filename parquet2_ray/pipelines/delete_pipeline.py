@@ -185,7 +185,9 @@ def delete_rows(
         default=-1)
     base = max(committed_max, reserved_max) + 1
 
-    txn = mf.next_txn(out_dir)   # one snapshot stamp per delete pass
+    from .append_pipeline import next_txn_all
+
+    txn = next_txn_all(out_dir)   # one snapshot stamp per delete pass
     results = ray.get([
         _rewrite_partition.remote(out_dir, base + i, m, column,
                                   lo, hi, values, fsync, txn)

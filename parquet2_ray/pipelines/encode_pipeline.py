@@ -52,8 +52,9 @@ import ray.data as rd
 from ..stages.encode import PART_COL, decode_partition_path, encode_partition_table
 from ..state import manifest as mf
 
-__all__ = ["EncodeOptions", "plan_partitions", "encode_dataset",
-           "decode_dataset", "prune_partitions", "lookup_rows"]
+__all__ = ["EncodeOptions", "plan_partitions", "plan_encode",
+           "encode_dataset", "decode_dataset", "prune_partitions",
+           "lookup_rows"]
 
 
 @dataclass
@@ -835,30 +836,26 @@ def _encode_part(part_id: int, out_dir: str, sort_key, weight_col,
     return rec.to_pylist()[0]
 
 
-def encode_dataset(
+def plan_encode(
     input_path: str | list[str] | rd.Dataset,
-    out_dir: str,
     opts: EncodeOptions | None = None,
     columns: list[str] | None = None,
     filesystem=None,
 ) -> dict:
-    """Run the full encode pipeline; returns the global manifest summary.
-
-    ``input_path`` may be a Dataset, or any mix of local paths,
-    directories, globs and object-store URIs (``s3://...``,
-    ``gs://...``) — resolved through ``pyarrow.fs`` and threaded into
-    the plan and read-split tasks, so every path route works against
-    object storage.  ``filesystem`` overrides resolution (tests inject
-    a ``SubTreeFileSystem``/mock here)."""
-    import os
+    """Resolve the input and compute the partition plan WITHOUT writing
+    anything — the read-only first phase of ``encode_dataset``, also
+    called by ``append_dataset`` to learn the plan's exact extent
+    (``n_parts``) BEFORE claiming an id/txn range, which is what lets
+    concurrent appends reserve fixed, non-overlapping ranges.  Returns
+    a context dict to pass back via ``encode_dataset(_plan_ctx=...)``
+    so the plan phase never runs twice.  The ctx is valid only for the
+    same (input, planning options) it was built from."""
     import time
 
     from ..sources.readers import resolve_input_files
 
     opts = opts or EncodeOptions()
     t0 = time.time()
-    from ..state import fsio as _fsio
-    _fsio.ensure_dir(out_dir)
     plan_files: list | None = None
     input_fs = None
     ds: rd.Dataset | None = None
@@ -917,7 +914,47 @@ def encode_dataset(
                     f"(from {file_meta[0]['path']!r})")
     else:
         plan = plan_partitions(ds, plan_opts)
-    plan_s = time.time() - t0
+    return {"plan": plan, "file_meta": file_meta, "ds": ds,
+            "plan_files": plan_files, "input_fs": input_fs,
+            "group_col": group_col, "weight_col": weight_col,
+            "sort_key": sort_key, "plan_s": time.time() - t0}
+
+
+def encode_dataset(
+    input_path: str | list[str] | rd.Dataset,
+    out_dir: str,
+    opts: EncodeOptions | None = None,
+    columns: list[str] | None = None,
+    filesystem=None,
+    _plan_ctx: dict | None = None,
+) -> dict:
+    """Run the full encode pipeline; returns the global manifest summary.
+
+    ``input_path`` may be a Dataset, or any mix of local paths,
+    directories, globs and object-store URIs (``s3://...``,
+    ``gs://...``) — resolved through ``pyarrow.fs`` and threaded into
+    the plan and read-split tasks, so every path route works against
+    object storage.  ``filesystem`` overrides resolution (tests inject
+    a ``SubTreeFileSystem``/mock here).  ``_plan_ctx``: a context from
+    ``plan_encode`` over the SAME input/options — skips replanning
+    (append_dataset plans, claims its id range, then encodes)."""
+    import os
+    import time
+
+    opts = opts or EncodeOptions()
+    t0 = time.time()
+    from ..state import fsio as _fsio
+    _fsio.ensure_dir(out_dir)
+    ctx = _plan_ctx or plan_encode(input_path, opts, columns, filesystem)
+    plan = ctx["plan"]
+    file_meta = ctx["file_meta"]
+    ds = ctx["ds"]
+    plan_files = ctx["plan_files"]
+    input_fs = ctx["input_fs"]
+    group_col = ctx["group_col"]
+    weight_col = ctx["weight_col"]
+    sort_key = ctx["sort_key"]
+    plan_s = ctx["plan_s"]
     if opts.expected_n_parts is not None \
             and plan.n_parts != opts.expected_n_parts:
         raise RuntimeError(

@@ -161,7 +161,11 @@ def incremental_recluster(
     import ray.data as rd
 
     from ..stages.encode import decode_partition_path
-    from .append_pipeline import _load_sessions, refold_global
+    from .append_pipeline import (
+        _load_sessions,
+        next_txn_all,
+        refold_global,
+    )
     from .compact_pipeline import _raw_record_ids, sweep_invisible
 
     records = mf.load_manifest(out_dir)
@@ -259,7 +263,8 @@ def incremental_recluster(
         base = max((_raw_record_ids(out_dir) or [-1])) + 1
         base = max(base, max((int(s["base"]) + int(s["n_parts"])
                               for s in sessions), default=0))
-        txn = mf.next_txn(out_dir, raw)
+        txn = max(mf.next_txn(out_dir, raw),
+                  next_txn_all(out_dir))
     ropts = replace(base_opts, group_col=None, weight_col=weight_col,
                     range_key=key, sort_key=key, id_offset=base,
                     record_extra={"family": fid, "replaces": replaces,

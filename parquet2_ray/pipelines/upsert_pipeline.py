@@ -195,7 +195,9 @@ def upsert_rows(
         base = max(max(_raw_record_ids(out_dir), default=-1),
                    max((int(s["base"]) + int(s["n_parts"]) - 1
                         for s in sessions), default=-1)) + 1
-        txn = mf.next_txn(out_dir, raw)
+        from .append_pipeline import next_txn_all
+
+        txn = max(mf.next_txn(out_dir, raw), next_txn_all(out_dir))
 
     # stage 1: rewrite every touched partition without its matched rows
     results = ray.get([

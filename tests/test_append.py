@@ -92,12 +92,12 @@ def test_crash_mid_append_resumes_reserved_range(corpus, ray_session,
     last = max(records, key=lambda pid: int(pid[1:]))
     os.remove(records[last]["path"])
     os.remove(os.path.join(out, "_manifest", f"part-{last}.json"))
-    led = json.loads(open(os.path.join(out, "_appends.json")).read())
-    led[-1]["n_parts"] = None
-    open(os.path.join(out, "_appends.json"), "w").write(json.dumps(led))
-    # a DIFFERENT increment must refuse to allocate past the unknown range
-    with pytest.raises(RuntimeError, match="unfinished append"):
-        append_dataset(p0, str(out), opts, append_id="other-increment")
+    # a DIFFERENT increment does NOT block on the crashed one: its claim
+    # has a fixed extent, so the new append allocates past it (P59 —
+    # the legacy unknown-extent ledger used to refuse here)
+    s_other = append_dataset(p0, str(out), opts,
+                             append_id="other-increment")
+    assert s_other["id_offset"] >= s1["id_offset"] + s1["plan"]["n_parts"]
     # the SAME increment resumes: same base, missing partition re-encoded,
     # committed ones skipped
     s2 = append_dataset(p1, out, opts)
@@ -107,7 +107,8 @@ def test_crash_mid_append_resumes_reserved_range(corpus, ray_session,
         [pa.Table.from_pandas(b) for b in
          decode_dataset(out).iter_batches(batch_format="pandas")],
         promote_options="permissive"))
-    want = _sorted_pd(pa.concat_tables([day0, day1]))
+    # "other-increment" re-appended day0's rows under new ids
+    want = _sorted_pd(pa.concat_tables([day0, day1, day0]))
     assert got.equals(want[got.columns])
 
 
@@ -132,8 +133,9 @@ def test_appended_container_range_pruning(corpus, ray_session, tmp_path):
     # day1 ids all start with "zzz/": a range probe above "zzz" must
     # prune every day0 partition (appended stats participate uniformly)
     keep = prune_partitions_by_range(out, "doc_id", lo="zzz")
-    n1 = json.loads(open(os.path.join(out, "_appends.json")).read())[1][
-        "n_parts"]
+    from parquet2_ray.pipelines.append_pipeline import _load_sessions
+
+    n1 = _load_sessions(out)[1]["n_parts"]
     assert 0 < len(keep) <= n1
     lo_ids = pa.concat_tables(
         [pa.Table.from_pandas(b) for b in
@@ -157,8 +159,9 @@ def test_append_schema_mismatch_rejected(corpus, ray_session, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         append_dataset(badp, out, opts)
     # and nothing was reserved or committed for the rejected increment
-    led = json.loads(open(os.path.join(out, "_appends.json")).read())
-    assert len(led) == 1
+    from parquet2_ray.pipelines.append_pipeline import _load_sessions
+
+    assert len(_load_sessions(out)) == 1
 
 
 def test_changed_increment_under_reused_id_aborts_before_write(

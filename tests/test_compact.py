@@ -140,11 +140,13 @@ def test_append_after_compaction_allocates_past_new_ids(fragmented,
 
 
 def test_compact_refuses_pending_append(fragmented, ray_session):
+    # a LEGACY-format pending session (unknown extent) must still block
+    # compaction; new-style claims always carry their extent, so only
+    # the old shared-ledger shape can produce this state
     out, _ = fragmented
     led_path = os.path.join(out, "_appends.json")
-    led = json.loads(open(led_path).read())
-    led.append({"append_id": "crashed", "base": 10_000, "n_parts": None})
-    open(led_path, "w").write(json.dumps(led))
+    open(led_path, "w").write(json.dumps(
+        [{"append_id": "crashed", "base": 10_000, "n_parts": None}]))
     with pytest.raises(RuntimeError, match="unfinished append"):
         compact_container(out, target_weight=50_000)
 

@@ -1,0 +1,214 @@
+"""Concurrent appends (P59): lock-free fixed-extent id/txn claims.
+
+The claim protocol's contract, each piece pinned here:
+- two appenders racing on the same container both commit, with
+  disjoint id ranges and distinct txn stamps;
+- the claim name is a create-exclusive test-and-set — a lost race
+  retries past the winner;
+- a crashed append's claim never blocks other increments (its extent
+  is fixed), and the crashed append still resumes into its own range;
+- maintenance-op txn allocation skips claimed-but-uncommitted stamps;
+- duplicate submission of the SAME increment (same append_id) from two
+  workers is idempotent — one logical append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from parquet2_ray.pipelines.append_pipeline import (
+    _claim_path,
+    _load_claims,
+    append_dataset,
+    next_txn_all,
+)
+from parquet2_ray.pipelines.delete_pipeline import delete_rows
+from parquet2_ray.pipelines.encode_pipeline import (
+    EncodeOptions,
+    decode_dataset,
+    encode_dataset,
+)
+from parquet2_ray.pipelines.history_pipeline import container_history
+from parquet2_ray.pipelines.verify_pipeline import verify_manifest
+from parquet2_ray.sources.tokens import make_tokens_table
+from parquet2_ray.state import fsio
+from parquet2_ray.state import manifest as mf
+
+OPTS = EncodeOptions(target_weight=50_000, fsync=False)
+
+
+def _prefixed(n: int, seed: int, prefix: str) -> pa.Table:
+    t = make_tokens_table(n, seed=seed)
+    return t.set_column(
+        t.column_names.index("doc_id"), "doc_id",
+        pc.binary_join_element_wise(
+            pa.array([prefix] * t.num_rows), t["doc_id"], ""))
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> str:
+    p = str(tmp_path / name)
+    pq.write_table(table, p)
+    return p
+
+
+def _ids(out: str) -> set:
+    ds = decode_dataset(out, columns=["doc_id"])
+    got = set()
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        got.update(b["doc_id"].to_pylist())
+    return got
+
+
+@pytest.fixture()
+def container(ray_session, tmp_path):
+    out = str(tmp_path / "cont")
+    encode_dataset(_write(tmp_path, "base.parquet",
+                          _prefixed(150, 1, "base/")), out, OPTS)
+    return out
+
+
+def test_two_appenders_race_to_one_container(container, tmp_path):
+    a = _prefixed(140, 2, "a/")
+    b = _prefixed(130, 3, "b/")
+    pa_path = _write(tmp_path, "a.parquet", a)
+    pb_path = _write(tmp_path, "b.parquet", b)
+    results: dict = {}
+    barrier = threading.Barrier(2)
+
+    def run(key, path):
+        barrier.wait()
+        results[key] = append_dataset(path, container, OPTS)
+
+    ta = threading.Thread(target=run, args=("a", pa_path))
+    tb = threading.Thread(target=run, args=("b", pb_path))
+    ta.start(); tb.start(); ta.join(); tb.join()
+
+    sa, sb = results["a"], results["b"]
+    # disjoint id ranges
+    ra = range(sa["id_offset"], sa["id_offset"] + sa["plan"]["n_parts"])
+    rb = range(sb["id_offset"], sb["id_offset"] + sb["plan"]["n_parts"])
+    assert set(ra).isdisjoint(rb)
+    assert sa["txn"] != sb["txn"]
+    assert _ids(container) == (
+        set(pa.concat_tables([a, b])["doc_id"].to_pylist())
+        | {i for i in _ids(container) if i.startswith("base/")})
+    assert verify_manifest(container)["n_bad"] == 0
+    assert [e["op"] for e in container_history(container)] == [
+        "encode", "append", "append"]
+
+
+def test_claim_collision_retries_past_winner(container, tmp_path):
+    # occupy the exact (base, txn) the next claim would compute
+    from parquet2_ray.pipelines.compact_pipeline import _raw_record_ids
+
+    base = max(_raw_record_ids(container)) + 1
+    fake = {"append_id": "someone-else", "base": base, "n_parts": 5,
+            "txn": next_txn_all(container), "op": "append"}
+    fsio.atomic_create(_claim_path(container, base),
+                       json.dumps(fake).encode(), fsync=False)
+    s = append_dataset(_write(tmp_path, "inc.parquet",
+                              _prefixed(90, 4, "inc/")), container, OPTS)
+    assert s["id_offset"] == base + 5          # allocated past the claim
+    assert s["txn"] == fake["txn"] + 1
+    # the foreign claim is untouched
+    assert any(c["append_id"] == "someone-else"
+               for c in _load_claims(container))
+
+
+def test_atomic_create_is_exclusive(tmp_path):
+    path = str(tmp_path / "claim.json")
+    wins: list[int] = []
+    barrier = threading.Barrier(8)
+
+    def attempt(i):
+        barrier.wait()
+        try:
+            fsio.atomic_create(path, json.dumps({"w": i}).encode(),
+                               fsync=False)
+            wins.append(i)
+        except FileExistsError:
+            pass
+
+    ts = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1
+    # the winner's full content is what readers see (link publishes
+    # complete files; no torn claim possible)
+    assert json.loads(open(path).read()) == {"w": wins[0]}
+    assert not [n for n in os.listdir(tmp_path) if ".claim." in n]
+
+
+def test_crashed_claim_never_blocks_others(container, tmp_path):
+    """A claim with zero committed records (crash right after claiming)
+    consumes its range but blocks nothing; the crashed append later
+    resumes into that exact range."""
+    inc = _prefixed(80, 5, "crash/")
+    p = _write(tmp_path, "crash.parquet", inc)
+    from parquet2_ray.pipelines.append_pipeline import _claim_range
+    from parquet2_ray.pipelines.encode_pipeline import plan_encode
+
+    n = plan_encode(p, OPTS)["plan"].n_parts
+
+    crashed = _claim_range(container, "crashed-append", n, False)
+    # a different increment sails past
+    s2 = append_dataset(_write(tmp_path, "other.parquet",
+                               _prefixed(70, 6, "other/")),
+                        container, OPTS)
+    assert s2["id_offset"] >= crashed["base"] + crashed["n_parts"]
+    # the crashed append resumes into ITS claimed range and txn
+    s3 = append_dataset(p, container, OPTS, append_id="crashed-append")
+    assert s3["id_offset"] == crashed["base"]
+    assert s3["txn"] == crashed["txn"]
+    assert {i for i in _ids(container) if i.startswith("crash/")} == set(
+        inc["doc_id"].to_pylist())
+    assert verify_manifest(container)["n_bad"] == 0
+
+
+def test_maintenance_txn_skips_claimed_stamp(container, tmp_path):
+    from parquet2_ray.pipelines.append_pipeline import _claim_range
+
+    crashed = _claim_range(container, "inflight", 3, False)
+    d = delete_rows(container, "n_tok", lo=4000, hi=None)
+    assert d["n_deleted"] > 0
+    ops = {e["txn"]: e["op"] for e in container_history(container)}
+    delete_txns = [t for t, op in ops.items() if op == "delete"]
+    assert delete_txns and all(t > crashed["txn"] for t in delete_txns)
+
+
+def test_duplicate_submission_same_increment(container, tmp_path):
+    """Two workers submitting the SAME increment concurrently: one
+    logical append — one claim, one txn, every row exactly once."""
+    inc = _prefixed(120, 7, "dup/")
+    p = _write(tmp_path, "dup.parquet", inc)
+    results: list = []
+    barrier = threading.Barrier(2)
+
+    def run():
+        barrier.wait()
+        results.append(append_dataset(p, container, OPTS))
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results[0]["id_offset"] == results[1]["id_offset"]
+    assert results[0]["txn"] == results[1]["txn"]
+    mine = [c for c in _load_claims(container)
+            if c["append_id"] == results[0]["append_id"]]
+    assert len(mine) == 1
+    got = [i for i in _ids(container) if i.startswith("dup/")]
+    assert sorted(got) == sorted(inc["doc_id"].to_pylist())
+    assert verify_manifest(container)["n_bad"] == 0
+    assert [e["op"] for e in container_history(container)].count(
+        "append") == 1

@@ -290,8 +290,9 @@ def test_resumed_append_reuses_txn_stamp(ray_session, tmp_path):
     pq.write_table(inc, str(tmp_path / "inc.parquet"))
     encode_dataset(str(tmp_path / "base.parquet"), out, OPTS)
     append_dataset(str(tmp_path / "inc.parquet"), out, OPTS)
-    sessions = {s["append_id"]: s for s in __import__("json").loads(
-        mf.fsio.read_bytes(os.path.join(out, "_appends.json")))}
+    from parquet2_ray.pipelines.append_pipeline import _load_sessions
+
+    sessions = {s["append_id"]: s for s in _load_sessions(out)}
     assert all(s.get("txn") == 1 for s in sessions.values())
     # resume the same increment: fingerprint-skip, same txn, no new txn
     append_dataset(str(tmp_path / "inc.parquet"), out, OPTS)
