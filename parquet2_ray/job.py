@@ -378,6 +378,12 @@ def cmd_ingest(args) -> dict:
                             ingest_id=args.ingest_id)
 
 
+def cmd_publish(args) -> dict:
+    from .pipelines.clone_pipeline import publish_clone
+
+    return publish_clone(args.clone, link=args.link)
+
+
 def cmd_checkpoint(args) -> dict:
     from .state.manifest import write_manifest_checkpoint
 
@@ -618,6 +624,15 @@ def main(argv: list[str] | None = None) -> int:
     swp.add_argument("--container", required=True)
     swp.add_argument("--retain-from", type=int, default=None)
 
+    pub = sub.add_parser("publish",
+                         help="merge a clone's additions back into its "
+                              "source (family-atomic; refuses if the "
+                              "clone rewrote shared data)")
+    pub.add_argument("--clone", required=True)
+    pub.add_argument("--link", action="store_true",
+                     help="zero-copy: reference the clone's files "
+                          "instead of copying bytes")
+
     ckp = sub.add_parser("checkpoint",
                          help="collapse the per-partition manifest scan "
                               "into one file; later loads read checkpoint "
@@ -634,7 +649,7 @@ def main(argv: list[str] | None = None) -> int:
            "rollback": cmd_rollback, "changes": cmd_changes,
            "diff": cmd_diff, "clone": cmd_clone,
            "sweep": cmd_sweep, "ingest": cmd_ingest,
-           "checkpoint": cmd_checkpoint,
+           "checkpoint": cmd_checkpoint, "publish": cmd_publish,
            "tag": cmd_tag, "upsert": cmd_upsert}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0

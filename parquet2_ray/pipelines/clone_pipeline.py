@@ -37,7 +37,7 @@ import os
 from ..state import fsio
 from ..state import manifest as mf
 
-__all__ = ["clone_container"]
+__all__ = ["clone_container", "publish_clone"]
 
 
 def clone_container(src_dir: str, dst_dir: str,
@@ -90,5 +90,120 @@ def clone_container(src_dir: str, dst_dir: str,
 
     combined = refold_global(dst_dir)
     return {"src": src_dir, "as_of": as_of, "out_dir": dst_dir,
+            "n_partitions": combined["n_partitions"],
+            "n_rows": combined["n_rows"]}
+
+
+def publish_clone(clone_dir: str, fsync: bool = True,
+                  link: bool = False) -> dict:
+    """P60: merge a diverged clone's ADDITIONS back into its source —
+    the other half of the branch workflow ("clone, run the experiment,
+    publish the rows it produced").
+
+    Semantics are ADDITIVE and conflict-checked, not a general
+    three-way merge: every partition the clone ADDED since the branch
+    point (append / ingest / upsert-inserts / its own compactions of
+    those) is committed into the source as one family-atomic merge
+    txn; the source may have advanced independently (its own appends,
+    compactions, rewrites of the shared files — additions don't care).
+    If the clone REWROTE or DELETED shared branch-point data (any
+    ``op="clone"`` record no longer active — a delete/upsert/compact/
+    recluster touched it), publish REFUSES with the exact partition
+    ids: an additions-only merge would silently drop those changes.
+
+    Mechanics: additions are the clone's active records with
+    ``op != "clone"``.  A deterministic merge id (hash of the
+    additions' content fingerprints) routes through the P59 claim
+    protocol for the id range + txn — idempotent re-publish, crash
+    resume into the same range, and safe alongside concurrent appends
+    to the source.  Data bytes are COPIED (the source must own what it
+    serves; ``link=True`` opts into zero-copy external records with
+    the same reference-not-own contract as the clone itself).  Records
+    stage under a merge family and flip visible in ONE marker write —
+    a crash mid-publish leaves the source bit-identical.
+
+    Schema evolution composes: the merged column set is validated
+    against the union of source + additions (type conflicts refuse up
+    front), and readers harmonize as with any evolved append."""
+    import hashlib
+
+    from .append_pipeline import _claim_range, refold_global
+
+    prov_path = os.path.join(clone_dir, "_manifest", "clone.json")
+    if not fsio.exists(prov_path):
+        raise FileNotFoundError(
+            f"{clone_dir} has no clone provenance (_manifest/clone.json) "
+            "— publish_clone only merges containers created by "
+            "clone_container")
+    src_dir = json.loads(fsio.read_bytes(prov_path))["src"]
+    raw, committed_families = mf.load_raw_records(clone_dir)
+    active = mf.resolve_active(raw, committed_families)
+    hidden_shared = sorted(
+        pid for pid, r in raw.items()
+        if r.get("op") == "clone" and pid not in active)
+    if hidden_shared:
+        raise RuntimeError(
+            f"clone rewrote or deleted shared branch-point partitions "
+            f"{hidden_shared} — an additions-only publish would drop "
+            "those changes; apply them to the source directly (or "
+            "re-clone and keep the branch additive)")
+    additions = sorted(
+        (r for r in active.values() if r.get("op") != "clone"),
+        key=lambda r: int(r["part_id"][1:]))
+    if not additions:
+        return {"src": src_dir, "clone": clone_dir, "merged": 0,
+                "noop": True}
+
+    # schema-evolution validation against the union of both sides
+    from .encode_pipeline import _union_fields
+
+    src_records = mf.load_manifest(src_dir)
+    _union_fields(list(src_records.values()) + additions)  # raises on clash
+
+    h = hashlib.sha256()
+    for r in additions:
+        h.update(str(r.get("fingerprint", r["part_id"])).encode())
+        h.update(b"\0")
+    merge_id = h.hexdigest()[:32]
+    claim = _claim_range(src_dir, f"publish:{merge_id}",
+                         len(additions), fsync)
+    base, txn = int(claim["base"]), int(claim["txn"])
+    fid = f"merge-{merge_id[:16]}"
+    if mf.family_committed(src_dir, fid):
+        combined = refold_global(src_dir)
+        return {"src": src_dir, "clone": clone_dir, "noop": True,
+                "merged": len(additions), "txn": txn, "family": fid,
+                "n_partitions": combined["n_partitions"],
+                "n_rows": combined["n_rows"]}
+
+    for i, r in enumerate(additions):
+        new_id = base + i
+        nr = dict(r)
+        nr["part_id"] = f"p{new_id:06d}"
+        nr.pop("replaces", None)
+        nr["family"] = fid
+        nr["txn"] = txn
+        nr["op"] = "merge"
+        src = r["path"]
+        if link:
+            p = src
+            if "://" not in p and not os.path.isabs(p):
+                p = os.path.abspath(p)
+            nr["path"] = p
+            nr["external"] = True
+        else:
+            dst = os.path.join(src_dir, f"part-p{new_id:06d}.bin")
+            # content-identical copy: the record's fingerprint (a
+            # content hash) stays valid for verify
+            if not fsio.exists(dst) or fsio.getsize(dst) != \
+                    fsio.getsize(src):
+                fsio.atomic_write(dst, fsio.read_bytes(src), fsync=fsync)
+            nr["path"] = dst
+            nr.pop("external", None)
+        mf.commit_manifest_record(src_dir, nr, fsync=fsync)
+    mf.commit_family(src_dir, fid, fsync=fsync)
+    combined = refold_global(src_dir)
+    return {"src": src_dir, "clone": clone_dir, "merged": len(additions),
+            "txn": txn, "family": fid, "id_offset": base, "link": link,
             "n_partitions": combined["n_partitions"],
             "n_rows": combined["n_rows"]}

@@ -174,3 +174,162 @@ def test_cli_clone_e2e(ray_session, tmp_path, capsys):
     assert main(["verify", "--container", dst]) == 0
     ver = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ver["n_bad"] == 0
+
+
+# ---------------------------------------------------------------- P60
+# publish_clone: merge a clone's additions back into its source
+
+
+def _doc_ids(out: str, **kw) -> set:
+    ds = decode_dataset(out, columns=["doc_id"], **kw)
+    got = set()
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        got.update(b["doc_id"].to_pylist())
+    return got
+
+
+def _prefixed(n: int, seed: int, prefix: str) -> pa.Table:
+    t = make_tokens_table(n, seed=seed)
+    return t.set_column(
+        t.column_names.index("doc_id"), "doc_id",
+        pc.binary_join_element_wise(
+            pa.array([prefix] * t.num_rows), t["doc_id"], ""))
+
+
+def test_publish_merges_additions(src_container, tmp_path):
+    from parquet2_ray.pipelines.clone_pipeline import publish_clone
+    from parquet2_ray.pipelines.verify_pipeline import verify_manifest
+
+    src, _ = src_container
+    dst = str(tmp_path / "br")
+    clone_container(src, dst)
+    inc = _prefixed(60, 5, "exp/")
+    p = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, p)
+    append_dataset(p, dst, OPTS)
+    # the SOURCE advanced independently meanwhile
+    p2 = str(tmp_path / "srcinc.parquet")
+    pq.write_table(_prefixed(40, 6, "live/"), p2)
+    append_dataset(p2, src, OPTS)
+
+    before_clone = _doc_ids(dst)
+    s = publish_clone(dst, fsync=False)
+    assert s["merged"] >= 1 and not s.get("noop")
+    assert _doc_ids(src) >= set(inc["doc_id"].to_pylist())
+    assert any(i.startswith("live/") for i in _doc_ids(src))
+    # source owns the merged bytes: real files, verify green
+    assert verify_manifest(src)["n_bad"] == 0
+    h = container_history(src)
+    assert [e["op"] for e in h][-1] == "merge"
+    # clone untouched by the publish
+    assert _doc_ids(dst) == before_clone
+    # time travel: before the merge txn, additions are absent
+    assert not any(i.startswith("exp/")
+                   for i in _doc_ids(src, as_of=s["txn"] - 1))
+
+
+def test_publish_refuses_shared_rewrite(src_container, tmp_path):
+    from parquet2_ray.pipelines.clone_pipeline import publish_clone
+
+    src, _ = src_container
+    dst = str(tmp_path / "br")
+    clone_container(src, dst)
+    d = delete_rows(dst, "n_tok", lo=3000, hi=None, fsync=False)
+    assert d["n_touched"] > 0
+    with pytest.raises(RuntimeError, match="rewrote or deleted shared"):
+        publish_clone(dst, fsync=False)
+
+
+def test_publish_idempotent_and_noop(src_container, tmp_path):
+    from parquet2_ray.pipelines.clone_pipeline import publish_clone
+
+    src, _ = src_container
+    dst = str(tmp_path / "br")
+    clone_container(src, dst)
+    # nothing added yet: noop, no txn consumed
+    s0 = publish_clone(dst, fsync=False)
+    assert s0.get("noop") and s0["merged"] == 0
+    inc = _prefixed(50, 7, "exp/")
+    p = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, p)
+    append_dataset(p, dst, OPTS)
+    s1 = publish_clone(dst, fsync=False)
+    n_after = len(mf.load_manifest(src))
+    s2 = publish_clone(dst, fsync=False)     # re-publish: one logical merge
+    assert s2.get("noop") and s2["txn"] == s1["txn"]
+    assert len(mf.load_manifest(src)) == n_after
+    exp = [i for i in _doc_ids(src) if i.startswith("exp/")]
+    assert sorted(exp) == sorted(inc["doc_id"].to_pylist())
+
+
+def test_publish_crash_before_marker_resumes(src_container, tmp_path,
+                                             monkeypatch):
+    from parquet2_ray.pipelines import clone_pipeline
+    from parquet2_ray.pipelines.clone_pipeline import publish_clone
+
+    src, _ = src_container
+    dst = str(tmp_path / "br")
+    clone_container(src, dst)
+    inc = _prefixed(40, 8, "exp/")
+    p = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, p)
+    append_dataset(p, dst, OPTS)
+    src_ids = _doc_ids(src)
+
+    real = mf.commit_family
+
+    def boom(*a, **kw):
+        raise OSError("injected crash before merge marker")
+
+    monkeypatch.setattr(clone_pipeline.mf, "commit_family", boom)
+    with pytest.raises(OSError, match="injected"):
+        publish_clone(dst, fsync=False)
+    # staged records are invisible: source bit-identical
+    assert _doc_ids(src) == src_ids
+    monkeypatch.setattr(clone_pipeline.mf, "commit_family", real)
+    s = publish_clone(dst, fsync=False)
+    assert not s.get("noop")
+    assert {i for i in _doc_ids(src) if i.startswith("exp/")} == set(
+        inc["doc_id"].to_pylist())
+
+
+def test_publish_link_mode_zero_copy(src_container, tmp_path):
+    from parquet2_ray.pipelines.clone_pipeline import publish_clone
+    from parquet2_ray.pipelines.verify_pipeline import verify_manifest
+
+    src, _ = src_container
+    dst = str(tmp_path / "br")
+    clone_container(src, dst)
+    inc = _prefixed(30, 9, "exp/")
+    p = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, p)
+    append_dataset(p, dst, OPTS)
+    n_src_files = len(_files(src))
+    s = publish_clone(dst, fsync=False, link=True)
+    assert s["link"] and s["merged"] >= 1
+    # zero bytes copied into the source dir
+    assert len(_files(src)) == n_src_files
+    assert {i for i in _doc_ids(src) if i.startswith("exp/")} == set(
+        inc["doc_id"].to_pylist())
+    # a source sweep must never delete the clone's files
+    clone_files = _files(dst)
+    sweep_invisible(src)
+    assert _files(dst) == clone_files
+    assert verify_manifest(src)["n_bad"] == 0
+
+
+def test_publish_cli(src_container, tmp_path, capsys):
+    import json as _json
+
+    from parquet2_ray.job import main
+
+    src, _ = src_container
+    dst = str(tmp_path / "br")
+    clone_container(src, dst)
+    inc = _prefixed(20, 10, "exp/")
+    p = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, p)
+    append_dataset(p, dst, OPTS)
+    assert main(["publish", "--clone", dst]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["merged"] >= 1 and out["src"] == src
