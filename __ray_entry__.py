@@ -505,24 +505,33 @@ def q_hash_split(sf_dir: str):
 
 
 def q_time_travel(sf_dir: str):
-    """P49 snapshot lineage + P56 change-data-feed, driver-oracled end
-    to end in one row: encode two thirds of events (txn 0), append the
-    remaining third (txn 1, txn-stamped through the append ledger),
-    DELETE the first half of the month (txn 2, a replaces-flip
-    rewrite), then UNION two lineage reads, disambiguated by a
-    ``_change_type`` column:
+    """P49 snapshot lineage + P56 change-data-feed + P57/P60
+    clone-and-publish, driver-oracled end to end in one row: encode two
+    thirds of events (txn 0), append the remaining third (txn 1,
+    txn-stamped through the claim ledger), DELETE the first half of the
+    month (txn 2, a replaces-flip rewrite), then shallow-CLONE the
+    container, append an id-shifted copy of the mod-0 third to the
+    branch, and PUBLISH it back (txn 3, family-atomic merge through the
+    P59 claim protocol).  The result UNIONs three lineage reads,
+    disambiguated by a ``_change_type`` column:
 
     * the snapshot BETWEEN the append and the delete (``as_of=1``,
       tagged 'snapshot') — must reconstruct the complete events table,
-      resurrecting every deleted row from the superseded files;
-    * the ``row_changes`` feed over the 1→current window (P56) — must
+      resurrecting every deleted row from the superseded files, and
+      must NOT see the later published merge;
+    * the ``row_changes`` feed over the pinned 1→2 window (P56) — must
       emit exactly the deleted rows tagged 'delete' (the snapshots
-      share every other partition, which the diff skips unread).
+      share every other partition, which the diff skips unread);
+    * the published rows (tagged 'published'), read back from the
+      SOURCE via a min/max range probe on the shifted id domain — must
+      be exactly the branch's additions, none of its shared rows.
 
-    The oracle is SELECT events twice: all rows as 'snapshot', the
-    deleted range as 'delete'.  If txn resolution leaked the delete
-    into the snapshot, dropped the append, or the diff emitted an
-    unchanged/update row, the hash mismatches."""
+    The oracle is SELECT events three ways: all rows as 'snapshot',
+    the deleted range as 'delete', the shifted mod-0 third as
+    'published'.  If txn resolution leaked the delete into the
+    snapshot, dropped the append, leaked the merge backwards, published
+    shared rows, or the diff emitted an unchanged/update row, the hash
+    mismatches."""
     import datetime as dt
 
     import pyarrow.compute as pc
@@ -569,12 +578,38 @@ def q_time_travel(sf_dir: str):
                 "_change_type", pa.array([ct] * b.num_rows, pa.string()))
         return f
 
+    # branch → experiment → publish (P57 + P60): the branch appends an
+    # id-shifted copy of the mod-0 third, then merges it back into the
+    # source as one family-atomic txn via the claim protocol
+    from parquet2_ray.pipelines.clone_pipeline import (
+        clone_container,
+        publish_clone,
+    )
+
+    SHIFT = 1_000_000_000
+    branch = _out_dir(sf_dir, "events_branch")
+    shutil.rmtree(branch, ignore_errors=True)
+    clone_container(out, branch)
+
+    def _shift(b: pa.Table) -> pa.Table:
+        b = _third(b, True)
+        return b.set_column(b.column_names.index("event_id"), "event_id",
+                            pc.add(b["event_id"], SHIFT))
+
+    inc2 = ds.map_batches(_shift, batch_format="pyarrow")
+    append_dataset(inc2, branch, opts, append_id="tt-pub-inc")
+    publish_clone(branch, fsync=False)
+
     snap = decode_dataset(out, as_of=1).map_batches(
         _tagged("snapshot"), batch_format="pyarrow")
-    feed = row_changes(out, 1, "event_id").map_batches(
+    # pin the CDC window to 1→2: the later publish txn is arm 3's story
+    feed = row_changes(out, 1, "event_id", to_txn=2).map_batches(
         lambda b: b.select(cols + ["_change_type"]),
         batch_format="pyarrow")
-    return snap.union(feed)
+    pub = decode_dataset(
+        out, key_range=("event_id", SHIFT, None)).map_batches(
+        _tagged("published"), batch_format="pyarrow")
+    return snap.union(feed).union(pub)
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1429,7 +1464,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, user_id, event_type, value, props, "
             "'delete' FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-01' "
-            "AND ts <= TIMESTAMP '2024-01-15'"),
+            "AND ts <= TIMESTAMP '2024-01-15' "
+            "UNION ALL "
+            "SELECT event_id + 1000000000 AS event_id, ts, user_id, "
+            "event_type, value, props, 'published' FROM events "
+            "WHERE event_id % 3 = 0"),
         "q_stratified_sample": (
             "SELECT doc_id, source FROM ("
             "  SELECT doc_id, source, row_number() OVER ("
