@@ -83,21 +83,83 @@ def _claim_path(out_dir: str, base: int) -> str:
     return os.path.join(out_dir, "_manifest", f"claim-{base}.json")
 
 
+def _claim_archive_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest", "claims.json")
+
+
 def _load_claims(out_dir: str) -> list[dict]:
-    """All claim files (same shape as legacy sessions: append_id, base,
-    n_parts, txn).  Unparseable files are skipped — on object stores a
-    claim PUT is atomic, and locally the link-commit publishes full
-    content, so a torn claim can only be foreign garbage."""
+    """All claims: the consolidated archive (settled claims folded in
+    by the GC sweep, one file regardless of append count) plus live
+    claim files (same shape as legacy sessions: append_id, base,
+    n_parts, txn).  Dedup by base — the archive write and the claim-
+    file delete are two steps, so a crash between them leaves both
+    copies (identical content).  Unparseable files are skipped — on
+    object stores a claim PUT is atomic, and locally the link-commit
+    publishes full content, so a torn claim can only be foreign
+    garbage."""
     d = os.path.join(out_dir, "_manifest")
-    out = []
+    by_base: dict[int, dict] = {}
+    ap = _claim_archive_path(out_dir)
+    if fsio.exists(ap):
+        try:
+            for c in json.loads(fsio.read_bytes(ap)):
+                by_base[int(c["base"])] = c
+        except (ValueError, OSError):
+            pass
     for name in fsio.listdir(d):
         if name.startswith("claim-") and name.endswith(".json"):
             try:
-                out.append(json.loads(
-                    fsio.read_bytes(os.path.join(d, name))))
+                c = json.loads(fsio.read_bytes(os.path.join(d, name)))
+                by_base[int(c["base"])] = c
             except (ValueError, OSError):
                 continue
-    return sorted(out, key=lambda c: int(c["base"]))
+    return [by_base[b] for b in sorted(by_base)]
+
+
+def archive_settled_claims(out_dir: str, raw_ids: set[int],
+                           fsync: bool = True) -> int:
+    """Fold SETTLED claims into the one-file archive so the
+    ``_manifest`` listing stays O(partitions + crashed appends), not
+    O(all appends ever).  A claim is settled when every id in its
+    range exists as a raw record — its append completed; the claim is
+    then needed only for id/txn accounting and resume identity, both
+    of which the archive serves.  Unsettled (crashed/in-flight) claims
+    stay as live files.  Called from the GC sweep, which holds the
+    single-writer maintenance window, so the archive's read-modify-
+    write cannot race a concurrent appender's claim creation.  Crash
+    ordering: archive first (atomic), then delete the folded files —
+    a crash between leaves duplicates that _load_claims dedups."""
+    live = []
+    d = os.path.join(out_dir, "_manifest")
+    for name in fsio.listdir(d):
+        if name.startswith("claim-") and name.endswith(".json"):
+            try:
+                live.append((name, json.loads(
+                    fsio.read_bytes(os.path.join(d, name)))))
+            except (ValueError, OSError):
+                continue
+    settled = [(n, c) for n, c in live
+               if all(i in raw_ids for i in
+                      range(int(c["base"]),
+                            int(c["base"]) + int(c["n_parts"])))]
+    if not settled:
+        return 0
+    merged: dict[int, dict] = {}
+    ap = _claim_archive_path(out_dir)
+    if fsio.exists(ap):
+        try:
+            for c in json.loads(fsio.read_bytes(ap)):
+                merged[int(c["base"])] = c
+        except (ValueError, OSError):
+            pass
+    for _, c in settled:
+        merged[int(c["base"])] = c
+    fsio.atomic_write(ap, json.dumps(
+        [merged[b] for b in sorted(merged)], indent=1).encode(),
+        fsync=fsync)
+    for name, _ in settled:
+        fsio.delete(os.path.join(d, name))
+    return len(settled)
 
 
 def _load_sessions(out_dir: str) -> list[dict]:

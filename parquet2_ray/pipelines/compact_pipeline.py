@@ -194,6 +194,14 @@ def sweep_invisible(out_dir: str, retain_from_txn: int | None = None) -> int:
             if fid not in families_in_use:
                 fsio.delete(os.path.join(mdir, name))
                 swept += 1
+    # consolidate settled append/publish claims into the one-file
+    # archive (P59 follow-up): the _manifest listing stays
+    # O(partitions + crashed appends) instead of O(all appends ever).
+    # Uses the PRE-sweep raw ids on purpose: a claim whose records were
+    # later swept/rolled back stays archived — its ids remain reserved
+    from .append_pipeline import archive_settled_claims
+
+    archive_settled_claims(out_dir, {int(pid[1:]) for pid in raw})
     # a standalone sweep (CLI) has no refold_global tail — drop the
     # swept records out of any P58 checkpoint here
     mf.refresh_checkpoint(out_dir, fsync=False)

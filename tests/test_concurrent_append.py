@@ -212,3 +212,44 @@ def test_duplicate_submission_same_increment(container, tmp_path):
     assert verify_manifest(container)["n_bad"] == 0
     assert [e["op"] for e in container_history(container)].count(
         "append") == 1
+
+
+def test_sweep_archives_settled_claims(container, tmp_path):
+    """The GC sweep folds completed appends' claims into ONE archive
+    file; crashed claims stay live; allocation and resume behave
+    identically through the archive."""
+    from parquet2_ray.pipelines.append_pipeline import (
+        _claim_archive_path,
+        _claim_range,
+        _load_claims,
+        _load_sessions,
+    )
+    from parquet2_ray.pipelines.compact_pipeline import sweep_invisible
+
+    p1 = _write(tmp_path, "a.parquet", _prefixed(80, 11, "a/"))
+    p2 = _write(tmp_path, "b.parquet", _prefixed(70, 12, "b/"))
+    s1 = append_dataset(p1, container, OPTS)
+    s2 = append_dataset(p2, container, OPTS)
+    crashed = _claim_range(container, "never-finished", 4, False)
+    before = {(c["append_id"], c["base"]) for c in _load_claims(container)}
+    sweep_invisible(container)
+    mdir = os.path.join(container, "_manifest")
+    live = [n for n in os.listdir(mdir) if n.startswith("claim-")]
+    # only the crashed claim remains a live file
+    assert live == [f"claim-{crashed['base']}.json"]
+    assert fsio.exists(_claim_archive_path(container))
+    # the merged view is unchanged
+    assert {(c["append_id"], c["base"])
+            for c in _load_claims(container)} == before
+    # allocation still skips every archived range + the crashed claim
+    s3 = append_dataset(_write(tmp_path, "c.parquet",
+                               _prefixed(60, 13, "c/")), container, OPTS)
+    assert s3["id_offset"] >= crashed["base"] + crashed["n_parts"]
+    # resume of an ARCHIVED append is still an idempotent no-op
+    s1b = append_dataset(p1, container, OPTS)
+    assert s1b["id_offset"] == s1["id_offset"]
+    assert s1b["skipped_partitions"] == s1b["plan"]["n_parts"]
+    # repeated sweeps converge (idempotent, crashed claim never folds)
+    sweep_invisible(container)
+    assert [n for n in os.listdir(mdir) if n.startswith("claim-")] \
+        != [] and len(_load_sessions(container)) == len(before) + 1
