@@ -132,7 +132,16 @@ def q_recluster_events(sf_dir: str):
     block_overlaps (profiles store isoformat strings), and exact row
     filtering — and subsumes the retired q_roundtrip_events' coverage
     (full events schema incl. timestamps hash-checked through
-    encode→decode twice)."""
+    encode→decode twice).
+
+    Second arm (r4 continuation 7): Z-ORDER the same source on
+    ``(ts, value)`` (P44) and run a CONJUNCTIVE probe
+    (``key_ranges=[(ts, 10d window), (value, ≥120)]``) — partition
+    pruning intersects the two min/max probes, the page index keeps
+    only blocks overlapping BOTH, and the exact filter ANDs them;
+    oracled by the same two predicates in SQL.  The projection drops
+    the materialized ``__zcluster`` column so both arms share the
+    events schema (multiset-union compare)."""
     import datetime as dt
 
     from parquet2_ray.pipelines.encode_pipeline import (
@@ -149,8 +158,18 @@ def q_recluster_events(sf_dir: str):
     out_b = _out_dir(sf_dir, "events_by_ts")
     recluster_container(out_a, out_b, "ts",
                         EncodeOptions(weight_col=None, target_rows=2000))
-    return decode_dataset(out_b, key_range=(
+    single = decode_dataset(out_b, key_range=(
         "ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 13)))
+    out_c = _out_dir(sf_dir, "events_zorder")
+    recluster_container(out_a, out_c, ["ts", "value"],
+                        EncodeOptions(weight_col=None, target_rows=2000))
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    conj = decode_dataset(
+        out_c, columns=cols,
+        key_ranges=[("ts", dt.datetime(2024, 1, 10),
+                     dt.datetime(2024, 1, 20)),
+                    ("value", 120.0, None)])
+    return single.union(conj)
 
 
 def q_roundtrip_embeddings(sf_dir: str):
@@ -1415,7 +1434,12 @@ def oracle_sql() -> dict[str, str]:
         "q_recluster_events": (
             "SELECT * FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10' "
-            "AND ts <= TIMESTAMP '2024-01-13'"),
+            "AND ts <= TIMESTAMP '2024-01-13' "
+            "UNION ALL "
+            "SELECT * FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10' "
+            "AND ts <= TIMESTAMP '2024-01-20' "
+            "AND value >= 120.0"),
         "q_roundtrip_embeddings": "SELECT * FROM embeddings",
         "q_roundtrip_compressed": "SELECT * FROM nation",
         "q_roundtrip_structs": (

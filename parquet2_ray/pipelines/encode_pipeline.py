@@ -1282,7 +1282,8 @@ def decode_dataset(out_dir: str, key_values=None,
                    key_range: tuple | None = None,
                    columns: list[str] | None = None,
                    as_of: int | str | None = None,
-                   part_ids: set | None = None) -> rd.Dataset:
+                   part_ids: set | None = None,
+                   key_ranges: list[tuple] | None = None) -> rd.Dataset:
     """Stream decoded partitions back as a Ray Dataset.
 
     ``key_values``: optional iterable of key-column values — partitions
@@ -1294,6 +1295,13 @@ def decode_dataset(out_dir: str, key_values=None,
     only the row-blocks whose page index overlaps [lo,hi] are read and
     decoded (rows are then exactly filtered to the range).  Either bound
     may be None (open interval).
+
+    ``key_ranges``: a CONJUNCTION of such triples (AND semantics) —
+    partition pruning intersects the per-column min/max probes, the
+    page index keeps only blocks overlapping EVERY predicate, and the
+    exact row filter ANDs them.  On a Z-ordered container (P44) each
+    keyed column's predicate prunes independently, so a conjunctive
+    probe touches the intersection — the layout's whole point.
 
     ``columns``: optional projection — only the named column chunks are
     read from disk and decoded (reference S7 / ColumnIterator,
@@ -1309,15 +1317,25 @@ def decode_dataset(out_dir: str, key_values=None,
         from .history_pipeline import resolve_as_of
 
         as_of = resolve_as_of(out_dir, as_of)
+    if key_range is not None and key_ranges is not None:
+        raise ValueError("pass key_range OR key_ranges, not both")
+    preds = (list(key_ranges) if key_ranges is not None
+             else ([key_range] if key_range is not None else None))
     # one manifest read serves pruning AND ordering
     records = mf.load_manifest(out_dir, as_of=as_of)
     if part_ids is not None:
         records = {pid: r for pid, r in records.items() if pid in part_ids}
     if key_values is not None:
         paths = prune_partitions(out_dir, key_values, records=records)
-    elif key_range is not None:
-        paths = prune_partitions_by_range(out_dir, *key_range,
-                                          records=records)
+    elif preds is not None:
+        # conjunctive pruning: intersect the per-column min/max probes
+        pruned = records
+        for col, lo, hi in preds:
+            kept = set(prune_partitions_by_range(out_dir, col, lo, hi,
+                                                 records=pruned))
+            pruned = {pid: r for pid, r in pruned.items()
+                      if r["path"] in kept}
+        paths = [r["path"] for r in pruned.values()]
     else:
         paths = None
     # deterministic ascending part-id order (listdir order is not a
@@ -1349,37 +1367,41 @@ def decode_dataset(out_dir: str, key_values=None,
             raise KeyError(f"container has no column(s) {bad}; "
                            f"available: {sorted(known)}")
 
-    if key_range is not None:
-        kcol, lo, hi = key_range
-        # the exact row filter needs the key column decoded even when
-        # the projection omits it — decode the union, drop it after
+    if preds is not None:
+        # the exact row filter needs every predicate column decoded even
+        # when the projection omits it — decode the union, drop after
+        pcols = [c for c, _, _ in preds]
         read_cols = columns
-        if columns is not None and kcol not in columns:
-            read_cols = list(columns) + [kcol]
+        extra = ([c for c in dict.fromkeys(pcols)
+                  if c not in columns] if columns is not None else [])
+        if extra:
+            read_cols = list(columns) + extra
         pad = (None if union is None else
                [f for f in union
                 if read_cols is None or f[0] in set(read_cols)])
 
         def _decode_range(batch: pa.Table):
             for p in batch["path"]:
-                t = decode_partition_path(p.as_py(), kcol, lo, hi,
+                t = decode_partition_path(p.as_py(), preds=preds,
                                           columns=read_cols,
                                           missing_ok=pad is not None)
                 if pad is not None:
-                    # pad BEFORE the filter: a partition predating the
-                    # key column holds only null keys → zero matches
+                    # pad BEFORE the filter: a partition predating a
+                    # predicate column holds only null keys → no matches
                     t = _pad_to_union(t, pad)
-                # exact filter on top of block-granular pruning
+                # exact conjunctive filter on top of block pruning
                 m = None
-                if lo is not None:
-                    m = pc.greater_equal(t[kcol], lo)
-                if hi is not None:
-                    m2 = pc.less_equal(t[kcol], hi)
-                    m = m2 if m is None else pc.and_(m, m2)
+                for kcol, lo, hi in preds:
+                    if lo is not None:
+                        m2 = pc.greater_equal(t[kcol], lo)
+                        m = m2 if m is None else pc.and_(m, m2)
+                    if hi is not None:
+                        m2 = pc.less_equal(t[kcol], hi)
+                        m = m2 if m is None else pc.and_(m, m2)
                 if m is not None:
                     t = t.filter(m)
-                if columns is not None and kcol not in columns:
-                    t = t.drop_columns([kcol])
+                if extra:
+                    t = t.drop_columns(extra)
                 yield t
 
         return rd.from_items([{"path": p} for p in paths]).map_batches(

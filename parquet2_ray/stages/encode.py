@@ -231,21 +231,23 @@ def decode_partition_path(
     columns: list[str] | None = None,
     block_range: tuple[int, int] | None = None,
     missing_ok: bool = False,
+    preds: list[tuple] | None = None,
 ) -> pa.Table:
     """Read + decode one container file back to a pyarrow Table.
 
-    With ``key_col``/[lo,hi], a paged container decodes ONLY the
-    row-blocks whose page index overlaps the range (sub-partition
-    predicate pushdown — reference indexed_reader.rs:25-209); a
-    single-block container decodes fully (the predicate is re-applied
-    upstream by the caller in either case).
+    With ``key_col``/[lo,hi] (or a ``preds`` conjunction of such
+    triples), a paged container decodes ONLY the row-blocks whose page
+    index overlaps the range(s) (sub-partition predicate pushdown —
+    reference indexed_reader.rs:25-209); a single-block container
+    decodes fully (the predicate is re-applied upstream by the caller
+    in either case).
 
     With ``columns``, only those column chunks are read from disk and
     decoded (column projection — reference ColumnIterator,
     src/read/column/mod.rs:22-205)."""
     footer, block_cols, _ = mf.read_partition_blocks(
         path, key_col, lo, hi, columns=columns, block_range=block_range,
-        missing_ok=missing_ok)
+        missing_ok=missing_ok, preds=preds)
     tables = []
     for cols in block_cols:
         arrays = [col_mod.decode_array(c) for c in cols]

@@ -343,6 +343,7 @@ def read_partition_blocks(
     columns: list[str] | None = None,
     block_range: tuple[int, int] | None = None,
     missing_ok: bool = False,
+    preds: list[tuple] | None = None,
 ) -> tuple[dict, list[list[EncodedColumn]], int]:
     """Read a paged container, decoding ONLY the row-blocks whose page
     index overlaps [lo,hi] on ``column`` (all blocks when no predicate)
@@ -353,9 +354,15 @@ def read_partition_blocks(
     ``block_range=(start, stop)`` restricts to that half-open slice of
     the footer's block list — the fan-out handle that lets one huge
     paged partition split across several read tasks.
+    ``preds``: a CONJUNCTION of ``(column, lo, hi)`` range predicates —
+    a block is decoded only when its stats overlap EVERY predicate
+    (the multi-column probe a Z-ordered container is laid out for);
+    the single (column, lo, hi) form is kept as legacy sugar.
     Returns (footer, per-block column lists, data_bytes_read) —
     ``data_bytes_read`` counts COLUMN PAYLOAD bytes only (the footer is
     fixed metadata cost, read once regardless of the predicate)."""
+    if preds is None and column is not None:
+        preds = [(column, lo, hi)]
     f, size = fsio.open_input(path)
     try:
         f.seek(size - 8)
@@ -385,7 +392,8 @@ def read_partition_blocks(
             if block_range is not None and not (
                     block_range[0] <= bi < block_range[1]):
                 continue
-            if column is not None and not block_overlaps(bm, column, lo, hi):
+            if preds is not None and not all(
+                    block_overlaps(bm, c, l, h) for c, l, h in preds):
                 continue
             meta = _project_meta(bm["columns"], columns, missing_ok)
             out.append(_cols_from_meta(meta, pread))

@@ -632,3 +632,75 @@ def test_compact_preserves_clustering(ray_session, tokens_table,
 
     touched = prune_partitions_by_range(clustered, "doc_id", lo, hi)
     assert len(touched) <= max(2, q_after["n_partitions"] // 2)
+
+
+def test_conjunctive_key_ranges_multiply_pruning(ray_session, tmp_path):
+    """decode_dataset(key_ranges=[...]) — AND of range predicates:
+    partition pruning intersects the per-column probes (the Z-order
+    layout's query shape), rows equal the brute-force double filter,
+    and projection / validation compose."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        prune_partitions_by_range,
+    )
+    from parquet2_ray.state import manifest as mfst
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    table = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "x": pa.array(rng.integers(0, 1_000_000, n), type=pa.int64()),
+        "y": pa.array(rng.random(n), type=pa.float64()),
+        "n_tok": pa.array(rng.integers(1, 50, n), type=pa.int32()),
+    })
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(table, src)
+    out_a = str(tmp_path / "a")
+    encode_dataset(src, out_a, EncodeOptions(
+        group_col=None, weight_col="n_tok", target_weight=16_000,
+        fsync=False))
+    out_z = str(tmp_path / "z")
+    recluster_container(
+        out_a, out_z, ["x", "y"],
+        EncodeOptions(weight_col="n_tok", target_weight=16_000,
+                      fsync=False))
+    preds = [("x", 100_000, 220_000), ("y", 0.35, 0.5)]
+
+    # pruning multiplies: the conjunctive path set is the intersection
+    recs = mfst.load_manifest(out_z)
+    keep_x = set(prune_partitions_by_range(out_z, *preds[0], records=recs))
+    keep_y = set(prune_partitions_by_range(out_z, *preds[1], records=recs))
+    both = keep_x & keep_y
+    assert 0 < len(both) < len(keep_x) and len(both) < len(keep_y)
+    assert len(keep_x) < len(recs) and len(keep_y) < len(recs)
+    got = pa.concat_tables(
+        list(decode_dataset(out_z, key_ranges=preds)
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="permissive").sort_by("doc_id")
+    import pyarrow.compute as pc
+    want = table.filter(
+        pc.and_(pc.and_(pc.greater_equal(table["x"], 100_000),
+                        pc.less_equal(table["x"], 220_000)),
+                pc.and_(pc.greater_equal(table["y"], 0.35),
+                        pc.less_equal(table["y"], 0.5)))).sort_by("doc_id")
+    assert got.select(table.column_names).equals(want)
+    assert got.num_rows > 0
+
+    # projection: predicate columns decode for the filter, then drop
+    proj = pa.concat_tables(
+        list(decode_dataset(out_z, key_ranges=preds, columns=["doc_id"])
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="permissive").sort_by("doc_id")
+    assert proj.column_names == ["doc_id"]
+    assert proj["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+
+    # single key_range unchanged + mutual exclusion validated
+    one = pa.concat_tables(
+        list(decode_dataset(out_z, key_range=("x", 100_000, 220_000))
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="permissive")
+    assert one.num_rows == table.filter(
+        pc.and_(pc.greater_equal(table["x"], 100_000),
+                pc.less_equal(table["x"], 220_000))).num_rows
+    with pytest.raises(ValueError, match="not both"):
+        decode_dataset(out_z, key_range=("x", 0, 1),
+                       key_ranges=[("y", 0, 1)])
