@@ -181,7 +181,7 @@ def cmd_delete(args) -> dict:
     values = json.loads(args.values) if args.values else None
     return delete_rows(args.container, args.column,
                        lo=_typed(args.lo), hi=_typed(args.hi),
-                       values=values)
+                       values=values, mode=args.mode)
 
 
 def cmd_compact(args) -> dict:
@@ -446,6 +446,10 @@ def main(argv: list[str] | None = None) -> int:
     dele.add_argument("--values", default=None,
                       help="JSON list of values to delete "
                            "(alternative to --lo/--hi)")
+    dele.add_argument("--mode", default="rewrite",
+                      choices=["rewrite", "dv"],
+                      help="rewrite = copy-on-write re-encode; dv = "
+                           "merge-on-read deletion-vector sidecar")
 
     cmp_ = sub.add_parser("compact")
     cmp_.add_argument("--container", required=True)

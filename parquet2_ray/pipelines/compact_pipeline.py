@@ -173,17 +173,27 @@ def sweep_invisible(out_dir: str, retain_from_txn: int | None = None) -> int:
                              "max_at_sweep": cur})
     families_in_use = {raw[pid]["family"] for pid in keep
                        if raw[pid].get("family")}
+    # deletion-vector records (P62) serve rows out of a BASE file whose
+    # own record may be swept (it was replaced by the DV commit) — any
+    # base a KEPT record references must survive both delete loops.
+    # Basenames suffice: every in-container base lives in out_dir
+    # (clone-side DVs over a foreign base are marked external and never
+    # reach the delete below).
+    dv_referenced = {os.path.basename(raw[pid]["dv_base"])
+                     for pid in keep if raw[pid].get("dv_base")}
     for pid, r in raw.items():
         if pid in keep:
             continue
         fsio.delete(os.path.join(mdir, f"part-{pid}.json"))
         # shallow-clone records (P57) reference files the SOURCE
         # container owns — reclaim the record, never the shared bytes
-        if not r.get("external"):
+        if not r.get("external") and \
+                os.path.basename(r["path"]) not in dv_referenced:
             fsio.delete(r["path"])
         swept += 1
     for name in fsio.listdir(out_dir):
-        if name.startswith("part-p") and name.endswith(".bin"):
+        if name.startswith("part-p") and name.endswith(".bin") \
+                and name not in dv_referenced:
             pid = name[len("part-"):-len(".bin")]
             if not fsio.exists(os.path.join(mdir, f"part-{pid}.json")):
                 fsio.delete(os.path.join(out_dir, name))

@@ -40,7 +40,7 @@ __all__ = ["delete_rows"]
 @ray.remote
 def _rewrite_partition(out_dir: str, new_id: int, member: dict,
                        column: str, lo, hi, values, fsync: bool,
-                       txn: int) -> dict:
+                       txn: int, mode: str = "rewrite") -> dict:
     from ..stages.encode import decode_partition_path, encode_partition_table
 
     tbl = decode_partition_path(member["path"])
@@ -63,6 +63,17 @@ def _rewrite_partition(out_dir: str, new_id: int, member: dict,
             drop = d2 if drop is None else pc.and_(drop, d2)
     keep = pc.invert(pc.fill_null(drop, False))
     kept = tbl.filter(keep)
+    if mode == "dv" and 0 < kept.num_rows < tbl.num_rows:
+        return _commit_dv(out_dir, new_id, member, keep, kept, fsync, txn)
+    if mode == "dv" and kept.num_rows == tbl.num_rows:
+        # stats-touched but zero actual matches: merge-on-read commits
+        # nothing (the rewrite mode keeps its historical re-encode
+        # semantics; here a no-op sidecar would only add read cost)
+        return {"new": None, "old": member["part_id"],
+                "deleted": 0, "remaining": tbl.num_rows}
+    # mode == "rewrite", or a dv full-delete (an all-zero mask would
+    # pin the whole base file to serve 0 rows — an empty re-encode
+    # tombstone is strictly better)
     eo = member.get("encoding_opts") or {}
     rec = encode_partition_table(
         kept, out_dir,
@@ -84,6 +95,91 @@ def _rewrite_partition(out_dir: str, new_id: int, member: dict,
             "remaining": kept.num_rows}
 
 
+def _commit_dv(out_dir: str, new_id: int, member: dict,
+               keep: pa.BooleanArray, kept: pa.Table,
+               fsync: bool, txn: int) -> dict:
+    """Merge-on-read delete of one partition: write a deletion-vector
+    sidecar over the (ultimate) base file + commit a manifest record
+    whose stats/fingerprint describe the MASKED view.  A member that is
+    already a DV record composes masks at write time, so readers only
+    ever resolve ONE level (decode stays a single extra pread)."""
+    import time
+
+    import numpy as np
+
+    from ..functions.stats import column_profile
+
+    t0 = time.time()
+    keep_np = keep.combine_chunks().to_numpy(zero_copy_only=False)
+    base_path, base_mask = member["path"], keep_np
+    raw_footer = mf.read_partition_footer(member["path"], resolve_dv=False)
+    if "dv_base" in raw_footer:
+        _, old = mf.read_dv_mask(member["path"])
+        composed = old.copy()
+        composed[np.flatnonzero(old)] = keep_np
+        base_mask = composed
+        base_path = mf.resolve_dv_base(member["path"], raw_footer)
+    pid = f"p{new_id:06d}"
+    fp = mf.canonical_fingerprint(kept)   # base order is canonical;
+    # a masked subset of a sorted partition stays sorted
+    dv_path = os.path.join(out_dir, f"part-{pid}.bin")
+    nbytes = mf.write_dv_file(
+        dv_path, base_path, base_mask,
+        extra={"part_id": pid, "fingerprint": fp}, fsync=fsync)
+    n_weight = 0
+    wcol = member.get("weight_col")
+    if wcol and wcol in kept.column_names:
+        n_weight = int(pc.sum(kept[wcol]).as_py() or 0)
+    bloom_b64 = bloom_type = None
+    sk = member.get("sort_key") or []
+    bloom_col = member.get("bloom_key") or (sk[0] if sk else None)
+    if bloom_col and bloom_col in kept.column_names and kept.num_rows:
+        import base64
+
+        from ..functions import bloom
+
+        key_arr = kept[bloom_col].combine_chunks()
+        h = bloom.hash_arrow(key_arr)
+        bits = bloom.build(h, bloom.num_blocks_for(kept.num_rows))
+        bloom_b64 = base64.b64encode(bits).decode()
+        from ..codecs import column as col_mod
+
+        bloom_type = col_mod.type_to_str(key_arr.type)
+    rec = {
+        "part_id": pid,
+        "path": dv_path,
+        "fingerprint": fp,
+        "n_rows": kept.num_rows,
+        "n_weight": n_weight,
+        "raw_bytes": kept.nbytes,
+        "encoded_bytes": nbytes,      # NEW bytes this commit wrote;
+        "base_encoded_bytes": member["encoded_bytes"],  # serve cost
+        "codecs": member.get("codecs") or {},
+        "profiles": [column_profile(n, kept[n].combine_chunks())
+                     for n in kept.column_names],
+        "sort_key": sk,
+        "boundary_order": member.get("boundary_order", "unordered"),
+        "dict_is_sorted": member.get("dict_is_sorted") or {},
+        "weight_col": wcol,
+        "bloom_key": bloom_col if bloom_b64 else None,
+        "bloom": bloom_b64,
+        "bloom_type": bloom_type,
+        "encoding_opts": member.get("encoding_opts") or {},
+        "dv_base": base_path,
+        "base_rows": int(base_mask.size),
+        "replaces": sorted(
+            {member["part_id"]} | set(member.get("replaces") or ())),
+        "txn": txn,
+        "op": "delete",
+        "wall_s": time.time() - t0,
+        "skipped": False,
+    }
+    mf.commit_manifest_record(out_dir, rec, fsync=fsync)
+    return {"new": pid, "old": member["part_id"],
+            "deleted": int(keep_np.size - kept.num_rows),
+            "remaining": kept.num_rows}
+
+
 def delete_rows(
     out_dir: str,
     column: str,
@@ -91,13 +187,28 @@ def delete_rows(
     hi=None,
     values=None,
     fsync: bool = True,
+    mode: str = "rewrite",
 ) -> dict:
     """Delete rows where ``column`` ∈ [lo, hi] (closed; either bound
     may be None) or ``column`` ∈ ``values``.  Returns a summary with
     per-partition delete counts; untouched partitions are proven
-    untouched by the manifest stats, not by reading them."""
+    untouched by the manifest stats, not by reading them.
+
+    ``mode="rewrite"`` (default): copy-on-write — each touched
+    partition re-encodes without the matching rows.  ``mode="dv"``:
+    merge-on-read — each touched partition commits a tiny
+    DELETION-VECTOR sidecar (keep-bitmap over the base file) instead
+    of a rewrite; readers apply the mask at decode.  At 100 TB the dv
+    mode turns a 0.1%-row retention delete from a terabyte rewrite
+    into O(touched partitions) KB-sized sidecars; the next
+    ``compact_container`` folds masks into real rewrites and the sweep
+    then reclaims the bases.  Repeated dv deletes COMPOSE at write
+    time (readers always resolve exactly one level); a dv delete that
+    empties a partition falls back to an empty rewrite tombstone."""
     if (lo is None and hi is None) == (values is None):
         raise ValueError("pass lo/hi OR values")
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     records = mf.load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
@@ -190,7 +301,7 @@ def delete_rows(
     txn = next_txn_all(out_dir)   # one snapshot stamp per delete pass
     results = ray.get([
         _rewrite_partition.remote(out_dir, base + i, m, column,
-                                  lo, hi, values, fsync, txn)
+                                  lo, hi, values, fsync, txn, mode)
         for i, m in enumerate(
             sorted(touched, key=lambda r: int(r["part_id"][1:])))
     ])

@@ -193,7 +193,11 @@ class P2RDatasource(Datasource):
             n_rows = int(r["n_rows"])
             raw_bytes = int(r.get("raw_bytes") or 0)
             blocks = None
-            if per > 1:
+            # deletion-vector records (P62) stay one task: a block-range
+            # slice of the base decodes correctly under the mask, but the
+            # per-slice row counts below would be base counts, and the
+            # record's n_rows is the only exact masked count we have
+            if per > 1 and not r.get("dv_base"):
                 footer = mf.read_partition_footer(path)
                 if footer.get("paged") and len(footer["blocks"]) > 1:
                     blocks = footer["blocks"]

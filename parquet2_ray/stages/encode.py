@@ -244,14 +244,36 @@ def decode_partition_path(
 
     With ``columns``, only those column chunks are read from disk and
     decoded (column projection — reference ColumnIterator,
-    src/read/column/mod.rs:22-205)."""
+    src/read/column/mod.rs:22-205).
+
+    A DELETION-VECTOR record (merge-on-read delete, ``mf.write_dv_file``)
+    decodes its base partition with the same pruning/projection args and
+    applies the keep-mask per surviving block — every path-only consumer
+    (datasource, verify, compact, CDC, joins, aggregates) inherits the
+    masked view with zero call-site changes."""
     footer, block_cols, _ = mf.read_partition_blocks(
         path, key_col, lo, hi, columns=columns, block_range=block_range,
         missing_ok=missing_ok, preds=preds)
+    mask = None
+    if block_cols is None:               # deletion-vector sidecar
+        _, mask = mf.read_dv_mask(path)
+        base = mf.resolve_dv_base(path, footer)
+        footer, block_cols, _ = mf.read_partition_blocks(
+            base, key_col, lo, hi, columns=columns,
+            block_range=block_range, missing_ok=missing_ok, preds=preds)
+        if block_cols is None:
+            raise ValueError(
+                f"{path}: deletion-vector base {base} is itself a "
+                "sidecar — DV chains must be composed at write time")
     tables = []
-    for cols in block_cols:
+    for row_start, n_rows, cols in block_cols:
         arrays = [col_mod.decode_array(c) for c in cols]
-        tables.append(pa.table({c.name: a for c, a in zip(cols, arrays)}))
+        t = pa.table({c.name: a for c, a in zip(cols, arrays)})
+        if mask is not None:
+            sl = mask[row_start:row_start + n_rows]
+            if not sl.all():
+                t = t.filter(pa.array(sl))
+        tables.append(t)
     if not tables:  # every block pruned — empty table, schema from footer meta
         proto = (footer["blocks"][0]["columns"] if footer.get("paged")
                  else footer["columns"])

@@ -45,6 +45,9 @@ __all__ = [
     "write_partition_file",
     "read_partition_footer",
     "read_partition_file",
+    "write_dv_file",
+    "read_dv_mask",
+    "resolve_dv_base",
     "commit_manifest_record",
     "load_manifest",
     "load_raw_records",
@@ -268,6 +271,72 @@ def write_partition_file_paged(
     return len(blob)
 
 
+def write_dv_file(
+    path: str, base_path: str, keep_mask, extra: dict | None = None,
+    fsync: bool = True,
+) -> int:
+    """Write a DELETION-VECTOR sidecar (merge-on-read delete): a tiny
+    container-framed file whose body is the zstd-packed KEEP bitmap
+    over the BASE partition's rows and whose footer names the base
+    file.  Readers (``decode_partition_path``) decode the base and
+    apply the mask — the Delta deletion-vector / Iceberg position-
+    delete shape: deleting 0.1% of a 1 GB partition writes KBs, not a
+    partition rewrite.  Returns bytes written.
+
+    ``base_path`` is stored as a BASENAME when the base lives in the
+    sidecar's own directory (the container stays relocatable), absolute
+    otherwise (a clone-side DV over a source-owned base)."""
+    import numpy as np
+
+    mask = np.asarray(keep_mask, dtype=bool)
+    packed = np.packbits(mask).tobytes()
+    body = pa.Codec("zstd", 3).compress(packed, asbytes=True)
+    base_ref = (os.path.basename(base_path)
+                if os.path.dirname(os.path.abspath(base_path))
+                == os.path.dirname(os.path.abspath(path))
+                and "://" not in base_path else base_path)
+    footer = {
+        "dv_base": base_ref,
+        "base_rows": int(mask.size),
+        "num_rows": int(mask.sum()),
+        "bitmap_bytes": len(packed),
+        "created_by": "parquet2_ray",
+        **(extra or {}),
+    }
+    fb = json.dumps(footer, separators=(",", ":")).encode()
+    blob = body + fb + len(fb).to_bytes(4, "little") + MAGIC
+    _atomic_write(path, blob, fsync=fsync)
+    return len(blob)
+
+
+def read_dv_mask(path: str):
+    """Read a deletion-vector sidecar → (footer, bool keep-mask over
+    the base partition's rows)."""
+    import numpy as np
+
+    blob = fsio.read_bytes(path)
+    if blob[-4:] != MAGIC:
+        raise ValueError(f"{path}: bad magic")
+    flen = int.from_bytes(blob[-8:-4], "little")
+    footer = json.loads(blob[-8 - flen: -8])
+    if "dv_base" not in footer:
+        raise ValueError(f"{path}: not a deletion-vector sidecar")
+    packed = pa.Codec("zstd").decompress(
+        blob[: -8 - flen], footer["bitmap_bytes"], asbytes=True)
+    mask = np.unpackbits(
+        np.frombuffer(packed, dtype=np.uint8))[: footer["base_rows"]]
+    return footer, mask.astype(bool)
+
+
+def resolve_dv_base(dv_path: str, footer: dict) -> str:
+    """Resolve a DV footer's base reference against the sidecar's own
+    directory (relative refs keep the container relocatable)."""
+    base = footer["dv_base"]
+    if "://" in base or os.path.isabs(base):
+        return base
+    return os.path.join(os.path.dirname(dv_path), base)
+
+
 def _decompress_payload(comp: str, payload: bytes, size: int) -> bytes:
     """Decompress one column payload.  ``lz4`` routes through the
     Hadoop-frame sniffer (reference compression.rs:195-198): this
@@ -358,9 +427,15 @@ def read_partition_blocks(
     a block is decoded only when its stats overlap EVERY predicate
     (the multi-column probe a Z-ordered container is laid out for);
     the single (column, lo, hi) form is kept as legacy sugar.
-    Returns (footer, per-block column lists, data_bytes_read) —
-    ``data_bytes_read`` counts COLUMN PAYLOAD bytes only (the footer is
-    fixed metadata cost, read once regardless of the predicate)."""
+    Returns (footer, [(row_start, n_rows, columns), ...], data_bytes_read)
+    — row offsets are in BASE row space so a deletion-vector mask can
+    slice per surviving block; ``data_bytes_read`` counts COLUMN
+    PAYLOAD bytes only (the footer is fixed metadata cost, read once
+    regardless of the predicate).
+
+    A deletion-vector sidecar (``write_dv_file``) returns
+    ``(footer, None, 0)`` — the caller resolves ``footer["dv_base"]``
+    and re-reads the base with the mask."""
     if preds is None and column is not None:
         preds = [(column, lo, hi)]
     f, size = fsio.open_input(path)
@@ -372,6 +447,8 @@ def read_partition_blocks(
         flen = int.from_bytes(tail[:4], "little")
         f.seek(size - 8 - flen)
         footer = json.loads(f.read(flen))
+        if "dv_base" in footer:
+            return footer, None, 0
         bytes_read = 0
 
         def pread(o, s):
@@ -385,7 +462,7 @@ def read_partition_blocks(
             meta = _project_meta(footer["columns"], columns, missing_ok)
             cols = _cols_from_meta(meta, pread)
             bytes_read += sum(m["size"] for m in meta)
-            return footer, [cols], bytes_read
+            return footer, [(0, footer["num_rows"], cols)], bytes_read
 
         out = []
         for bi, bm in enumerate(footer["blocks"]):
@@ -396,14 +473,21 @@ def read_partition_blocks(
                     block_overlaps(bm, c, l, h) for c, l, h in preds):
                 continue
             meta = _project_meta(bm["columns"], columns, missing_ok)
-            out.append(_cols_from_meta(meta, pread))
+            out.append((bm["row_start"], bm["num_rows"],
+                        _cols_from_meta(meta, pread)))
             bytes_read += sum(m["size"] for m in meta)
     finally:
         f.close()
     return footer, out, bytes_read
 
 
-def read_partition_footer(path: str) -> dict:
+def read_partition_footer(path: str, resolve_dv: bool = True) -> dict:
+    """Container footer.  For a deletion-vector sidecar the default
+    resolves through to the BASE footer (so schema/blocks consumers —
+    union-schema fallback, append validation, datasource fan-out,
+    tools — see real column metadata) with the sidecar's own row count
+    and the ``dv_base`` marker kept; ``resolve_dv=False`` returns the
+    raw sidecar footer."""
     f, size = fsio.open_input(path)
     try:
         f.seek(size - 8)
@@ -412,9 +496,20 @@ def read_partition_footer(path: str) -> dict:
             raise ValueError(f"{path}: bad magic")
         flen = int.from_bytes(tail[:4], "little")
         f.seek(size - 8 - flen)
-        return json.loads(f.read(flen))
+        footer = json.loads(f.read(flen))
     finally:
         f.close()
+    if resolve_dv and "dv_base" in footer:
+        base = read_partition_footer(
+            resolve_dv_base(path, footer), resolve_dv=False)
+        if "dv_base" in base:
+            raise ValueError(
+                f"{path}: deletion-vector base is itself a sidecar — "
+                "DV chains must be composed at write time")
+        footer = {**base, "num_rows": footer["num_rows"],
+                  "dv_base": footer["dv_base"],
+                  "base_rows": footer["base_rows"]}
+    return footer
 
 
 def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
@@ -426,6 +521,10 @@ def read_partition_file(path: str) -> tuple[dict, list[EncodedColumn]]:
     if footer.get("paged"):
         raise ValueError(
             f"{path}: paged container — use read_partition_blocks")
+    if "dv_base" in footer:
+        raise ValueError(
+            f"{path}: deletion-vector sidecar — decode via "
+            "decode_partition_path (it resolves the base + mask)")
     cols = []
     for m in footer["columns"]:
         payload = blob[m["offset"] : m["offset"] + m["size"]]

@@ -74,7 +74,9 @@ def test_container_layer_on_mock_uri():
     _, cols = mf.read_partition_file(path)
     assert {c.name for c in cols} == set(tbl.column_names)
     _, blocks, nbytes = mf.read_partition_blocks(path, columns=["n_tok"])
-    assert len(blocks) == 1 and blocks[0][0].name == "n_tok" and nbytes > 0
+    assert len(blocks) == 1 and nbytes > 0
+    row_start, n_rows, bcols = blocks[0]
+    assert (row_start, n_rows) == (0, 800) and bcols[0].name == "n_tok"
 
     # full decode is bit-identical to the canonicalized input
     dec = decode_partition_path(path)
