@@ -185,6 +185,36 @@ def publish_clone(clone_dir: str, fsync: bool = True,
         nr["txn"] = txn
         nr["op"] = "merge"
         src = r["path"]
+        if r.get("dv_base") and not link:
+            # deletion-vector addition (P62): a byte-copied sidecar
+            # would resolve its base against the SOURCE directory — a
+            # missing file, or worse a colliding same-named source
+            # partition serving wrong rows.  Fold the mask instead:
+            # decode the masked view (identical fingerprint — base
+            # order is canonical) and commit a REAL partition the
+            # source owns.  link=True needs no fold: the linked
+            # absolute sidecar path resolves its base against the
+            # CLONE's own directory.
+            from ..stages.encode import (
+                decode_partition_path,
+                encode_partition_table,
+            )
+
+            eo = r.get("encoding_opts") or {}
+            sk = r.get("sort_key") or None
+            encode_partition_table(
+                decode_partition_path(src), src_dir,
+                sort_key=sk,
+                weight_col=r.get("weight_col"),
+                forced_codecs=eo.get("forced_codecs") or {},
+                resume=True,
+                compression=eo.get("compression"),
+                fsync=fsync,
+                rows_per_block=eo.get("rows_per_block"),
+                extra_record={"family": fid, "txn": txn, "op": "merge"},
+                part_id=f"p{new_id:06d}",
+            )
+            continue
         if link:
             p = src
             if "://" not in p and not os.path.isabs(p):

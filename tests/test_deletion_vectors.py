@@ -266,6 +266,60 @@ def test_dv_cli(container):
     assert _decode_all(out).num_rows == want.num_rows
 
 
+@pytest.mark.parametrize("link", [False, True])
+def test_dv_publish_clone(ray_session, tmp_path, link):
+    """A clone that dv-deleted from its OWN additions must publish a
+    correct masked view: copy mode folds the mask into a real source-
+    owned partition (a byte-copied sidecar would resolve its base
+    against the source dir); link mode resolves the base against the
+    clone dir via the absolute sidecar path."""
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.clone_pipeline import (
+        clone_container,
+        publish_clone,
+    )
+
+    src = str(tmp_path / "src")
+    p0 = str(tmp_path / "s.parquet")
+    pq.write_table(make_tokens_table(200, seed=1), p0)
+    encode_dataset(p0, src, EncodeOptions(target_weight=50_000,
+                                          fsync=False))
+    br = str(tmp_path / "br")
+    clone_container(src, br)
+    inc = make_tokens_table(80, seed=77)
+    inc = inc.set_column(
+        inc.column_names.index("doc_id"), "doc_id",
+        pc.binary_join_element_wise(
+            pa.array(["exp/"] * inc.num_rows), inc["doc_id"], ""))
+    p1 = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, p1)
+    append_dataset(p1, br, EncodeOptions(target_weight=50_000,
+                                         fsync=False))
+    victims = inc["doc_id"].to_pylist()[:10]
+    s = delete_rows(br, "doc_id", values=victims, fsync=False, mode="dv")
+    assert s["n_deleted"] == 10
+    assert any(r.get("dv_base")
+               for r in mf.load_manifest(br).values()), \
+        "fixture must exercise a dv addition"
+    out = publish_clone(br, fsync=False, link=link)
+    assert out["merged"] >= 1
+    src_ids = set()
+    for b in decode_dataset(src, columns=["doc_id"]).iter_batches(
+            batch_format="pyarrow"):
+        src_ids.update(b["doc_id"].to_pylist())
+    surviving = set(inc["doc_id"].to_pylist()) - set(victims)
+    assert surviving <= src_ids
+    assert not (set(victims) & src_ids)
+    assert verify_manifest(src)["n_bad"] == 0
+    if not link:
+        # copy mode folded the mask: no source record depends on a
+        # clone-side base file
+        assert not any(r.get("dv_base")
+                       for r in mf.load_manifest(src).values())
+        sweep_invisible(src)
+        assert verify_manifest(src)["n_bad"] == 0
+
+
 def test_dv_sidecar_roundtrip_unit(tmp_path):
     rng = np.random.default_rng(3)
     mask = rng.random(10_001) > 0.13

@@ -356,10 +356,14 @@ def test_randomized_lifecycle_with_snapshots(ray_session, tmp_path):
             pq.write_table(t, p)
             append_dataset(p, out, opts, append_id=f"s{n_inc:02d}")
             expected = pa.concat_tables([expected, t])
-        elif op == 1:                         # range delete on k
+        elif op == 1:                         # range delete on k —
+            # randomly copy-on-write or merge-on-read (P62): the dv
+            # path must survive every later sweep/rollback/compact/
+            # recluster/upsert interleaving identically
+            mode = "dv" if rng.integers(0, 2) else "rewrite"
             lo = int(rng.integers(0, 90_000))
             hi = lo + int(rng.integers(500, 4_000))
-            delete_rows(out, "k", lo=lo, hi=hi, fsync=False)
+            delete_rows(out, "k", lo=lo, hi=hi, fsync=False, mode=mode)
             kv = expected["k"]
             keep = pc.or_kleene(pc.less(kv, lo), pc.greater(kv, hi))
             expected = expected.filter(pc.fill_null(keep, True))
