@@ -476,10 +476,20 @@ def row_changes(out_dir: str, since_txn: int | str, key: str,
                              f"latest transaction {max_txn}")
         if to < since:
             raise ValueError(f"window reversed: since_txn {since} > to_txn {to}")
-    if not snapshot_intact(out_dir, since):
-        raise RuntimeError(
-            f"row_changes: snapshot {since} was hollowed by a retention "
-            "sweep — its partitions are gone; advance the cursor")
+    # intactness is a property of the EFFECTIVE snapshot (visibility is
+    # constant between stamps): probe the largest stamp ≤ the cursor,
+    # not the cursor literally — and check BOTH window ends (a swept-out
+    # `to` snapshot would otherwise diff against partial data silently)
+    stamps = {ftxn[r["family"]] if r.get("family") else mf.record_txn(r)
+              for r in raw.values()}
+    for label, t in (("since_txn", since),) + (
+            (("to_txn", to),) if to is not None else ()):
+        eff = max((s for s in stamps if s <= t), default=0)
+        if not snapshot_intact(out_dir, eff):
+            raise RuntimeError(
+                f"row_changes: the {label}={t} snapshot (stamp {eff}) "
+                "was hollowed by a retention sweep — its partitions are "
+                "gone; advance the cursor")
     recs_a = mf.load_manifest(out_dir, as_of=since)
     recs_b = mf.load_manifest(out_dir, as_of=to)
     removed = set(recs_a) - set(recs_b)

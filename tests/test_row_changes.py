@@ -207,6 +207,42 @@ def test_validation(lifecycle):
         row_changes(out, 0, "nope")
 
 
+def test_window_end_intactness_after_sweep(ray_session, tmp_path):
+    """Both window ends are intact-checked: a swept-out `to` snapshot
+    refuses instead of silently diffing against partial data (pre-fix
+    only `since` was checked), and intact windows keep answering."""
+    from parquet2_ray.pipelines.compact_pipeline import sweep_invisible
+    from parquet2_ray.pipelines.history_pipeline import tag_snapshot
+
+    out = str(tmp_path / "cont")
+    a = _prefixed(60, 1, "a/")
+    b = _prefixed(60, 2, "b/")
+    c = _prefixed(30, 3, "c/")
+    for name, t in (("a", a), ("b", b), ("c", c)):
+        pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+    encode_dataset(str(tmp_path / "a.parquet"), out, OPTS)        # txn 0
+    append_dataset(str(tmp_path / "b.parquet"), out, OPTS)        # txn 1
+    victims = b["doc_id"].to_pylist()[:20]
+    delete_rows(out, "doc_id", values=victims, fsync=False)       # txn 2
+    append_dataset(str(tmp_path / "c.parquet"), out, OPTS)        # txn 3
+    # tag genesis, retain from the delete onward: snapshot 1's
+    # pre-delete b-partition record is the ONLY swept state
+    tag_snapshot(out, "genesis", 0)
+    sweep_invisible(out, retain_from_txn=2)
+    # intact windows answer: 0→2 is exactly the delete feed
+    got = _got(row_changes(out, 0, "doc_id", to_txn=2))
+    want = _brute_diff(_snap(out, as_of=0), _snap(out, as_of=2),
+                       "doc_id")
+    assert got == want and got
+    # hollowed `to` refuses with the to_txn label (since=0 is intact
+    # via the tag, so only the new to-side check can catch this)
+    with pytest.raises(RuntimeError, match="to_txn"):
+        row_changes(out, 0, "doc_id", to_txn=1)
+    # hollowed `since` still refuses as before
+    with pytest.raises(RuntimeError, match="since"):
+        row_changes(out, 1, "doc_id", to_txn=3)
+
+
 def test_null_keys_never_pair(ray_session, tmp_path):
     out = str(tmp_path / "nk")
     base = pa.table({
