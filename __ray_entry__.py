@@ -524,11 +524,12 @@ def q_hash_split(sf_dir: str):
 
 
 def q_time_travel(sf_dir: str):
-    """P49 snapshot lineage + P56 change-data-feed + P57/P60
-    clone-and-publish, driver-oracled end to end in one row: encode two
-    thirds of events (txn 0), append the remaining third (txn 1,
-    txn-stamped through the claim ledger), DELETE the first half of the
-    month (txn 2, a replaces-flip rewrite), then shallow-CLONE the
+    """P49 snapshot lineage + P56 change-data-feed + P62 deletion
+    vectors + P57/P60 clone-and-publish, driver-oracled end to end in
+    one row: encode two thirds of events (txn 0), append the remaining
+    third (txn 1, txn-stamped through the claim ledger), DELETE the
+    first half of the month (txn 2, MERGE-ON-READ — deletion-vector
+    sidecars, base files bit-untouched), then shallow-CLONE the
     container, append an id-shifted copy of the mod-0 third to the
     branch, and PUBLISH it back (txn 3, family-atomic merge through the
     P59 claim protocol).  The result UNIONs three lineage reads,
@@ -585,8 +586,14 @@ def q_time_travel(sf_dir: str):
                          sort_key="event_id", target_rows=2000)
     encode_dataset(base, out, opts)
     append_dataset(inc, out, opts, append_id="tt-inc")
+    # merge-on-read (P62): the delete commits deletion-vector sidecars,
+    # so this one row ALSO oracles the dv decode path — the snapshot
+    # must resurrect from the (still bit-untouched) base files, the CDC
+    # feed must read the masked view, the clone/publish below branch a
+    # container that contains dv records, and the final range probe
+    # prunes over dv-recomputed stats
     delete_rows(out, "ts", lo=dt.datetime(2024, 1, 1),
-                hi=dt.datetime(2024, 1, 15))
+                hi=dt.datetime(2024, 1, 15), mode="dv")
     from parquet2_ray.pipelines.history_pipeline import row_changes
 
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
