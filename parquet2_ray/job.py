@@ -348,7 +348,8 @@ def cmd_upsert(args) -> dict:
                          sort_key=args.sort_key or args.key,
                          compression=args.compression)
     return upsert_rows(args.container, args.input, args.key, opts,
-                       upsert_id=args.upsert_id, gc=not args.no_gc)
+                       upsert_id=args.upsert_id, gc=not args.no_gc,
+                       mode=args.mode)
 
 
 def cmd_tag(args) -> dict:
@@ -592,6 +593,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="sort key for rewritten/new partitions "
                           "(default: --key)")
     ups.add_argument("--upsert-id", default=None)
+    ups.add_argument("--mode", default="rewrite",
+                     choices=["rewrite", "dv"],
+                     help="rewrite = copy-on-write re-encode of touched "
+                          "partitions; dv = merge-on-read deletion-"
+                          "vector sidecars for the matched rows")
     ups.add_argument("--target-weight", type=int, default=4_000_000)
     ups.add_argument("--compression", default=None)
     ups.add_argument("--no-gc", action="store_true")

@@ -97,12 +97,15 @@ def _rewrite_partition(out_dir: str, new_id: int, member: dict,
 
 def _commit_dv(out_dir: str, new_id: int, member: dict,
                keep: pa.BooleanArray, kept: pa.Table,
-               fsync: bool, txn: int) -> dict:
+               fsync: bool, txn: int, extra: dict | None = None) -> dict:
     """Merge-on-read delete of one partition: write a deletion-vector
     sidecar over the (ultimate) base file + commit a manifest record
     whose stats/fingerprint describe the MASKED view.  A member that is
     already a DV record composes masks at write time, so readers only
-    ever resolve ONE level (decode stays a single extra pread)."""
+    ever resolve ONE level (decode stays a single extra pread).
+
+    ``extra``: fields merged into the record in the same atomic commit
+    (an upsert's ``family`` staging + ``op`` stamp ride here)."""
     import time
 
     import numpy as np
@@ -174,6 +177,8 @@ def _commit_dv(out_dir: str, new_id: int, member: dict,
         "wall_s": time.time() - t0,
         "skipped": False,
     }
+    if extra:
+        rec.update(extra)
     mf.commit_manifest_record(out_dir, rec, fsync=fsync)
     return {"new": pid, "old": member["part_id"],
             "deleted": int(keep_np.size - kept.num_rows),

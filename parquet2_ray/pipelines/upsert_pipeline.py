@@ -52,20 +52,41 @@ __all__ = ["upsert_rows"]
 @ray.remote
 def _drop_matched(out_dir: str, new_id: int, member: dict, key_col: str,
                   keys, replaces: list, fid: str, txn: int,
-                  fsync: bool) -> dict:
+                  fsync: bool, mode: str = "rewrite") -> dict:
     """Rewrite one touched partition without its matched-key rows,
     STAGED under the upsert family (invisible until the marker).
     ``keys`` arrives as the broadcast ObjectRef's VALUE (Ray resolves
-    ref args) — one shared object-store copy across all tasks."""
+    ref args) — one shared object-store copy across all tasks.
+
+    ``mode="dv"`` (P62): commit a deletion-vector sidecar instead of a
+    re-encode — the merge-on-read MERGE: matched rows mask out, the
+    base file stays bit-untouched, the sidecar stages under the SAME
+    family so the upsert still flips atomically."""
     from ..stages.encode import decode_partition_path, encode_partition_table
 
     tbl = decode_partition_path(member["path"])
     if key_col in tbl.column_names:
         drop = pc.is_in(tbl[key_col], value_set=keys)
-        kept = tbl.filter(pc.invert(pc.fill_null(drop, False)))
+        keep = pc.invert(pc.fill_null(drop, False))
+        kept = tbl.filter(keep)
     else:
+        keep = None
         kept = tbl   # evolved partition predating the key column:
         #              null keys never match (SQL semantics)
+    if mode == "dv" and keep is not None:
+        if kept.num_rows == tbl.num_rows:
+            # bloom/range false positive, zero actual matches: commit
+            # nothing, the member stays active untouched
+            return {"new": None, "old": member["part_id"], "dropped": 0}
+        if kept.num_rows > 0:
+            from .delete_pipeline import _commit_dv
+
+            r = _commit_dv(out_dir, new_id, member, keep, kept, fsync,
+                           txn, extra={"family": fid, "op": "upsert"})
+            return {"new": r["new"], "old": member["part_id"],
+                    "dropped": r["deleted"]}
+        # every row matched: an all-zero mask would pin the base file
+        # to serve 0 rows — fall through to the empty rewrite tombstone
     eo = member.get("encoding_opts") or {}
     rec = encode_partition_table(
         kept, out_dir,
@@ -93,12 +114,19 @@ def upsert_rows(
     upsert_id: str | None = None,
     gc: bool = True,
     filesystem=None,
+    mode: str = "rewrite",
 ) -> dict:
     """Last-write-wins merge of ``new_input`` into the container on
     ``key_col``.  The increment must be UNIQUE on the key (validated —
     two versions of one key in a single upsert has no defined winner).
     ``upsert_id`` identifies the increment for crash resume (REQUIRED
-    for Dataset inputs; path inputs derive a content hash)."""
+    for Dataset inputs; path inputs derive a content hash).
+
+    ``mode="dv"``: the rewrite side commits deletion-vector sidecars
+    (P62) instead of re-encoding touched partitions — at 100 TB a
+    correction batch masks its matched rows in KBs per touched
+    partition while the inserts encode normally; both sides still
+    stage under ONE family and flip in one marker write."""
     from dataclasses import replace as _replace
 
     from .append_pipeline import _load_sessions
@@ -111,6 +139,8 @@ def upsert_rows(
     from .recluster_pipeline import _family_member_ids
 
     base_opts = opts or EncodeOptions()
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     if isinstance(new_input, rd.Dataset):
         if upsert_id is None:
             raise ValueError(
@@ -139,6 +169,10 @@ def upsert_rows(
         (f"{upsert_id}|{key_col}|{base_opts.target_weight}"
          f"|{base_opts.target_rows}|{base_opts.weight_col}"
          f"|{base_opts.compression}|{base_opts.rows_per_block}"
+         # mode shapes the staged records: a resume must not mix a
+         # rewrite-planned family with dv-planned members ("rewrite"
+         # spells the legacy hash so old resumes stay idempotent)
+         + ("" if mode == "rewrite" else f"|{mode}")
          ).encode(), digest_size=8).hexdigest()
     if mf.family_committed(out_dir, fid):
         # the marker landed on a previous run: idempotent no-op
@@ -204,7 +238,7 @@ def upsert_rows(
         _drop_matched.remote(
             out_dir, base + i, m, key_col, keys_ref,
             sorted({m["part_id"]} | set(m.get("replaces") or ())),
-            fid, txn, base_opts.fsync)
+            fid, txn, base_opts.fsync, mode)
         for i, m in enumerate(touched)])
     matched = int(sum(r["dropped"] for r in results))
 

@@ -320,6 +320,91 @@ def test_dv_publish_clone(ray_session, tmp_path, link):
         assert verify_manifest(src)["n_bad"] == 0
 
 
+def test_dv_upsert_matches_rewrite_and_keeps_bases(ray_session, tmp_path):
+    """upsert_rows(mode='dv'): the matched rows mask out via sidecars
+    staged under the upsert family (one atomic flip with the inserts),
+    touched base files stay bit-untouched, and the merged view equals
+    rewrite-mode upsert exactly."""
+    from parquet2_ray.pipelines.upsert_pipeline import upsert_rows
+
+    t = make_tokens_table(600, seed=11)
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(t, src)
+    outs = {}
+    for m in ("rewrite", "dv"):
+        out = str(tmp_path / f"cont_{m}")
+        encode_dataset(src, out, EncodeOptions(target_weight=40_000,
+                                               fsync=False))
+        outs[m] = out
+    # increment: rewrite 20 existing docs with new payloads + 10 new
+    upd = make_tokens_table(20, seed=12).set_column(
+        0, "doc_id", pa.array(t["doc_id"].to_pylist()[:20]))
+    fresh = make_tokens_table(10, seed=13).set_column(
+        0, "doc_id", pa.array([f"new-{i}" for i in range(10)]))
+    inc = pa.concat_tables([upd, fresh])
+    p = str(tmp_path / "inc.parquet")
+    pq.write_table(inc, p)
+    results = {}
+    for m, out in outs.items():
+        before = {r["path"]: _file_sig(r["path"])
+                  for r in mf.load_manifest(out).values()}
+        s = upsert_rows(out, p, "doc_id",
+                        EncodeOptions(target_weight=40_000, fsync=False),
+                        gc=False, mode=m)
+        assert s["matched"] == 20 and s["inserted"] == 30
+        results[m] = _sorted_pd(_decode_all(out))
+        if m == "dv":
+            recs = mf.load_manifest(out).values()
+            assert any(r.get("dv_base") for r in recs)
+            for path, sig in before.items():
+                assert _file_sig(path) == sig
+        assert verify_manifest(out)["n_bad"] == 0
+    assert results["dv"].equals(results["rewrite"])
+    # sweep after the fact: referenced bases survive, reads stay green
+    sweep_invisible(outs["dv"])
+    assert verify_manifest(outs["dv"])["n_bad"] == 0
+    assert _sorted_pd(_decode_all(outs["dv"])).equals(results["rewrite"])
+
+
+def test_dv_upsert_crash_before_marker_is_invisible(ray_session,
+                                                    tmp_path):
+    from parquet2_ray.pipelines.upsert_pipeline import upsert_rows
+
+    t = make_tokens_table(400, seed=21)
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "cont")
+    encode_dataset(src, out, EncodeOptions(target_weight=40_000,
+                                           fsync=False))
+    want = _sorted_pd(_decode_all(out))
+    upd = make_tokens_table(15, seed=22).set_column(
+        0, "doc_id", pa.array(t["doc_id"].to_pylist()[:15]))
+    p = str(tmp_path / "inc.parquet")
+    pq.write_table(upd, p)
+    real = mf.commit_family
+    mf.commit_family = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("injected"))
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            upsert_rows(out, p, "doc_id",
+                        EncodeOptions(target_weight=40_000, fsync=False),
+                        gc=False, mode="dv")
+    finally:
+        mf.commit_family = real
+    # staged dv sidecars are invisible: the container reads bit-equal
+    assert _sorted_pd(_decode_all(out)).equals(want)
+    assert not any(r.get("dv_base")
+                   for r in mf.load_manifest(out).values())
+    # resume completes the SAME family and the merge lands
+    s = upsert_rows(out, p, "doc_id",
+                    EncodeOptions(target_weight=40_000, fsync=False),
+                    gc=False, mode="dv")
+    assert s["matched"] == 15 and not s.get("noop")
+    got = _sorted_pd(_decode_all(out))
+    assert got.shape[0] == t.num_rows
+    assert verify_manifest(out)["n_bad"] == 0
+
+
 def test_dv_sidecar_roundtrip_unit(tmp_path):
     rng = np.random.default_rng(3)
     mask = rng.random(10_001) > 0.13

@@ -410,7 +410,8 @@ def test_randomized_lifecycle_with_snapshots(ray_session, tmp_path):
             fresh = mk(90 + step, int(rng.integers(5, 30)))
             inc = pa.concat_tables([upd, fresh])
             upsert_rows(out, rd.from_arrow(inc), "rid", opts,
-                        upsert_id=f"u{step}", gc=False)
+                        upsert_id=f"u{step}", gc=False,
+                        mode="dv" if rng.integers(0, 2) else "rewrite")
             keep = pc.invert(pc.is_in(
                 expected["rid"], value_set=inc["rid"].combine_chunks()))
             expected = pa.concat_tables(
