@@ -184,6 +184,33 @@ def cmd_delete(args) -> dict:
                        values=values, mode=args.mode)
 
 
+def cmd_update(args) -> dict:
+    from .pipelines.update_pipeline import update_rows
+    from .state import manifest as mf
+
+    def _typed(v):
+        if v is None:
+            return None
+        records = mf.load_manifest(args.container)
+        first = records[min(records, key=lambda p: int(p[1:]))]
+        footer = mf.read_partition_footer(first["path"])
+        cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                else footer["columns"])
+        m = next((c for c in cols if c["name"] == args.column), None)
+        ts = m["arrow_type"] if m else ""
+        if ts.startswith(("int", "uint")):
+            return int(v)
+        if ts.startswith(("float", "double", "decimal")):
+            return float(v)
+        return v
+
+    values = json.loads(args.values) if args.values else None
+    return update_rows(args.container, args.column,
+                       set=json.loads(args.set),
+                       lo=_typed(args.lo), hi=_typed(args.hi),
+                       values=values)
+
+
 def cmd_compact(args) -> dict:
     from .pipelines.compact_pipeline import compact_container
 
@@ -452,6 +479,20 @@ def main(argv: list[str] | None = None) -> int:
                       help="rewrite = copy-on-write re-encode; dv = "
                            "merge-on-read deletion-vector sidecar")
 
+    upd = sub.add_parser("update",
+                         help="UPDATE ... SET ... WHERE over a container")
+    upd.add_argument("--container", required=True)
+    upd.add_argument("--column", required=True,
+                     help="WHERE predicate column")
+    upd.add_argument("--lo", default=None)
+    upd.add_argument("--hi", default=None)
+    upd.add_argument("--values", default=None,
+                     help="JSON list of values to match "
+                          "(alternative to --lo/--hi)")
+    upd.add_argument("--set", required=True,
+                     help='JSON object of column: value assignments, '
+                          'e.g. \'{"quality": 0}\'')
+
     cmp_ = sub.add_parser("compact")
     cmp_.add_argument("--container", required=True)
     cmp_.add_argument("--target-weight", type=int, default=4_000_000)
@@ -660,7 +701,8 @@ def main(argv: list[str] | None = None) -> int:
            "diff": cmd_diff, "clone": cmd_clone,
            "sweep": cmd_sweep, "ingest": cmd_ingest,
            "checkpoint": cmd_checkpoint, "publish": cmd_publish,
-           "tag": cmd_tag, "upsert": cmd_upsert}[args.cmd](args)
+           "tag": cmd_tag, "upsert": cmd_upsert,
+           "update": cmd_update}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

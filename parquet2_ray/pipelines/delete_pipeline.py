@@ -51,17 +51,7 @@ def _rewrite_partition(out_dir: str, new_id: int, member: dict,
         # PROVEN untouched; commit nothing and leave the old id active
         return {"new": None, "old": member["part_id"],
                 "deleted": 0, "remaining": tbl.num_rows}
-    col = tbl[column]
-    if values is not None:
-        drop = pc.is_in(col, value_set=pa.array(values, col.type))
-    else:
-        drop = None
-        if lo is not None:
-            drop = pc.greater_equal(col, lo)
-        if hi is not None:
-            d2 = pc.less_equal(col, hi)
-            drop = d2 if drop is None else pc.and_(drop, d2)
-    keep = pc.invert(pc.fill_null(drop, False))
+    keep = pc.invert(predicate_mask(tbl, column, lo, hi, values))
     kept = tbl.filter(keep)
     if mode == "dv" and 0 < kept.num_rows < tbl.num_rows:
         return _commit_dv(out_dir, new_id, member, keep, kept, fsync, txn)
@@ -185,6 +175,93 @@ def _commit_dv(out_dir: str, new_id: int, member: dict,
             "remaining": kept.num_rows}
 
 
+def union_tmap(records: dict, column: str, op_name: str) -> dict:
+    """Validate a scalar predicate column against the container's
+    UNION schema up front — a missing or non-comparable (list/struct/
+    map) column would otherwise fail deep inside a rewrite task after
+    partitions were already touched.  On an evolved container the
+    column may postdate the oldest partition (still a valid predicate
+    — partitions without it are proven untouched).  Returns the
+    name→arrow_type map (shared with update_rows)."""
+    from .encode_pipeline import _union_fields
+
+    union = _union_fields(list(records.values()))
+    if union is None:
+        first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
+        footer = mf.read_partition_footer(records[first]["path"])
+        cols = (footer["blocks"][0]["columns"] if footer.get("paged")
+                else footer["columns"])
+        union = [(m["name"], m["arrow_type"]) for m in cols]
+    tmap = dict(union)
+    if column not in tmap:
+        raise ValueError(
+            f"column {column!r} not in container schema "
+            f"({sorted(tmap)})")
+    ts = tmap[column]
+    if ts.startswith(("list<", "large_list<", "struct<", "map<")):
+        raise ValueError(
+            f"column {column!r} is {ts}: {op_name} predicates need a "
+            "comparable scalar column")
+    return tmap
+
+
+def prune_touch_set(out_dir: str, records: dict, column: str,
+                    lo, hi, values, op_name: str) -> set:
+    """Manifest-stats pruning of a scalar predicate's touch set —
+    range prune over [min,max] (of the value set for IN-predicates),
+    bloom-refined only where a record's bloom indexes THIS column
+    (probing another column's bloom would false-prune and silently
+    miss matching rows).  Shared by delete_rows and update_rows."""
+    from .encode_pipeline import prune_partitions_by_range
+
+    if values is not None:
+        vals = [v for v in values]
+        if not vals:
+            raise ValueError(f"values is empty: nothing to {op_name}")
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"values contains None: null rows never match a "
+                f"{op_name} predicate (SQL semantics) — drop the None")
+        touch_paths = set(prune_partitions_by_range(
+            out_dir, column, lo=min(vals), hi=max(vals)))
+
+        import base64
+
+        from ..functions import bloom as _bloom
+
+        hashes_by_type: dict = {}
+        for r in records.values():
+            if r["path"] not in touch_paths:
+                continue
+            if r.get("bloom_key") == column and r.get("bloom") \
+                    and r.get("bloom_type"):
+                ts = r["bloom_type"]
+                if ts not in hashes_by_type:
+                    hashes_by_type[ts] = _bloom.hash_values(vals, ts)
+                if not _bloom.might_contain(
+                        base64.b64decode(r["bloom"]),
+                        hashes_by_type[ts]).any():
+                    touch_paths.discard(r["path"])
+        return touch_paths
+    return set(prune_partitions_by_range(out_dir, column, lo=lo, hi=hi))
+
+
+def predicate_mask(tbl: pa.Table, column: str, lo, hi, values):
+    """Boolean match mask of the scalar predicate over one decoded
+    partition (nulls never match).  Shared by delete/update."""
+    col = tbl[column]
+    if values is not None:
+        m = pc.is_in(col, value_set=pa.array(values, col.type))
+    else:
+        m = None
+        if lo is not None:
+            m = pc.greater_equal(col, lo)
+        if hi is not None:
+            m2 = pc.less_equal(col, hi)
+            m = m2 if m is None else pc.and_(m, m2)
+    return pc.fill_null(m, False)
+
+
 def delete_rows(
     out_dir: str,
     column: str,
@@ -217,75 +294,15 @@ def delete_rows(
     records = mf.load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
-    # validate the predicate column up front — a missing or
-    # non-comparable (list/struct/map) column would otherwise fail deep
-    # inside a rewrite task after partitions were already touched.
-    # Validation runs against the UNION schema: on an evolved container
-    # the column may postdate the oldest partition (still a valid
-    # predicate — partitions without it are proven untouched)
-    from .encode_pipeline import _union_fields
-
-    union = _union_fields(list(records.values()))
-    if union is None:
-        first = min(records, key=lambda p: int(p[1:]))   # numeric, not str
-        footer = mf.read_partition_footer(records[first]["path"])
-        cols = (footer["blocks"][0]["columns"] if footer.get("paged")
-                else footer["columns"])
-        union = [(m["name"], m["arrow_type"]) for m in cols]
-    tmap = dict(union)
-    if column not in tmap:
-        raise ValueError(
-            f"column {column!r} not in container schema "
-            f"({sorted(tmap)})")
-    ts = tmap[column]
-    if ts.startswith(("list<", "large_list<", "struct<", "map<")):
-        raise ValueError(
-            f"column {column!r} is {ts}: delete predicates need a "
-            "comparable scalar column")
+    union_tmap(records, column, op_name="delete")
     sessions = _load_sessions(out_dir)
     pending = next((s for s in sessions if s.get("n_parts") is None), None)
     if pending is not None:
         raise RuntimeError(
             f"container has an unfinished append "
             f"{pending['append_id']!r}: resume it before deleting")
-
-    from .encode_pipeline import prune_partitions_by_range
-
-    if values is not None:
-        vals = [v for v in values]
-        if not vals:
-            raise ValueError("values is empty: nothing to delete")
-        if any(v is None for v in vals):
-            raise ValueError(
-                "values contains None: null rows never match a delete "
-                "predicate (SQL semantics) — drop the None")
-        # range prune over [min,max] of the value set is correct for
-        # ANY column; the bloom refine below is only valid for records
-        # whose bloom indexes THIS column (probing another column's
-        # bloom would false-prune and silently miss deletes)
-        touch_paths = set(prune_partitions_by_range(
-            out_dir, column, lo=min(vals), hi=max(vals)))
-
-        import base64
-
-        from ..functions import bloom as _bloom
-
-        hashes_by_type: dict = {}
-        for r in records.values():
-            if r["path"] not in touch_paths:
-                continue
-            if r.get("bloom_key") == column and r.get("bloom") \
-                    and r.get("bloom_type"):
-                ts = r["bloom_type"]
-                if ts not in hashes_by_type:
-                    hashes_by_type[ts] = _bloom.hash_values(vals, ts)
-                if not _bloom.might_contain(
-                        base64.b64decode(r["bloom"]),
-                        hashes_by_type[ts]).any():
-                    touch_paths.discard(r["path"])
-    else:
-        touch_paths = set(prune_partitions_by_range(out_dir, column,
-                                                    lo=lo, hi=hi))
+    touch_paths = prune_touch_set(out_dir, records, column, lo, hi,
+                                  values, op_name="delete")
     # 0-row tombstones always survive pruning (no stats) but cannot
     # match anything — skipping them avoids churning a fresh id and
     # rewrite task per tombstone on every delete
