@@ -211,6 +211,15 @@ def cmd_update(args) -> dict:
                        values=values)
 
 
+def cmd_maintain(args) -> dict:
+    from .pipelines.maintain_pipeline import maintain_container
+
+    return maintain_container(
+        args.container, target_weight=args.target_weight,
+        fold_min_waste=args.fold_min_waste,
+        retain_from_txn=args.retain_from_txn)
+
+
 def cmd_compact(args) -> dict:
     from .pipelines.compact_pipeline import compact_container
 
@@ -500,6 +509,18 @@ def main(argv: list[str] | None = None) -> int:
     cmp_.add_argument("--no-gc", action="store_true",
                       help="leave replaced records/files for a later sweep")
 
+    mnt = sub.add_parser("maintain",
+                         help="OPTIMIZE: fold dv masks + compact small "
+                              "runs + refresh checkpoint + sweep")
+    mnt.add_argument("--container", required=True)
+    mnt.add_argument("--target-weight", type=int, default=4_000_000)
+    mnt.add_argument("--fold-min-waste", type=float, default=0.0,
+                     help="fold only dv partitions whose deleted "
+                          "fraction is at least this (0 = fold all)")
+    mnt.add_argument("--retain-from-txn", type=int, default=None,
+                     help="keep snapshots from this txn onward "
+                          "restorable (default: current only)")
+
     rcl = sub.add_parser("recluster")
     rcl.add_argument("--container", required=True, help="source container")
     rcl.add_argument("--output", default=None, help="new container dir "
@@ -702,7 +723,7 @@ def main(argv: list[str] | None = None) -> int:
            "sweep": cmd_sweep, "ingest": cmd_ingest,
            "checkpoint": cmd_checkpoint, "publish": cmd_publish,
            "tag": cmd_tag, "upsert": cmd_upsert,
-           "update": cmd_update}[args.cmd](args)
+           "update": cmd_update, "maintain": cmd_maintain}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

@@ -405,6 +405,65 @@ def test_dv_upsert_crash_before_marker_is_invisible(ray_session,
     assert verify_manifest(out)["n_bad"] == 0
 
 
+def test_fold_and_maintain(container):
+    """fold_deletion_vectors rewrites dv partitions into real files
+    (waste threshold honored); maintain_container composes fold +
+    compact + checkpoint + sweep and ends with zero dv records, bases
+    reclaimed, reads identical, verify green."""
+    from parquet2_ray.pipelines.maintain_pipeline import (
+        fold_deletion_vectors,
+        maintain_container,
+    )
+
+    out, t = container
+    delete_rows(out, "n_tok", lo=6000, hi=None, fsync=False, mode="dv")
+    want = _sorted_pd(_decode_all(out))
+    dv_recs = [r for r in mf.load_manifest(out).values()
+               if r.get("dv_base")]
+    assert dv_recs
+    # a threshold above every partition's waste folds nothing
+    wastes = [(r["base_rows"] - r["n_rows"]) / r["base_rows"]
+              for r in dv_recs]
+    s0 = fold_deletion_vectors(out, min_waste=max(wastes) + 0.01,
+                               fsync=False)
+    assert s0["n_folded"] == 0
+    s = maintain_container(out, target_weight=40_000, fsync=False)
+    assert s["n_folded"] == len(dv_recs)
+    after = mf.load_manifest(out).values()
+    assert not any(r.get("dv_base") for r in after)
+    raw, _ = mf.load_raw_records(out)
+    assert not any(r.get("dv_base") for r in raw.values())
+    for r in dv_recs:
+        assert not os.path.exists(r["dv_base"])   # bases reclaimed
+        assert not os.path.exists(r["path"])      # sidecars reclaimed
+    got = _sorted_pd(_decode_all(out))
+    assert got.equals(want)
+    assert verify_manifest(out)["n_bad"] == 0
+    # checkpoint refreshed and serving
+    assert os.path.exists(os.path.join(out, "_manifest",
+                                       mf.CHECKPOINT_NAME))
+    # idempotent second pass
+    s2 = maintain_container(out, target_weight=40_000, fsync=False)
+    assert s2["n_folded"] == 0
+    assert _sorted_pd(_decode_all(out)).equals(want)
+
+
+def test_maintain_cli(container):
+    out, t = container
+    delete_rows(out, "n_tok", lo=7000, hi=None, fsync=False, mode="dv")
+    want_rows = _decode_all(out).num_rows
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet2_ray.job", "maintain",
+         "--container", out],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout.splitlines()[-1])
+    assert summary["n_rows"] == want_rows
+    assert not any(rr.get("dv_base")
+                   for rr in mf.load_manifest(out).values())
+
+
 def test_dv_sidecar_roundtrip_unit(tmp_path):
     rng = np.random.default_rng(3)
     mask = rng.random(10_001) > 0.13
