@@ -220,6 +220,22 @@ def cmd_maintain(args) -> dict:
         retain_from_txn=args.retain_from_txn)
 
 
+def cmd_constraints(args) -> dict:
+    from .pipelines.constraints_pipeline import (
+        drop_constraints,
+        get_constraints,
+        set_constraints,
+    )
+
+    if args.drop:
+        return drop_constraints(args.container)
+    if args.set:
+        return set_constraints(args.container, json.loads(args.set),
+                               validate=not args.no_validate)
+    return {"constraints": get_constraints(args.container),
+            "out_dir": args.container}
+
+
 def cmd_compact(args) -> dict:
     from .pipelines.compact_pipeline import compact_container
 
@@ -521,6 +537,16 @@ def main(argv: list[str] | None = None) -> int:
                      help="keep snapshots from this txn onward "
                           "restorable (default: current only)")
 
+    cst = sub.add_parser("constraints",
+                         help="declare / show / drop CHECK constraints")
+    cst.add_argument("--container", required=True)
+    cst.add_argument("--set", default=None,
+                     help='JSON list, e.g. \'[{"column": "n_tok", '
+                          '"op": ">", "value": 0}]\'')
+    cst.add_argument("--drop", action="store_true")
+    cst.add_argument("--no-validate", action="store_true",
+                     help="skip validating existing rows at declaration")
+
     rcl = sub.add_parser("recluster")
     rcl.add_argument("--container", required=True, help="source container")
     rcl.add_argument("--output", default=None, help="new container dir "
@@ -723,7 +749,8 @@ def main(argv: list[str] | None = None) -> int:
            "sweep": cmd_sweep, "ingest": cmd_ingest,
            "checkpoint": cmd_checkpoint, "publish": cmd_publish,
            "tag": cmd_tag, "upsert": cmd_upsert,
-           "update": cmd_update, "maintain": cmd_maintain}[args.cmd](args)
+           "update": cmd_update, "maintain": cmd_maintain,
+           "constraints": cmd_constraints}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

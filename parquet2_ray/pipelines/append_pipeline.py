@@ -405,6 +405,18 @@ def append_dataset(
     mf.manifest_dir(out_dir)             # claims live here
     _check_schema_compatible(input_path, out_dir, columns, filesystem,
                              evolve=evolve_schema)
+    # declared CHECK constraints (P65) validate the increment BEFORE
+    # anything is planned, claimed or staged — a violating increment
+    # reserves nothing
+    from .constraints_pipeline import check_increment, get_constraints
+
+    cs = get_constraints(out_dir)
+    if cs:
+        val_ds = (input_path if isinstance(input_path, rd.Dataset)
+                  else rd.read_parquet(input_path, filesystem=filesystem))
+        if columns is not None:
+            val_ds = val_ds.select_columns(columns)
+        check_increment(out_dir, val_ds, cs)
     # plan FIRST (read-only): knowing the extent up front is what makes
     # the reservation a fixed range other appends can allocate past —
     # legacy reserved extents were unknown until after the encode, so

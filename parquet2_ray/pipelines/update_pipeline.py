@@ -142,6 +142,29 @@ def update_rows(
                 raise ValueError(
                     f"SET {name}: value {val!r} does not cast to the "
                     f"column type {ts}: {e}") from e
+    # declared CHECK constraints (P65): scalar SET values are checked
+    # against the constraints on their columns BEFORE any partition is
+    # touched (deterministic — the assigned value either satisfies the
+    # predicate or not).  Callable SETs are data-dependent and are NOT
+    # constraint-checked (documented limitation, mirrors engines that
+    # restrict CHECK enforcement to literal updates)
+    from .constraints_pipeline import (
+        ConstraintViolation,
+        check_table,
+        get_constraints,
+    )
+
+    scalar_sets = {k: v for k, v in set.items() if not callable(v)}
+    cs = [c for c in get_constraints(out_dir)
+          if c["column"] in scalar_sets and c["op"] != "unique"]
+    if cs:
+        probe = pa.table({k: pa.array([v])
+                          for k, v in scalar_sets.items()})
+        bad = {k: v for k, v in check_table(probe, cs).items() if v}
+        if bad:
+            raise ConstraintViolation(
+                f"UPDATE SET values violate container constraints: "
+                f"{bad}", bad)
     sessions = _load_sessions(out_dir)
     pending = next((s for s in sessions if s.get("n_parts") is None), None)
     if pending is not None:

@@ -164,6 +164,16 @@ def upsert_rows(
         raise RuntimeError(
             f"container has an unfinished append "
             f"{pending['append_id']!r}: resume it before upserting")
+    # declared CHECK constraints (P65): STATIC constraints validate the
+    # increment before anything stages.  `unique` is skipped here by
+    # design — an upsert's keys intentionally exist in the container
+    # (the replace side preserves uniqueness-by-key), so the append-
+    # style container probe would false-flag every update
+    from .constraints_pipeline import check_increment, get_constraints
+
+    cs = [c for c in get_constraints(out_dir) if c["op"] != "unique"]
+    if cs:
+        check_increment(out_dir, new_ds, cs)
 
     fid = "u" + hashlib.blake2b(
         (f"{upsert_id}|{key_col}|{base_opts.target_weight}"
