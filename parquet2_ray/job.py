@@ -220,6 +220,12 @@ def cmd_maintain(args) -> dict:
         retain_from_txn=args.retain_from_txn)
 
 
+def cmd_replicate(args) -> dict:
+    from .pipelines.replicate_pipeline import replicate_container
+
+    return replicate_container(args.src, args.dst, args.key)
+
+
 def cmd_constraints(args) -> dict:
     from .pipelines.constraints_pipeline import (
         drop_constraints,
@@ -547,6 +553,14 @@ def main(argv: list[str] | None = None) -> int:
     cst.add_argument("--no-validate", action="store_true",
                      help="skip validating existing rows at declaration")
 
+    rpl = sub.add_parser("replicate",
+                         help="converge a follower container to a "
+                              "source via its CDC feed")
+    rpl.add_argument("--src", required=True)
+    rpl.add_argument("--dst", required=True)
+    rpl.add_argument("--key", required=True,
+                     help="unique non-null key column in the source")
+
     rcl = sub.add_parser("recluster")
     rcl.add_argument("--container", required=True, help="source container")
     rcl.add_argument("--output", default=None, help="new container dir "
@@ -750,7 +764,8 @@ def main(argv: list[str] | None = None) -> int:
            "checkpoint": cmd_checkpoint, "publish": cmd_publish,
            "tag": cmd_tag, "upsert": cmd_upsert,
            "update": cmd_update, "maintain": cmd_maintain,
-           "constraints": cmd_constraints}[args.cmd](args)
+           "constraints": cmd_constraints,
+           "replicate": cmd_replicate}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 
