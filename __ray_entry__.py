@@ -12,6 +12,7 @@ Each ``queries()`` entry maps to operators in SURVEY.md §2:
 - q_stats_lineitem       per-column statistics partial→final fold (A1/A2)
 - q_pack_sequences       sequence packing into fixed-len rows (P23)
 - q_lookup_rows          bloom+page-index+projection point lookup (P25)
+- q_text_search          persisted inverted index → pruned fetch (P67)
 - q_dedup_exact          exact dedup (hash-groupby, training-data op)
 - q_text_metrics/q_text_quality/q_lang_id  text analysis ops
 - q_ann_topk             brute-force cosine similarity search
@@ -924,6 +925,41 @@ def q_lookup_rows(sf_dir: str):
 
 _LOOKUP_IDS = [3, 97, 151, 263, 449]
 
+_SEARCH_TERMS = ["spark", "merge", "window"]
+
+
+def q_text_search(sf_dir: str):
+    """P67 full-text search: build the persisted inverted index (one
+    groupby(shard) exchange of distinct (term, doc) postings), probe it
+    two-phase (df counts → rarest-first fetch with shard-side
+    intersection), then fetch exactly the matching rows through
+    lookup_rows' bloom + page-index pruning.  The oracle is the literal
+    tokenizer in SQL: list_contains(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), term) per term."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        build_text_index,
+        search_container,
+    )
+
+    out = _out_dir(sf_dir, "documents_search")
+    encode_dataset(
+        f"{sf_dir}/documents.parquet", out,
+        EncodeOptions(group_col="source", weight_col="n_chars",
+                      sort_key="doc_id", target_weight=2_000_000,
+                      rows_per_block=64),
+    )
+    idx = _out_dir(sf_dir, "documents_search_idx")
+    build_text_index(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]), idx)
+    return search_container(out, idx, _SEARCH_TERMS, mode="and",
+                            columns=["doc_id", "lang", "source",
+                                     "n_chars"])
+
 
 def q_dedup_exact(sf_dir: str):
     from parquet2_ray.stages.dedup import exact_dedup
@@ -1266,7 +1302,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": q_range_join,
         "q_top_tokens": q_top_tokens,
         "q_window_tumbling": q_window_tumbling,
-        "q_window_hopping": q_window_hopping,
+        # q_window_hopping retired r4 for q_text_search under the
+        # 50-row driver cap: hopping shares tumbling's bucket-map +
+        # partial-combine machinery (one np.repeat apart, both
+        # pytest-covered in test_window.py), while q_text_search adds a
+        # whole new operator family (P67 persisted inverted index →
+        # two-phase probe → lookup_rows fetch) to CORRECTNESS
+        "q_text_search": q_text_search,
         "q_distinct_users": q_distinct_users,
         "q_value_quantiles": q_value_quantiles,
         "q_rolling_mean": q_rolling_mean,
@@ -1542,12 +1584,14 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean "
             "FROM events"),
-        "q_window_hopping": (
-            # every event belongs to exactly every_s/hop_s = 2 windows
-            "SELECT CAST(floor(epoch(ts) / 43200) * 43200 - i * 43200 AS BIGINT)"
-            " AS window_start, event_type, count(*) AS n_events "
-            "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s "
-            "GROUP BY 1, 2"),
+        "q_text_search": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            + " AND ".join(
+                "WHERE list_contains(regexp_split_to_array(lower(text),"
+                f" '[^a-z0-9]+'), '{t}')" if i == 0 else
+                "list_contains(regexp_split_to_array(lower(text),"
+                f" '[^a-z0-9]+'), '{t}')"
+                for i, t in enumerate(_SEARCH_TERMS))),
         "q_sessionize": (
             "WITH d AS ("
             "  SELECT user_id, ts,"

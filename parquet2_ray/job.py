@@ -78,6 +78,37 @@ def cmd_decode(args) -> dict:
                                 embed_blooms=args.embed_blooms)
 
 
+def cmd_index_text(args) -> dict:
+    """Build (or fold into) the P67 inverted text index of a container."""
+    from .pipelines.encode_pipeline import decode_dataset
+    from .pipelines.textindex_pipeline import (
+        append_text_index,
+        build_text_index,
+    )
+
+    ds = decode_dataset(args.container,
+                        columns=[args.id_col, args.text_col])
+    if args.append:
+        return append_text_index(ds, args.index)
+    return build_text_index(ds, args.index, text_col=args.text_col,
+                            id_col=args.id_col, nshards=args.nshards)
+
+
+def cmd_search(args) -> dict:
+    """Full-text search: probe the index, fetch matches via lookup_rows."""
+    from .pipelines.textindex_pipeline import search_container
+
+    cols = args.columns.split(",") if args.columns else None
+    ds = search_container(args.container, args.index, args.terms,
+                          mode=args.mode, columns=cols)
+    if args.output:
+        ds = ds.materialize()  # one execution feeds write + count
+        ds.write_parquet(args.output)
+        return {"output": args.output, "rows": ds.count()}
+    ds = ds.materialize()  # small by construction (probed matches)
+    return {"rows": ds.count(), "first": ds.take(args.limit)}
+
+
 def cmd_dedup(args) -> dict:
     """Deduplicated corpus → parquet (exact + optional near-dup)."""
     import ray.data as rd
@@ -597,6 +628,29 @@ def main(argv: list[str] | None = None) -> int:
                      "to print the first --limit groups)")
     agg.add_argument("--limit", type=int, default=20)
 
+    tix = sub.add_parser("index-text",
+                         help="build/append the P67 inverted text index")
+    tix.add_argument("--container", required=True)
+    tix.add_argument("--index", required=True)
+    tix.add_argument("--text-col", default="text")
+    tix.add_argument("--id-col", default="doc_id")
+    tix.add_argument("--nshards", type=int, default=64)
+    tix.add_argument("--append", action="store_true",
+                     help="fold the container's docs into an existing "
+                          "index instead of rebuilding")
+
+    srch = sub.add_parser("search",
+                          help="full-text search a container via its index")
+    srch.add_argument("--container", required=True)
+    srch.add_argument("--index", required=True)
+    srch.add_argument("terms", nargs="+")
+    srch.add_argument("--mode", choices=["and", "or"], default="and")
+    srch.add_argument("--columns", default=None,
+                      help="comma-separated projection")
+    srch.add_argument("--output", default=None,
+                      help="parquet dir (omit to print --limit rows)")
+    srch.add_argument("--limit", type=int, default=20)
+
     ddp = sub.add_parser("dedup")
     ddp.add_argument("--input", required=True)
     ddp.add_argument("--output", required=True)
@@ -765,7 +819,9 @@ def main(argv: list[str] | None = None) -> int:
            "tag": cmd_tag, "upsert": cmd_upsert,
            "update": cmd_update, "maintain": cmd_maintain,
            "constraints": cmd_constraints,
-           "replicate": cmd_replicate}[args.cmd](args)
+           "replicate": cmd_replicate,
+           "index-text": cmd_index_text,
+           "search": cmd_search}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

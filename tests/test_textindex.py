@@ -1,0 +1,162 @@
+"""P67 full-text inverted index: build / probe / append / container search."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from parquet2_ray.pipelines.textindex_pipeline import (
+    append_text_index,
+    build_text_index,
+    probe_text_index,
+    search_container,
+    term_hashes,
+)
+
+DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4, 5, 6],
+    "text": [
+        "Alpha beta GAMMA",
+        "beta gamma, delta!",
+        "alpha alpha alpha",          # repeated term → one posting
+        "delta epsilon",
+        "",                           # empty doc → no postings
+        "num3ric t0kens beta",
+    ],
+})
+
+
+def _ref_sets():
+    return {
+        r.doc_id: {p for p in re.split(r"[^a-z0-9]+", r.text.lower()) if p}
+        for r in DOCS.itertuples()
+    }
+
+
+def _ref(terms, mode):
+    sets = _ref_sets()
+    if mode == "and":
+        return sorted(d for d, s in sets.items()
+                      if all(t in s for t in terms))
+    return sorted(d for d, s in sets.items()
+                  if any(t in s for t in terms))
+
+
+@pytest.fixture()
+def index(tmp_path, ray_session):
+    d = str(tmp_path / "tidx")
+    stats = build_text_index(rd.from_pandas(DOCS), d, nshards=8)
+    # distinct (term, doc) pairs: doc3 contributes ONE 'alpha' posting
+    assert stats["postings"] == 3 + 3 + 1 + 2 + 0 + 3
+    assert stats["terms"] == len(set().union(*_ref_sets().values()))
+    return d
+
+
+@pytest.mark.parametrize("terms,mode", [
+    (["beta"], "and"),
+    (["alpha"], "and"),
+    (["beta", "gamma"], "and"),
+    (["alpha", "delta"], "or"),
+    (["t0kens"], "and"),
+    (["beta", "gamma", "delta"], "and"),
+])
+def test_probe_matches_reference(index, terms, mode, ray_session):
+    got = probe_text_index(index, terms, mode=mode)
+    assert list(got) == _ref(terms, mode)
+
+
+def test_probe_absent_term(index, ray_session):
+    assert probe_text_index(index, ["zzz"], mode="and").size == 0
+    # OR with one absent term still returns the present term's docs
+    assert list(probe_text_index(index, ["zzz", "epsilon"],
+                                 mode="or")) == _ref(["epsilon"], "or")
+
+
+def test_probe_case_and_punctuation_normalized(index, ray_session):
+    # query terms run through the same tokenizer as the corpus
+    assert list(probe_text_index(index, ["GAMMA"], mode="and")) == \
+        _ref(["gamma"], "and")
+
+
+def test_multiword_query_term_rejected(index, ray_session):
+    with pytest.raises(ValueError, match="tokenizes to"):
+        probe_text_index(index, ["two words"])
+    with pytest.raises(ValueError, match="tokenizes to"):
+        term_hashes(["!!!"])
+
+
+def test_max_postings_guard(index, ray_session):
+    with pytest.raises(ValueError, match="max_postings"):
+        probe_text_index(index, ["beta"], max_postings=2)
+    with pytest.raises(ValueError, match="max_postings"):
+        probe_text_index(index, ["beta", "alpha"], mode="or",
+                         max_postings=2)
+    # AND's guard is on the RAREST term: a selective second term makes
+    # the same stop-word query affordable
+    got = probe_text_index(index, ["beta", "epsilon"], max_postings=2)
+    assert list(got) == _ref(["beta", "epsilon"], "and")
+
+
+def test_append_equals_full_build(tmp_path, ray_session):
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    build_text_index(rd.from_pandas(DOCS), full, nshards=8)
+    build_text_index(rd.from_pandas(DOCS.iloc[:3]), inc, nshards=8)
+    append_text_index(rd.from_pandas(DOCS.iloc[3:]), inc)
+    for terms, mode in ([["beta"], "and"], [["alpha", "delta"], "or"],
+                        [["beta", "gamma"], "and"]):
+        assert list(probe_text_index(inc, terms, mode=mode)) == \
+            list(probe_text_index(full, terms, mode=mode))
+
+
+def test_append_is_idempotent(tmp_path, ray_session):
+    d = str(tmp_path / "idem")
+    build_text_index(rd.from_pandas(DOCS), d, nshards=8)
+    r = append_text_index(rd.from_pandas(DOCS.iloc[1:2]), d)
+    assert r["added_postings"] == 0  # all (term, doc) pairs existed
+    assert list(probe_text_index(d, ["beta"])) == _ref(["beta"], "and")
+
+
+def test_rebuild_clears_stale_postings(tmp_path, ray_session):
+    d = str(tmp_path / "reuse")
+    build_text_index(rd.from_pandas(DOCS), d, nshards=8)
+    small = DOCS.iloc[3:4]  # only "delta epsilon"
+    build_text_index(rd.from_pandas(small), d, nshards=8)
+    assert probe_text_index(d, ["beta"]).size == 0
+    assert list(probe_text_index(d, ["delta"])) == [4]
+
+
+def test_search_container_end_to_end(tmp_path, ray_session):
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    df = DOCS.assign(source="s", n_chars=DOCS.text.str.len())
+    df.to_parquet(src)
+    cont = str(tmp_path / "cont")
+    encode_dataset(src, cont, EncodeOptions(
+        group_col="source", weight_col="n_chars", sort_key="doc_id"))
+    idx = str(tmp_path / "idx")
+    build_text_index(rd.read_parquet(src, columns=["doc_id", "text"]),
+                     idx, nshards=8)
+    rows = search_container(cont, idx, ["beta", "gamma"],
+                            columns=["doc_id", "text"]).take_all()
+    assert sorted(r["doc_id"] for r in rows) == \
+        _ref(["beta", "gamma"], "and")
+    assert all(set(r) == {"doc_id", "text"} for r in rows)
+    # no match → empty dataset, no error
+    assert search_container(cont, idx, ["zzz"]).count() == 0
+
+
+def test_index_on_object_store(tmp_path, ray_session):
+    """The index commits through fsio: a file:// URI exercises the
+    pyarrow-fs write path end-to-end (same route object stores take)."""
+    d = "file://" + str(tmp_path / "fsidx")
+    build_text_index(rd.from_pandas(DOCS), d, nshards=4)
+    assert list(probe_text_index(d, ["beta", "gamma"])) == \
+        _ref(["beta", "gamma"], "and")
