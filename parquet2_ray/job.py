@@ -78,6 +78,35 @@ def cmd_decode(args) -> dict:
                                 embed_blooms=args.embed_blooms)
 
 
+def cmd_analyze(args) -> dict:
+    """Compute/refresh P68 column statistics; print without sketches."""
+    from .pipelines.analyze_pipeline import analyze_container
+
+    cols = args.columns.split(",") if args.columns else None
+    doc = analyze_container(args.container, columns=cols,
+                            incremental=args.incremental)
+    return {k: v for k, v in doc.items() if k != "sketches"}
+
+
+def cmd_explain(args) -> dict:
+    """EXPLAIN a range read against persisted stats (no data read)."""
+    from .pipelines.analyze_pipeline import explain_read
+
+    def _coerce(v):
+        if v is None:
+            return None
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+
+    return explain_read(args.container, args.column,
+                        _coerce(args.lo), _coerce(args.hi))
+
+
 def cmd_index_text(args) -> dict:
     """Build (or fold into) the P67 inverted text index of a container."""
     from .pipelines.encode_pipeline import decode_dataset
@@ -628,6 +657,21 @@ def main(argv: list[str] | None = None) -> int:
                      "to print the first --limit groups)")
     agg.add_argument("--limit", type=int, default=20)
 
+    anl = sub.add_parser("analyze",
+                         help="compute/refresh P68 column statistics")
+    anl.add_argument("--container", required=True)
+    anl.add_argument("--columns", default=None,
+                     help="comma-separated subset (default: all)")
+    anl.add_argument("--incremental", action="store_true",
+                     help="fold only partitions not yet covered")
+
+    expl = sub.add_parser("explain",
+                          help="EXPLAIN a range read from persisted stats")
+    expl.add_argument("--container", required=True)
+    expl.add_argument("--column", required=True)
+    expl.add_argument("--lo", default=None)
+    expl.add_argument("--hi", default=None)
+
     tix = sub.add_parser("index-text",
                          help="build/append the P67 inverted text index")
     tix.add_argument("--container", required=True)
@@ -821,7 +865,9 @@ def main(argv: list[str] | None = None) -> int:
            "constraints": cmd_constraints,
            "replicate": cmd_replicate,
            "index-text": cmd_index_text,
-           "search": cmd_search}[args.cmd](args)
+           "search": cmd_search,
+           "analyze": cmd_analyze,
+           "explain": cmd_explain}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 
