@@ -1176,12 +1176,35 @@ def q_ann_lsh(sf_dir: str):
 def q_ann_ivf(sf_dir: str):
     """IVF coarse-quantizer ANN (nprobe=n_centroids here ⇒ EXACT — the
     filter keeps every cell, so the SQL top-k oracle applies; recall<1
-    configurations are exercised in tests)."""
+    configurations are exercised in tests).  Widened r4 to also drive
+    the P69 PERSISTED index (encode → build_vector_index →
+    ann_search_index): both paths must agree bit-for-bit or the row
+    fails, so one slot oracles the transient AND persisted IVF."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.vecindex_pipeline import (
+        ann_search_index,
+        build_vector_index,
+    )
     from parquet2_ray.stages.similarity import ivf_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _query_matrix(sf_dir), _ANN_QUERIES, k=_ANN_K,
-                    n_centroids=8, nprobe=8)
+    transient = ivf_topk(ds, _query_matrix(sf_dir), _ANN_QUERIES,
+                         k=_ANN_K, n_centroids=8, nprobe=8)
+    cont = _out_dir(sf_dir, "embeddings_vecidx")
+    encode_dataset(f"{sf_dir}/embeddings.parquet", cont,
+                   EncodeOptions(group_col="label", weight_col=None,
+                                 sort_key="vec_id"))
+    idx = _out_dir(sf_dir, "embeddings_vecidx_ivf")
+    build_vector_index(cont, idx, n_centroids=8, subshards=2)
+    persisted = ann_search_index(idx, _query_matrix(sf_dir),
+                                 _ANN_QUERIES, k=_ANN_K, nprobe=8)
+    if not persisted.equals(transient):
+        raise AssertionError(
+            "persisted IVF index diverged from transient ivf_topk")
+    return persisted
 
 
 def q_text_metrics(sf_dir: str):

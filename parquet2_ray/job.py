@@ -78,6 +78,42 @@ def cmd_decode(args) -> dict:
                                 embed_blooms=args.embed_blooms)
 
 
+def cmd_index_vec(args) -> dict:
+    """Build (or fold into) the P69 IVF-Flat vector index sidecar."""
+    from .pipelines.vecindex_pipeline import (
+        append_vector_index,
+        build_vector_index,
+    )
+
+    if args.append:
+        from .pipelines.encode_pipeline import decode_dataset
+
+        ds = decode_dataset(args.container,
+                            columns=[args.id_col, args.emb_col])
+        return append_vector_index(ds, args.index)
+    return build_vector_index(args.container, args.index,
+                              emb_col=args.emb_col, id_col=args.id_col,
+                              n_centroids=args.n_centroids,
+                              subshards=args.subshards)
+
+
+def cmd_ann(args) -> dict:
+    """ANN search the persisted index with vectors from a parquet file."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .pipelines.vecindex_pipeline import ann_search_index
+
+    qt = pq.read_table(args.queries)
+    q = np.stack([np.asarray(v, np.float64)
+                  for v in qt[args.emb_col].to_pylist()])
+    qids = (qt[args.id_col].to_pylist() if args.id_col in qt.column_names
+            else list(range(len(q))))
+    out = ann_search_index(args.index, q, qids, k=args.k,
+                           nprobe=args.nprobe)
+    return {"rows": out.num_rows, "first": out.slice(0, args.limit).to_pylist()}
+
+
 def cmd_analyze(args) -> dict:
     """Compute/refresh P68 column statistics; print without sketches."""
     from .pipelines.analyze_pipeline import analyze_container
@@ -657,6 +693,27 @@ def main(argv: list[str] | None = None) -> int:
                      "to print the first --limit groups)")
     agg.add_argument("--limit", type=int, default=20)
 
+    ivx = sub.add_parser("index-vec",
+                         help="build/append the P69 IVF vector index")
+    ivx.add_argument("--container", required=True)
+    ivx.add_argument("--index", required=True)
+    ivx.add_argument("--emb-col", default="embedding")
+    ivx.add_argument("--id-col", default="vec_id")
+    ivx.add_argument("--n-centroids", type=int, default=64)
+    ivx.add_argument("--subshards", type=int, default=1)
+    ivx.add_argument("--append", action="store_true")
+
+    annp = sub.add_parser("ann",
+                          help="ANN top-k against a P69 vector index")
+    annp.add_argument("--index", required=True)
+    annp.add_argument("--queries", required=True,
+                      help="parquet file of query vectors")
+    annp.add_argument("--emb-col", default="embedding")
+    annp.add_argument("--id-col", default="vec_id")
+    annp.add_argument("--k", type=int, default=10)
+    annp.add_argument("--nprobe", type=int, default=4)
+    annp.add_argument("--limit", type=int, default=20)
+
     anl = sub.add_parser("analyze",
                          help="compute/refresh P68 column statistics")
     anl.add_argument("--container", required=True)
@@ -867,7 +924,9 @@ def main(argv: list[str] | None = None) -> int:
            "index-text": cmd_index_text,
            "search": cmd_search,
            "analyze": cmd_analyze,
-           "explain": cmd_explain}[args.cmd](args)
+           "explain": cmd_explain,
+           "index-vec": cmd_index_vec,
+           "ann": cmd_ann}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

@@ -1,0 +1,308 @@
+"""Persisted IVF vector index over a container's embedding column (P69).
+
+The embedding-retrieval shape at 100 TB: ANN queries arrive long after
+ingest, so re-deriving the coarse quantizer per query (`ivf_topk`,
+stages/similarity.py) wastes a corpus scan each time.  This is the
+FAISS **IVF-Flat layout as a lakehouse sidecar** (public technique —
+inverted file with stored vectors; Lance/Milvus persist the same
+shape): train spherical-k-means centroids ONCE on a bounded sample,
+assign every row with one matmul inside ``map_batches``, and land each
+cell's ``(vec_id, embedding)`` rows as parquet shards under the index
+directory with ONE ``groupby(cell-shard)`` exchange.
+
+Search never touches the container: the query's ``nprobe`` nearest
+cells name the only files read; one Ray task per (cell, subshard) file
+computes the local cosine top-k for exactly the queries probing that
+cell and the driver heap-merges O(files × queries × k) rows.  The
+scorer reproduces ``ann_topk``'s arithmetic bit-for-bit (zero-norm
+guard, ties by ascending vec_id), so ``nprobe == n_centroids`` is
+EXACT and SQL-oracle-able; recall at lower nprobe is tuned the usual
+IVF way.  ``subshards`` splits hot cells so no single task owns a
+whole 100 TB/n_centroids slice.
+
+``append_vector_index`` folds an increment through the SAME stored
+centroids (per-file sorted merge, idempotent by vec_id), so the index
+follows daily ingest without retraining.  Rows deleted from the
+container AFTER the build linger until a rebuild — callers who delete
+should re-run ``build_vector_index`` (documented staleness, the same
+contract FAISS/IVF sidecars have everywhere).
+"""
+
+from __future__ import annotations
+
+import base64
+import heapq
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..state import fsio
+
+__all__ = [
+    "build_vector_index",
+    "append_vector_index",
+    "ann_search_index",
+]
+
+
+def _meta_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/_meta.json"
+
+
+def _cell_path(index_dir: str, cell: int, sub: int) -> str:
+    return index_dir.rstrip("/") + f"/cell-{cell:05d}-{sub:03d}.parquet"
+
+
+def _b64(a: np.ndarray) -> str:
+    return base64.b64encode(
+        pa.compress(a.astype("<f8").tobytes(), codec="zstd",
+                    asbytes=True)).decode()
+
+
+def _unb64(s: str, n: int) -> np.ndarray:
+    return np.frombuffer(
+        pa.decompress(base64.b64decode(s), n * 8, codec="zstd",
+                      asbytes=True), dtype="<f8")
+
+
+def _matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, dim) float64 from a list<float> / fixed_size_list column."""
+    arr = col.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return np.asarray(arr.values, dtype=np.float64).reshape(-1, dim)
+    vals = np.asarray(arr.values, dtype=np.float64)
+    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    dim = int(lens[0]) if len(lens) else 0
+    if len(lens) and not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    return vals.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0        # same guard as stages/similarity
+    return m / norms[:, None]
+
+
+def _assign_cells(batch: pa.Table, cent: np.ndarray, subshards: int,
+                  emb_col: str, id_col: str) -> pa.Table:
+    m = _normalize(_matrix(batch[emb_col]))
+    cell = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    sub = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+        % np.uint64(subshards)
+    key = cell * subshards + sub.astype(np.int64)
+    return batch.select([id_col, emb_col]).append_column(
+        "__key", pa.array(key))
+
+
+def _write_cell(index_dir: str, key: int, subshards: int,
+                t: pa.Table) -> None:
+    sink = pa.BufferOutputStream()
+    pq.write_table(t, sink)
+    fsio.atomic_write(
+        _cell_path(index_dir, key // subshards, key % subshards),
+        sink.getvalue().to_pybytes(), fsync=False)
+
+
+def build_vector_index(
+    container_dir: str,
+    index_dir: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    subshards: int = 1,
+    sample_rows: int = 20_000,
+    seed: int = 17,
+) -> dict:
+    """Train the coarse quantizer and land the IVF-Flat cell files.
+    Returns ``{"cells": populated, "vectors": total}``."""
+    from ..stages.similarity import train_ivf_centroids
+    from .encode_pipeline import decode_dataset
+
+    fsio.ensure_dir(index_dir)
+    ds = decode_dataset(container_dir, columns=[id_col, emb_col])
+    cent = train_ivf_centroids(ds, n_centroids, emb_col,
+                               sample_rows=sample_rows, seed=seed)
+    if cent.size == 0:
+        raise ValueError(f"{container_dir}: no vectors to index")
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        return _assign_cells(b, ray.get(cent_ref), subshards,
+                             emb_col, id_col)
+
+    def write_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        key = int(g["__key"][0].as_py())
+        body = g.drop_columns(["__key"]).sort_by(id_col)
+        _write_cell(index_dir, key, subshards, body)
+        return pa.table({"key": pa.array([key]),
+                         "n": pa.array([g.num_rows])})
+
+    rows = (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("__key").map_groups(write_group,
+                                         batch_format="pyarrow")
+            .take_all())
+    counts = {int(r["key"]): int(r["n"]) for r in rows}
+    # clear stale files from a previous build in a reused dir
+    for name in fsio.listdir(index_dir):
+        if name.startswith("cell-"):
+            cell, sub = int(name[5:10]), int(name[11:14])
+            if cell * subshards + sub not in counts:
+                fsio.delete(index_dir.rstrip("/") + "/" + name)
+    meta = {
+        "n_centroids": int(cent.shape[0]),
+        "dim": int(cent.shape[1]),
+        "subshards": subshards,
+        "centroids": _b64(cent),
+        "emb_col": emb_col,
+        "id_col": id_col,
+        "counts": {str(k): v for k, v in sorted(counts.items())},
+        "vectors": sum(counts.values()),
+    }
+    fsio.atomic_write(_meta_path(index_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"cells": len({k // subshards for k in counts}),
+            "vectors": meta["vectors"]}
+
+
+def _load_meta(index_dir: str) -> tuple[dict, np.ndarray]:
+    meta = json.loads(fsio.read_bytes(_meta_path(index_dir)))
+    cent = _unb64(meta["centroids"],
+                  meta["n_centroids"] * meta["dim"]).reshape(
+        meta["n_centroids"], meta["dim"])
+    return meta, cent
+
+
+def append_vector_index(ds: rd.Dataset, index_dir: str) -> dict:
+    """Fold new (id, embedding) rows through the STORED centroids —
+    per-file merge, idempotent by vec_id (re-appended ids replace
+    their old vector)."""
+    meta, cent = _load_meta(index_dir)
+    subshards = int(meta["subshards"])
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        return _assign_cells(b, ray.get(cent_ref), subshards,
+                             emb_col, id_col)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "dn": pa.array([], pa.int64())})
+        key = int(g["__key"][0].as_py())
+        new = g.drop_columns(["__key"])
+        path = _cell_path(index_dir, key // subshards, key % subshards)
+        old_rows = 0
+        if fsio.exists(path):
+            old = pq.read_table(pa.BufferReader(fsio.read_bytes(path)))
+            old_rows = old.num_rows
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.is_in(
+                old[id_col], value_set=new[id_col].combine_chunks()))
+            new = pa.concat_tables([old.filter(keep), new],
+                                   promote_options="permissive")
+        _write_cell(index_dir, key, subshards, new.sort_by(id_col))
+        return pa.table({"key": pa.array([key]),
+                         "dn": pa.array([new.num_rows - old_rows])})
+
+    rows = (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("__key").map_groups(merge_group,
+                                         batch_format="pyarrow")
+            .take_all())
+    added = 0
+    for r in rows:
+        k = str(int(r["key"]))
+        meta["counts"][k] = meta["counts"].get(k, 0) + int(r["dn"])
+        added += int(r["dn"])
+    meta["vectors"] = sum(meta["counts"].values())
+    fsio.atomic_write(_meta_path(index_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"added_vectors": added}
+
+
+@ray.remote
+def _score_file(index_dir: str, cell: int, sub: int, qn: np.ndarray,
+                qidx: np.ndarray, k: int, id_col: str,
+                emb_col: str) -> list:
+    """Local top-k of one cell file for the queries probing that cell.
+    Returns [(query_index, sim, vec_id)] — ≤ len(qidx)×k tuples."""
+    path = _cell_path(index_dir, cell, sub)
+    if not fsio.exists(path):
+        return []
+    t = pq.read_table(pa.BufferReader(fsio.read_bytes(path)))
+    m = _normalize(_matrix(t[emb_col]))
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    sims = m @ qn[qidx].T          # (rows, probing queries)
+    kk = min(k, m.shape[0])
+    out = []
+    for j, qi in enumerate(qidx):
+        col = sims[:, j]
+        top = np.argpartition(-col, kk - 1)[:kk] if kk < m.shape[0] \
+            else np.arange(m.shape[0])
+        for i in top:
+            out.append((int(qi), float(col[i]), int(ids[i])))
+    return out
+
+
+def ann_search_index(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Cosine top-k against the persisted index; the container is never
+    read.  Output schema and determinism match ``ann_topk``:
+    (query_id, vec_id, rank), ties broken by ascending vec_id;
+    ``nprobe == n_centroids`` reproduces the exact result."""
+    meta, cent = _load_meta(index_dir)
+    subshards = int(meta["subshards"])
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = min(nprobe, cent.shape[0])
+    qc = np.argsort(-(qn @ cent.T), axis=1)[:, :probe]
+
+    # queries per probed cell → one task per populated (cell, sub) file
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(qn.shape[0]):
+        for c in qc[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
+    populated = {int(key) // subshards for key in meta["counts"]}
+    refs = []
+    for c, qis in by_cell.items():
+        if c not in populated:
+            continue
+        qidx = np.asarray(sorted(set(qis)), dtype=np.int64)
+        for sub in range(subshards):
+            refs.append(_score_file.remote(
+                index_dir, c, sub, qn, qidx, k,
+                meta["id_col"], meta["emb_col"]))
+
+    by_q: dict[int, list] = {}
+    for part in ray.get(refs):
+        for qi, sim, vid in part:
+            by_q.setdefault(qi, []).append((sim, vid))
+    rows = {"query_id": [], meta["id_col"]: [], "rank": []}
+    for qi, qid in enumerate(query_ids):
+        top = heapq.nsmallest(k, by_q.get(qi, []),
+                              key=lambda t: (-t[0], t[1]))
+        for rank, (_, vid) in enumerate(top, start=1):
+            rows["query_id"].append(qid)
+            rows[meta["id_col"]].append(vid)
+            rows["rank"].append(rank)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        meta["id_col"]: pa.array(rows[meta["id_col"]], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+    })
