@@ -78,6 +78,28 @@ def cmd_decode(args) -> dict:
                                 embed_blooms=args.embed_blooms)
 
 
+def cmd_view(args) -> dict:
+    """P70 materialized aggregate views: create / refresh / status."""
+    from .pipelines.matview_pipeline import (
+        create_agg_view,
+        refresh_agg_view,
+        view_status,
+    )
+
+    if args.action == "create":
+        aggs: dict[str, list[str]] = {}
+        for spec in args.agg or []:
+            col, fn = spec.split(":", 1)
+            aggs.setdefault(col, []).append(fn)
+        if not aggs:
+            raise SystemExit("view create needs at least one --agg col:fn")
+        return create_agg_view(args.source, args.view, args.key, aggs,
+                               target_rows=args.target_rows)
+    if args.action == "refresh":
+        return refresh_agg_view(args.view)
+    return view_status(args.view)
+
+
 def cmd_index_vec(args) -> dict:
     """Build (or fold into) the P69 IVF-Flat vector index sidecar."""
     from .pipelines.vecindex_pipeline import (
@@ -693,6 +715,17 @@ def main(argv: list[str] | None = None) -> int:
                      "to print the first --limit groups)")
     agg.add_argument("--limit", type=int, default=20)
 
+    vw = sub.add_parser("view",
+                        help="P70 materialized aggregate view")
+    vw.add_argument("action", choices=["create", "refresh", "status"])
+    vw.add_argument("--view", required=True)
+    vw.add_argument("--source", default=None,
+                    help="source container (create only)")
+    vw.add_argument("--key", default=None, help="group key (create only)")
+    vw.add_argument("--agg", action="append", default=None,
+                    help="column:fn (sum|count|min|max|mean); repeatable")
+    vw.add_argument("--target-rows", type=int, default=500_000)
+
     ivx = sub.add_parser("index-vec",
                          help="build/append the P69 IVF vector index")
     ivx.add_argument("--container", required=True)
@@ -926,7 +959,8 @@ def main(argv: list[str] | None = None) -> int:
            "analyze": cmd_analyze,
            "explain": cmd_explain,
            "index-vec": cmd_index_vec,
-           "ann": cmd_ann}[args.cmd](args)
+           "ann": cmd_ann,
+           "view": cmd_view}[args.cmd](args)
     print(json.dumps(out, default=str))
     return 0
 

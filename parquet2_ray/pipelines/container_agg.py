@@ -44,6 +44,7 @@ def aggregate_clustered(
     container_dir: str,
     key: str,
     aggs: dict[str, list[str]],
+    key_values=None,
 ) -> pa.Table:
     """Group-by ``key`` with per-column aggregates over a container;
     returns the complete result as one Table (output is O(distinct
@@ -52,6 +53,13 @@ def aggregate_clustered(
 
     ``aggs``: ``{column: ["sum", "mean", ...]}``.  Output columns are
     named ``{column}_{fn}`` plus the key.
+
+    ``key_values``: restrict the aggregate to these key values — the
+    incremental-refresh shape (P70 materialized views): partitions are
+    bloom/min-max PRUNED to the requested keys and each decoded table
+    is exactly ``is_in``-filtered, so the cost is O(affected keys'
+    rows), never a container scan.  Null is never a member of
+    ``key_values`` (SQL ``IN`` semantics).
     """
     for col, fns in aggs.items():
         for fn in fns:
@@ -61,6 +69,20 @@ def aggregate_clustered(
     if not records:
         raise FileNotFoundError(
             f"no committed partitions under {container_dir}")
+    key_set = None
+    if key_values is not None:
+        key_values = [v for v in key_values if v is not None]
+        if not key_values:
+            return pa.table({})
+        from .encode_pipeline import prune_partitions
+
+        keep_paths = set(prune_partitions(
+            container_dir, key_values, records=records, column=key))
+        records = {pid: r for pid, r in records.items()
+                   if r["path"] in keep_paths}
+        if not records:
+            return pa.table({})
+        key_set = pa.array(key_values)
     # global span table for the stab test (profiles are already in the
     # comparison domain readers use — numbers, or isoformat strings)
     spans = []
@@ -118,6 +140,10 @@ def aggregate_clustered(
                                       missing_ok=pad is not None)
             if pad is not None:
                 t = _pad_to_union(t, pad)
+            if key_set is not None and t.num_rows:
+                t = t.filter(pc.is_in(
+                    t[key], value_set=key_set.cast(t.schema.field(key)
+                                                   .type)))
             if t.num_rows == 0:
                 continue
             g = pa.TableGroupBy(t, key).aggregate(phys)

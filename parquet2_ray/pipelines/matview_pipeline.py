@@ -1,0 +1,242 @@
+"""Incrementally-maintained aggregate materialized view (P70).
+
+The Delta Live Tables / materialized-view shape: a grouped aggregate
+of a 100 TB source container, stored as its OWN key-clustered
+container, kept current by consuming the source's row-level CDC feed
+(P56) instead of recomputing the world:
+
+- ``create_agg_view`` — one full ``aggregate_clustered`` pass (P47:
+  shuffle-free on a clustered source), result landed as a container
+  sorted + range-bucketed by the group key so later upserts prune by
+  min/max, and a view descriptor (source path, key, agg spec, source
+  txn cursor) committed beside the manifest.
+- ``refresh_agg_view`` — ``row_changes(source, since=cursor)`` names
+  the AFFECTED group keys (O(net changes), shared partitions skipped
+  unread); the affected groups are re-aggregated straight from the
+  source through ``aggregate_clustered(key_values=...)`` — bloom/
+  min-max pruned + exactly filtered, O(affected rows) never a scan —
+  then applied with one key-atomic ``upsert_rows`` (changed/new
+  groups) and one ``delete_rows`` (groups whose last row left the
+  source).  The cursor advances only after both commits, so a crash
+  anywhere re-runs the same window into the same end state (upsert
+  and delete are idempotent) — the same convergence contract as
+  ``replicate_container``.
+
+Re-aggregating affected groups from the source (rather than folding
+±deltas into the stored values) is deliberate: it is correct for ALL
+supported aggregates including min/max (a delta fold cannot retire a
+deleted minimum without consulting the source anyway), and its cost is
+already O(affected), which is the bound that matters.
+
+Contract notes: the view excludes the NULL group (``create`` drops it,
+documented SQL-index-style; null keys never pair in the CDC feed so a
+null-group view could not be maintained exactly).  ``_vbucket`` is the
+view's encode-clustering helper column (same precedent as P43's
+materialized ``__zcluster``); readers who want only the aggregate
+project it away.  The reference has no engine layer at all — this is
+the §2.10 maintenance family (P55 upsert + P56 CDC + P47 clustered
+aggregate) closed into a composition.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..state import fsio
+from ..state import manifest as mf
+
+__all__ = ["create_agg_view", "refresh_agg_view", "view_status"]
+
+_BUCKET = "_vbucket"
+
+
+def _view_meta_path(view_dir: str) -> str:
+    return mf.manifest_dir(view_dir).rstrip("/") + "/view.json"
+
+
+def _source_txn(source_dir: str) -> int:
+    records = mf.load_manifest(source_dir)
+    return max((mf.record_txn(r) for r in records.values()), default=0)
+
+
+def _bucketed(tbl: pa.Table, key: str, target_rows: int,
+              label: str | None = None) -> pa.Table:
+    """Sort by key and attach the encode-clustering bucket column."""
+    tbl = tbl.sort_by(key)
+    n = tbl.num_rows
+    if label is not None:
+        buckets = pa.array([label] * n, pa.string())
+    else:
+        nparts = max(1, math.ceil(n / target_rows))
+        buckets = pa.array(
+            [f"b{b:06d}" for b in (np.arange(n) * nparts) // max(n, 1)],
+            pa.string())
+    return tbl.append_column(_BUCKET, buckets)
+
+
+def create_agg_view(
+    source_dir: str,
+    view_dir: str,
+    key: str,
+    aggs: dict[str, list[str]],
+    target_rows: int = 500_000,
+) -> dict:
+    """Materialize ``GROUP BY key`` aggregates of the source container
+    into ``view_dir``.  Returns ``{"groups": n, "cursor": txn}``."""
+    from .container_agg import aggregate_clustered
+    from .encode_pipeline import EncodeOptions, encode_dataset
+
+    # cursor BEFORE the aggregate: anything committed between the two
+    # reads lands inside the first refresh window instead of being
+    # silently skipped (refresh is idempotent, so overlap is safe)
+    cursor = _source_txn(source_dir)
+    tbl = aggregate_clustered(source_dir, key, aggs)
+    if tbl.num_rows and tbl[key].null_count:
+        tbl = tbl.filter(pc.is_valid(tbl[key]))  # view excludes nulls
+    if tbl.num_rows == 0:
+        raise ValueError(f"{source_dir}: aggregate over {key!r} is "
+                         "empty — nothing to materialize")
+    encode_dataset(
+        rd.from_arrow(_bucketed(tbl, key, target_rows)), view_dir,
+        EncodeOptions(group_col=_BUCKET, weight_col=None, sort_key=key,
+                      target_rows=target_rows))
+    meta = {"source": source_dir, "key": key, "aggs": aggs,
+            "cursor": cursor, "target_rows": target_rows}
+    fsio.atomic_write(_view_meta_path(view_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"groups": tbl.num_rows, "cursor": cursor}
+
+
+def view_status(view_dir: str) -> dict:
+    """Descriptor + staleness: transactions the source has committed
+    past the view's cursor (0 = current)."""
+    meta = json.loads(fsio.read_bytes(_view_meta_path(view_dir)))
+    now = _source_txn(meta["source"])
+    return {**meta, "source_txn": now,
+            "behind_txns": max(0, now - int(meta["cursor"]))}
+
+
+def _full_resync(view_dir: str, meta: dict, now: int) -> dict:
+    """In-place rebuild when no incremental window exists (the cursor
+    snapshot was swept): recompute every group from the source, upsert
+    all, delete view groups the source no longer has.  Idempotent; the
+    view container (and its history) is preserved."""
+    from ..stages.dedup import gather_small
+    from .container_agg import aggregate_clustered
+    from .delete_pipeline import delete_rows
+    from .encode_pipeline import decode_dataset
+    from .upsert_pipeline import upsert_rows
+
+    source, key = meta["source"], meta["key"]
+    full = aggregate_clustered(source, key, meta["aggs"])
+    if full.num_rows and full[key].null_count:
+        full = full.filter(pc.is_valid(full[key]))
+    present = set(full[key].to_pylist())
+    vk = gather_small(
+        decode_dataset(view_dir, columns=[key]),
+        pa.table({key: pa.array([], full.schema.field(key).type
+                                if full.num_rows else pa.int64())}))
+    gone = [v for v in set(vk[key].to_pylist()) if v not in present]
+    upserted = 0
+    if full.num_rows:
+        inc = _bucketed(full, key,
+                        int(meta.get("target_rows", 500_000)),
+                        label=f"r{now:06d}")
+        upsert_rows(view_dir, rd.from_arrow(inc), key,
+                    upsert_id=f"view-resync-{now}")
+        upserted = full.num_rows
+    if gone:
+        delete_rows(view_dir, key, values=gone)
+    meta["cursor"] = now
+    fsio.atomic_write(_view_meta_path(view_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"refreshed": True, "cursor": now, "resync": True,
+            "affected": upserted, "upserted_groups": upserted,
+            "deleted_groups": len(gone)}
+
+
+def refresh_agg_view(
+    view_dir: str,
+    max_affected: int = 2_000_000,
+) -> dict:
+    """Converge the view to the source's current snapshot by
+    re-aggregating only the groups the CDC window touched.  Idempotent
+    and crash-safe: the cursor file advances last."""
+    from ..stages.dedup import gather_small
+    from .container_agg import aggregate_clustered
+    from .delete_pipeline import delete_rows
+    from .history_pipeline import row_changes
+    from .upsert_pipeline import upsert_rows
+
+    meta = json.loads(fsio.read_bytes(_view_meta_path(view_dir)))
+    source, key = meta["source"], meta["key"]
+    cursor = int(meta["cursor"])
+    now = _source_txn(source)
+    if now <= cursor:
+        return {"refreshed": False, "cursor": cursor, "affected": 0}
+
+    # the CDC diff cancels rows whose PROJECTED content is unchanged —
+    # projecting only the key would hide UPDATEs (key identical, value
+    # changed), so the aggregated value columns ride along
+    try:
+        feed = row_changes(
+            source, since_txn=cursor, key=key,
+            columns=list(dict.fromkeys([key] + list(meta["aggs"]))))
+    except RuntimeError:
+        # the cursor snapshot was hollowed by a retention sweep — no
+        # diff is possible; fall back to an in-place full resync
+        # (O(groups), the same cost the max_affected guard points at)
+        return _full_resync(view_dir, meta, now)
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        return pa.table({key: b[key].combine_chunks().unique()})
+
+    kt = gather_small(
+        feed.map_batches(distinct_keys, batch_format="pyarrow"),
+        pa.table({key: pa.array([], pa.int64())}))
+    affected = kt[key].combine_chunks().unique()
+    # null keys never pair in the feed and the view excludes the null
+    # group by contract — drop them
+    affected = affected.drop_null()
+    if len(affected) == 0:
+        # rewrites/compactions emit no net row changes: just advance
+        meta["cursor"] = now
+        fsio.atomic_write(_view_meta_path(view_dir),
+                          json.dumps(meta).encode(), fsync=False)
+        return {"refreshed": True, "cursor": now, "affected": 0,
+                "deleted_groups": 0}
+    if len(affected) > max_affected:
+        raise ValueError(
+            f"{len(affected)} affected groups exceeds max_affected="
+            f"{max_affected}; a full create_agg_view rebuild is the "
+            "cheaper path for a window this wide")
+
+    vals = affected.to_pylist()
+    new_agg = aggregate_clustered(source, key, meta["aggs"],
+                                  key_values=vals)
+    present = (set(new_agg[key].to_pylist()) if new_agg.num_rows
+               else set())
+    gone = [v for v in vals if v not in present]
+
+    upserted = 0
+    if new_agg.num_rows:
+        inc = _bucketed(new_agg, key, int(meta.get("target_rows",
+                                                   500_000)),
+                        label=f"r{now:06d}")
+        upsert_rows(view_dir, rd.from_arrow(inc), key,
+                    upsert_id=f"view-{cursor}-{now}")
+        upserted = new_agg.num_rows
+    if gone:
+        delete_rows(view_dir, key, values=gone)
+    meta["cursor"] = now
+    fsio.atomic_write(_view_meta_path(view_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"refreshed": True, "cursor": now, "affected": len(vals),
+            "upserted_groups": upserted, "deleted_groups": len(gone)}
