@@ -107,6 +107,10 @@ def cmd_index_vec(args) -> dict:
         build_vector_index,
     )
 
+    if args.refresh:
+        from .pipelines.vecindex_pipeline import refresh_vector_index
+
+        return refresh_vector_index(args.index)
     if args.append:
         from .pipelines.encode_pipeline import decode_dataset
 
@@ -166,19 +170,25 @@ def cmd_explain(args) -> dict:
 
 
 def cmd_index_text(args) -> dict:
-    """Build (or fold into) the P67 inverted text index of a container."""
-    from .pipelines.encode_pipeline import decode_dataset
+    """Build / fold / refresh the P67 inverted text index of a container."""
     from .pipelines.textindex_pipeline import (
         append_text_index,
-        build_text_index,
+        index_container_text,
+        refresh_text_index,
     )
 
-    ds = decode_dataset(args.container,
-                        columns=[args.id_col, args.text_col])
+    if args.refresh:
+        return refresh_text_index(args.index)
     if args.append:
+        from .pipelines.encode_pipeline import decode_dataset
+
+        ds = decode_dataset(args.container,
+                            columns=[args.id_col, args.text_col])
         return append_text_index(ds, args.index)
-    return build_text_index(ds, args.index, text_col=args.text_col,
-                            id_col=args.id_col, nshards=args.nshards)
+    return index_container_text(args.container, args.index,
+                                text_col=args.text_col,
+                                id_col=args.id_col,
+                                nshards=args.nshards)
 
 
 def cmd_search(args) -> dict:
@@ -735,6 +745,8 @@ def main(argv: list[str] | None = None) -> int:
     ivx.add_argument("--n-centroids", type=int, default=64)
     ivx.add_argument("--subshards", type=int, default=1)
     ivx.add_argument("--append", action="store_true")
+    ivx.add_argument("--refresh", action="store_true",
+                     help="converge via the container's CDC feed (P71)")
 
     annp = sub.add_parser("ann",
                           help="ANN top-k against a P69 vector index")
@@ -772,6 +784,9 @@ def main(argv: list[str] | None = None) -> int:
     tix.add_argument("--append", action="store_true",
                      help="fold the container's docs into an existing "
                           "index instead of rebuilding")
+    tix.add_argument("--refresh", action="store_true",
+                     help="converge a bound index via the container's "
+                          "CDC feed (P71)")
 
     srch = sub.add_parser("search",
                           help="full-text search a container via its index")

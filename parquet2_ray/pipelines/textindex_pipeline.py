@@ -54,6 +54,8 @@ from ..state import fsio
 
 __all__ = [
     "build_text_index",
+    "index_container_text",
+    "refresh_text_index",
     "append_text_index",
     "probe_text_index",
     "search_container",
@@ -215,6 +217,158 @@ def build_text_index(
 
 def _index_meta(index_dir: str) -> dict:
     return json.loads(fsio.read_bytes(_meta_path(index_dir)))
+
+
+def _source_txn(container_dir: str) -> int:
+    from ..state import manifest as mf
+
+    records = mf.load_manifest(container_dir)
+    return max((mf.record_txn(r) for r in records.values()), default=0)
+
+
+def index_container_text(
+    container_dir: str,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nshards: int = _INDEX_SHARDS,
+) -> dict:
+    """Build the inverted index OF A CONTAINER and bind them: the meta
+    records the source path and its transaction cursor, which is what
+    lets ``refresh_text_index`` later converge the index from the
+    container's own CDC feed instead of rebuilding."""
+    from .encode_pipeline import decode_dataset
+
+    # cursor BEFORE the read: anything committed in between lands in
+    # the first refresh window instead of being skipped
+    cursor = _source_txn(container_dir)
+    stats = build_text_index(
+        decode_dataset(container_dir, columns=[id_col, text_col]),
+        index_dir, text_col=text_col, id_col=id_col, nshards=nshards)
+    meta = _index_meta(index_dir)
+    meta["source"] = container_dir
+    meta["cursor"] = cursor
+    fsio.atomic_write(_meta_path(index_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return stats
+
+
+def refresh_text_index(index_dir: str) -> dict:
+    """Converge a container-bound index to the container's current
+    snapshot by consuming its CDC feed (P56) — the same convergence
+    contract as replicas (P66) and materialized views (P70).
+
+    Deleted/updated documents PURGE every posting carrying their id
+    (a document's postings all derive from the text that changed, so
+    id-level purge needs no pair matching); inserted/updated documents
+    re-add their vocabulary through the ordinary posting projection.
+    One exchange O(changed docs' vocabulary) + a purge sweep over the
+    shard files; idempotent (purging an absent id and re-adding an
+    existing pair are both no-ops), cursor advances last.  A
+    retention-swept cursor window falls back to a full rebuild."""
+    from .history_pipeline import row_changes
+
+    meta = _index_meta(index_dir)
+    if "source" not in meta:
+        raise ValueError(
+            f"{index_dir}: index is not bound to a container (built "
+            "from a raw Dataset) — use index_container_text")
+    source, cursor = meta["source"], int(meta["cursor"])
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    nshards = int(meta["nshards"])
+    now = _source_txn(source)
+    if now <= cursor:
+        return {"refreshed": False, "cursor": cursor}
+    try:
+        feed = row_changes(source, since_txn=cursor, key=id_col,
+                           columns=[id_col, text_col])
+    except RuntimeError:
+        # cursor snapshot swept — no diff window; rebuild in place
+        stats = index_container_text(source, index_dir,
+                                     text_col=text_col, id_col=id_col,
+                                     nshards=nshards)
+        return {"refreshed": True, "rebuild": True, "cursor": now,
+                **stats}
+
+    # purge ids: every doc whose old content leaves the index
+    def purge_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(b["_change_type"],
+                     value_set=pa.array(["delete", "update_pre"]))
+        return pa.table({id_col: b.filter(m)[id_col]})
+
+    from ..stages.dedup import gather_small
+
+    purge_tbl = gather_small(
+        feed.map_batches(purge_batch, batch_format="pyarrow"),
+        pa.table({id_col: pa.array([], pa.int64())}))
+    purge = np.unique(purge_tbl[id_col].to_numpy(zero_copy_only=False))
+    purge_ref = ray.put(purge)
+
+    # additions: the new content's postings (re-projected fresh)
+    def add_batch(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(b["_change_type"],
+                     value_set=pa.array(["insert", "update_post"]))
+        return _posting_batch(b.filter(m).to_pandas(), text_col,
+                              id_col, nshards)
+
+    adds = feed.map_batches(add_batch, batch_format="pyarrow")
+
+    def merge_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int32())})
+        shard = int(group["shard"][0].as_py())
+        _apply_shard(index_dir, shard, ray.get(purge_ref),
+                     group["h"].combine_chunks().to_numpy(),
+                     group["doc"].combine_chunks().to_numpy(),
+                     group.schema.field("doc").type)
+        return pa.table({"shard": pa.array([shard], pa.int32())})
+
+    touched = {int(r["shard"]) for r in
+               (adds.groupby("shard")
+                .map_groups(merge_shard, batch_format="pyarrow")
+                .take_all())}
+    # purge-only shards (no additions hashed into them) still sweep
+    if purge.size:
+        rest = [s for s in range(nshards) if s not in touched]
+        ray.get([_purge_shard_task.remote(index_dir, s, purge)
+                 for s in rest])
+    meta["cursor"] = now
+    fsio.atomic_write(_meta_path(index_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"refreshed": True, "cursor": now,
+            "purged_docs": int(purge.size)}
+
+
+def _apply_shard(index_dir: str, shard: int, purge: np.ndarray,
+                 add_h: np.ndarray, add_d: np.ndarray,
+                 doc_type: pa.DataType) -> None:
+    """Purge ids then merge additions into one shard file (atomic)."""
+    path = _shard_path(index_dir, shard)
+    old = _read_shard_file(path)
+    h = old["h"].to_numpy()
+    d = old["doc"].to_numpy()
+    if purge.size and d.size:
+        keep = ~np.isin(d, purge)
+        h, d = h[keep], d[keep]
+    if add_h.size:
+        h = np.concatenate([h, add_h])
+        d = np.concatenate([d, add_d])
+    h, d = _distinct_pairs(h, d)
+    if old.num_rows:
+        doc_type = old.schema.field("doc").type
+    _write_shard_file(path, h, d, doc_type)
+
+
+@ray.remote
+def _purge_shard_task(index_dir: str, shard: int,
+                      purge: np.ndarray) -> None:
+    _apply_shard(index_dir, shard, purge,
+                 np.empty(0, dtype=np.uint64),
+                 np.empty(0, dtype=np.int64), pa.int64())
 
 
 def append_text_index(

@@ -22,10 +22,11 @@ whole 100 TB/n_centroids slice.
 
 ``append_vector_index`` folds an increment through the SAME stored
 centroids (per-file sorted merge, idempotent by vec_id), so the index
-follows daily ingest without retraining.  Rows deleted from the
-container AFTER the build linger until a rebuild — callers who delete
-should re-run ``build_vector_index`` (documented staleness, the same
-contract FAISS/IVF sidecars have everywhere).
+follows daily ingest without retraining, and
+``refresh_vector_index`` (P71) converges the index across ARBITRARY
+container DML — deletes, upserts, updates — by consuming the
+container's CDC feed: the delete rows carry the old embedding, which
+the stored centroids map to the exact cell file to purge.
 """
 
 from __future__ import annotations
@@ -46,6 +47,7 @@ from ..state import fsio
 __all__ = [
     "build_vector_index",
     "append_vector_index",
+    "refresh_vector_index",
     "ann_search_index",
 ]
 
@@ -123,10 +125,16 @@ def build_vector_index(
 ) -> dict:
     """Train the coarse quantizer and land the IVF-Flat cell files.
     Returns ``{"cells": populated, "vectors": total}``."""
+    from ..state import manifest as mf
     from ..stages.similarity import train_ivf_centroids
     from .encode_pipeline import decode_dataset
 
     fsio.ensure_dir(index_dir)
+    # cursor BEFORE the read (refresh re-applies any overlap, which is
+    # idempotent by vec_id)
+    cursor = max((mf.record_txn(r)
+                  for r in mf.load_manifest(container_dir).values()),
+                 default=0)
     ds = decode_dataset(container_dir, columns=[id_col, emb_col])
     cent = train_ivf_centroids(ds, n_centroids, emb_col,
                                sample_rows=sample_rows, seed=seed)
@@ -168,6 +176,8 @@ def build_vector_index(
         "id_col": id_col,
         "counts": {str(k): v for k, v in sorted(counts.items())},
         "vectors": sum(counts.values()),
+        "source": container_dir,
+        "cursor": cursor,
     }
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
@@ -232,6 +242,113 @@ def append_vector_index(ds: rd.Dataset, index_dir: str) -> dict:
     return {"added_vectors": added}
 
 
+def refresh_vector_index(index_dir: str) -> dict:
+    """Converge the index to its source container's current snapshot
+    from the container's CDC feed (P56) — the same convergence
+    contract as replicas (P66), materialized views (P70) and the text
+    index (P71): delete/update_pre rows carry the OLD embedding, which
+    the stored centroids map to the exact cell file holding that id
+    (no search, no scan); insert/update_post rows add through the
+    ordinary assignment.  One groupby(cell-shard) exchange of the
+    changed rows; idempotent (purge of an absent id / re-add of a
+    present id are no-ops); cursor advances last.  A retention-swept
+    cursor window falls back to a full rebuild (which also retrains
+    centroids — the only path that does)."""
+    from .history_pipeline import row_changes
+
+    meta, cent = _load_meta(index_dir)
+    if "source" not in meta:
+        raise ValueError(f"{index_dir}: index carries no source "
+                         "binding (legacy build) — rebuild it")
+    source, cursor = meta["source"], int(meta["cursor"])
+    subshards = int(meta["subshards"])
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+    from ..state import manifest as mf
+
+    now = max((mf.record_txn(r)
+               for r in mf.load_manifest(source).values()), default=0)
+    if now <= cursor:
+        return {"refreshed": False, "cursor": cursor}
+    try:
+        feed = row_changes(source, since_txn=cursor, key=id_col,
+                           columns=[id_col, emb_col])
+    except RuntimeError:
+        stats = build_vector_index(
+            source, index_dir, emb_col=emb_col, id_col=id_col,
+            n_centroids=int(meta["n_centroids"]), subshards=subshards)
+        return {"refreshed": True, "rebuild": True, "cursor": now,
+                **stats}
+    cent_ref = ray.put(cent)
+
+    def sided(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = pc.if_else(
+            pc.is_in(b["_change_type"],
+                     value_set=pa.array(["insert", "update_post"])),
+            pa.scalar(1), pa.scalar(-1))
+        keyed = _assign_cells(b, ray.get(cent_ref), subshards,
+                              emb_col, id_col)
+        return keyed.append_column("__side", side)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "dn": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        key = int(g["__key"][0].as_py())
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        adds = (g.filter(pa.array(side == 1))
+                .drop_columns(["__key", "__side"]))
+        gone_ids = g.filter(pa.array(side == -1))[id_col] \
+            .combine_chunks()
+        path = _cell_path(index_dir, key // subshards, key % subshards)
+        old = (pq.read_table(pa.BufferReader(fsio.read_bytes(path)))
+               if fsio.exists(path) else None)
+        old_rows = 0 if old is None else old.num_rows
+        parts = []
+        if old is not None:
+            drop = pc.is_in(old[id_col], value_set=gone_ids)
+            if adds.num_rows:
+                drop = pc.or_(drop, pc.is_in(
+                    old[id_col],
+                    value_set=adds[id_col].combine_chunks()))
+            parts.append(old.filter(pc.invert(drop)))
+        if adds.num_rows:
+            parts.append(adds.select(
+                parts[0].column_names if parts else adds.column_names))
+        new = (pa.concat_tables(parts, promote_options="permissive")
+               if parts else None)
+        n_new = 0 if new is None else new.num_rows
+        if new is not None and n_new:
+            _write_cell(index_dir, key, subshards, new.sort_by(id_col))
+        elif fsio.exists(path):
+            fsio.delete(path)      # cell emptied out
+        return pa.table({"key": pa.array([key]),
+                         "dn": pa.array([n_new - old_rows])})
+
+    rows = (feed.map_batches(sided, batch_format="pyarrow")
+            .groupby("__key").map_groups(merge_group,
+                                         batch_format="pyarrow")
+            .take_all())
+    changed = 0
+    for r in rows:
+        k = str(int(r["key"]))
+        n = meta["counts"].get(k, 0) + int(r["dn"])
+        if n > 0:
+            meta["counts"][k] = n
+        else:
+            meta["counts"].pop(k, None)
+        changed += abs(int(r["dn"]))
+    meta["vectors"] = sum(meta["counts"].values())
+    meta["cursor"] = now
+    fsio.atomic_write(_meta_path(index_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"refreshed": True, "cursor": now,
+            "net_vector_delta": sum(int(r["dn"]) for r in rows)}
+
+
 @ray.remote
 def _score_file(index_dir: str, cell: int, sub: int, qn: np.ndarray,
                 qidx: np.ndarray, k: int, id_col: str,
@@ -278,7 +395,11 @@ def ann_search_index(
     for qi in range(qn.shape[0]):
         for c in qc[qi]:
             by_cell.setdefault(int(c), []).append(qi)
-    populated = {int(key) // subshards for key in meta["counts"]}
+    # populated cells come from the FILESYSTEM, not meta counts: a
+    # crash between a refresh's file writes and its meta write must
+    # not hide a freshly-populated cell from search
+    populated = {int(n[5:10]) for n in fsio.listdir(index_dir)
+                 if n.startswith("cell-")}
     refs = []
     for c, qis in by_cell.items():
         if c not in populated:
