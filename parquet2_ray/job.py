@@ -345,7 +345,23 @@ def cmd_maintain(args) -> dict:
     return maintain_container(
         args.container, target_weight=args.target_weight,
         fold_min_waste=args.fold_min_waste,
-        retain_from_txn=args.retain_from_txn)
+        retain_from_txn=args.retain_from_txn,
+        refresh_sidecars=not args.no_sidecars)
+
+
+def cmd_sidecars(args) -> dict:
+    """List or refresh a container's registered sidecars (P72)."""
+    from .pipelines.sidecar_registry import (
+        list_sidecars,
+        refresh_sidecars,
+        unregister_sidecar,
+    )
+
+    if args.unregister:
+        return unregister_sidecar(args.container, args.unregister)
+    if args.refresh:
+        return refresh_sidecars(args.container)
+    return {"sidecars": list_sidecars(args.container)}
 
 
 def cmd_replicate(args) -> dict:
@@ -670,6 +686,15 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--retain-from-txn", type=int, default=None,
                      help="keep snapshots from this txn onward "
                           "restorable (default: current only)")
+    mnt.add_argument("--no-sidecars", action="store_true",
+                     help="skip the P72 sidecar-refresh step")
+
+    sdc = sub.add_parser("sidecars",
+                         help="list/refresh registered sidecars (P72)")
+    sdc.add_argument("--container", required=True)
+    sdc.add_argument("--refresh", action="store_true")
+    sdc.add_argument("--unregister", default=None,
+                     help="sidecar path to drop from the registry")
 
     cst = sub.add_parser("constraints",
                          help="declare / show / drop CHECK constraints")
@@ -969,6 +994,7 @@ def main(argv: list[str] | None = None) -> int:
            "update": cmd_update, "maintain": cmd_maintain,
            "constraints": cmd_constraints,
            "replicate": cmd_replicate,
+           "sidecars": cmd_sidecars,
            "index-text": cmd_index_text,
            "search": cmd_search,
            "analyze": cmd_analyze,

@@ -102,10 +102,15 @@ def maintain_container(out_dir: str,
                        small_frac: float = 0.5,
                        fold_min_waste: float = 0.0,
                        retain_from_txn: int | None = None,
+                       refresh_sidecars: bool = True,
                        fsync: bool = True) -> dict:
     """OPTIMIZE: fold dv masks → compact small runs → refresh the
-    manifest checkpoint → sweep invisible state (retaining snapshots
-    from ``retain_from_txn`` onward plus every tagged snapshot).
+    registered sidecars (P72: indexes + materialized views converge
+    while the pre-maintenance snapshots are STILL intact, so each
+    consumes its pending window as a cheap diff and advances its
+    cursor past the rewrite-only transactions) → sweep invisible
+    state (retaining snapshots from ``retain_from_txn`` onward plus
+    every tagged snapshot) → refresh the manifest checkpoint.
     Idempotent; a crash between steps leaves a consistent container
     the next run finishes."""
     from .compact_pipeline import compact_container, sweep_invisible
@@ -115,6 +120,11 @@ def maintain_container(out_dir: str,
     compacted = compact_container(out_dir, target_weight=target_weight,
                                   small_frac=small_frac, fsync=fsync,
                                   gc=False)
+    sidecars = {}
+    if refresh_sidecars:
+        from .sidecar_registry import refresh_sidecars as _refresh
+
+        sidecars = _refresh(out_dir)
     swept = sweep_invisible(out_dir, retain_from_txn=retain_from_txn)
     # CREATE (not just refresh) the checkpoint after the sweep settled
     # the record set — maintain is the operator's opt-in point for P58
@@ -125,6 +135,7 @@ def maintain_container(out_dir: str,
     return {
         "n_folded": folded["n_folded"],
         "n_compacted_groups": compacted.get("n_groups", 0),
+        "sidecars": sidecars,
         "gc_swept": swept,
         "n_partitions": combined["n_partitions"],
         "n_rows": combined["n_rows"],

@@ -111,6 +111,9 @@ def create_agg_view(
             "cursor": cursor, "target_rows": target_rows}
     fsio.atomic_write(_view_meta_path(view_dir),
                       json.dumps(meta).encode(), fsync=False)
+    from .sidecar_registry import register_sidecar
+
+    register_sidecar(source_dir, "agg_view", view_dir)
     return {"groups": tbl.num_rows, "cursor": cursor}
 
 

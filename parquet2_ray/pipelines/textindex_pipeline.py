@@ -250,6 +250,9 @@ def index_container_text(
     meta["cursor"] = cursor
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
+    from .sidecar_registry import register_sidecar
+
+    register_sidecar(container_dir, "text_index", index_dir)
     return stats
 
 

@@ -181,6 +181,9 @@ def build_vector_index(
     }
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
+    from .sidecar_registry import register_sidecar
+
+    register_sidecar(container_dir, "vector_index", index_dir)
     return {"cells": len({k // subshards for k in counts}),
             "vectors": meta["vectors"]}
 
