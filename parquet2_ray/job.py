@@ -87,6 +87,8 @@ def cmd_view(args) -> dict:
     )
 
     if args.action == "create":
+        if not args.source or not args.key:
+            raise SystemExit("view create needs --source and --key")
         aggs: dict[str, list[str]] = {}
         for spec in args.agg or []:
             col, fn = spec.split(":", 1)

@@ -182,6 +182,16 @@ def analyze_container(
         # sketches only merge like-for-like: adopt the stored params
         p = int(prev["p"])
         compression = int(prev["compression"])
+        # a column absent from the stored sketches would fold over only
+        # the UNCOVERED partitions yet read as container-wide — refuse
+        # instead of silently truncating (run a full analyze for it)
+        if columns is not None:
+            missing = [c for c in columns if c not in prev["sketches"]]
+            if missing:
+                raise ValueError(
+                    f"columns {missing} were not in the previous "
+                    "analyze document — run analyze_container("
+                    "incremental=False) to add columns")
         covered = set(prev["covered"])
         todo = {pid: r for pid, r in records.items()
                 if pid not in covered}
@@ -366,7 +376,14 @@ def _cdf(stats: dict, column: str):
     mid = (cum - w / 2.0) / cum[-1]
     xs = np.concatenate([[sk["lo"]], m, [sk["hi"]]])
     fs = np.concatenate([[0.0], mid, [1.0]])
-    return xs, fs, int(sk["n"])
+    # scale by the EXACT non-null row count from the current records
+    # (doc["columns"]), NOT the sketch's fold count: incremental
+    # refreshes re-fold compaction-rewritten partitions, which
+    # double-WEIGHTS the digest (harmless — same distribution) but
+    # would inflate a count-based estimate ~2× per maintenance cycle
+    cs = stats["columns"][column]
+    n = int(cs["rows"]) - int(cs["null_count"])
+    return xs, fs, n
 
 
 def estimate_range_rows(stats: dict, column: str, lo=None, hi=None) -> float:

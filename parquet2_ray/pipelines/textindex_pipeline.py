@@ -174,7 +174,7 @@ def build_text_index(
             return empty
         shard = int(group["shard"][0].as_py())
         h = group["h"].combine_chunks().to_numpy()
-        d = group["doc"].combine_chunks().to_numpy()
+        d = group["doc"].combine_chunks().to_numpy(zero_copy_only=False)
         h, d = _distinct_pairs(h, d)   # cross-batch duplicate pairs
         _write_shard_file(_shard_path(index_dir, shard), h, d,
                           group.schema.field("doc").type)
@@ -293,6 +293,11 @@ def refresh_text_index(index_dir: str) -> dict:
         return {"refreshed": True, "rebuild": True, "cursor": now,
                 **stats}
 
+    # materialize the feed ONCE: it is consumed twice below (purge
+    # gather + additions exchange), and re-executing row_changes would
+    # decode + shuffle the churned partitions a second time
+    feed = feed.materialize()
+
     # purge ids: every doc whose old content leaves the index
     def purge_batch(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -326,7 +331,7 @@ def refresh_text_index(index_dir: str) -> dict:
         shard = int(group["shard"][0].as_py())
         _apply_shard(index_dir, shard, ray.get(purge_ref),
                      group["h"].combine_chunks().to_numpy(),
-                     group["doc"].combine_chunks().to_numpy(),
+                     group["doc"].combine_chunks().to_numpy(zero_copy_only=False),
                      group.schema.field("doc").type)
         return pa.table({"shard": pa.array([shard], pa.int32())})
 
@@ -334,10 +339,12 @@ def refresh_text_index(index_dir: str) -> dict:
                (adds.groupby("shard")
                 .map_groups(merge_shard, batch_format="pyarrow")
                 .take_all())}
-    # purge-only shards (no additions hashed into them) still sweep
+    # purge-only shards (no additions hashed into them) still sweep;
+    # the purge set ships as the ray.put ref (dereferenced on arrival,
+    # once per node), not by value per task
     if purge.size:
         rest = [s for s in range(nshards) if s not in touched]
-        ray.get([_purge_shard_task.remote(index_dir, s, purge)
+        ray.get([_purge_shard_task.remote(index_dir, s, purge_ref)
                  for s in rest])
     meta["cursor"] = now
     fsio.atomic_write(_meta_path(index_dir),
@@ -400,7 +407,7 @@ def append_text_index(
         h = np.concatenate([old["h"].to_numpy(),
                             group["h"].combine_chunks().to_numpy()])
         d = np.concatenate([old["doc"].to_numpy(),
-                            group["doc"].combine_chunks().to_numpy()])
+                            group["doc"].combine_chunks().to_numpy(zero_copy_only=False)])
         h, d = _distinct_pairs(h, d)
         doc_type = (old.schema.field("doc").type if old.num_rows
                     else group.schema.field("doc").type)

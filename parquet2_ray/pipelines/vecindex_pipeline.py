@@ -196,10 +196,20 @@ def _load_meta(index_dir: str) -> tuple[dict, np.ndarray]:
     return meta, cent
 
 
-def append_vector_index(ds: rd.Dataset, index_dir: str) -> dict:
+def append_vector_index(ds: rd.Dataset, index_dir: str,
+                        assume_new: bool = False) -> dict:
     """Fold new (id, embedding) rows through the STORED centroids —
     per-file merge, idempotent by vec_id (re-appended ids replace
-    their old vector)."""
+    their old vector).
+
+    Replacement is CELL-GLOBAL: after the merge, every other populated
+    cell file is swept for the incoming ids, so an id whose updated
+    embedding now maps to a different centroid does not leave a stale
+    copy behind.  The sweep reads O(index files); pass
+    ``assume_new=True`` when the increment is known to contain only
+    brand-new ids (the daily-ingest fast path) to skip it — for
+    arbitrary updates driven by container DML, ``refresh_vector_index``
+    is cheaper still (the CDC feed names the exact old cell)."""
     meta, cent = _load_meta(index_dir)
     subshards = int(meta["subshards"])
     emb_col, id_col = meta["emb_col"], meta["id_col"]
@@ -230,19 +240,75 @@ def append_vector_index(ds: rd.Dataset, index_dir: str) -> dict:
         return pa.table({"key": pa.array([key]),
                          "dn": pa.array([new.num_rows - old_rows])})
 
-    rows = (ds.map_batches(assign, batch_format="pyarrow")
-            .groupby("__key").map_groups(merge_group,
-                                         batch_format="pyarrow")
+    keyed = ds.map_batches(assign, batch_format="pyarrow")
+    if not assume_new:
+        keyed = keyed.materialize()   # consumed twice: merge + id gather
+    rows = (keyed.groupby("__key").map_groups(merge_group,
+                                              batch_format="pyarrow")
             .take_all())
+    counts_delta = {int(r["key"]): int(r["dn"]) for r in rows}
+    if not assume_new:
+        # cell-global replace: sweep the OTHER populated files for the
+        # incoming ids (files the merge just wrote hold the new copies
+        # and must not be swept)
+        from ..stages.dedup import gather_small
+
+        ids_tbl = gather_small(
+            keyed.map_batches(
+                lambda b: pa.table({id_col: b[id_col]}),
+                batch_format="pyarrow"),
+            pa.table({id_col: pa.array([], pa.int64())}))
+        if ids_tbl.num_rows:
+            inc_ids = ids_tbl[id_col].combine_chunks().unique()
+            ids_ref = ray.put(inc_ids)
+            written = set(counts_delta)
+            sweep_keys = []
+            for name in fsio.listdir(index_dir):
+                if not name.startswith("cell-"):
+                    continue
+                key = (int(name[5:10]) * subshards + int(name[11:14]))
+                if key not in written:
+                    sweep_keys.append(key)
+            for key, dn in zip(sweep_keys, ray.get(
+                    [_purge_cell_task.remote(index_dir, k, subshards,
+                                             ids_ref, id_col)
+                     for k in sweep_keys])):
+                if dn:
+                    counts_delta[key] = counts_delta.get(key, 0) + dn
     added = 0
-    for r in rows:
-        k = str(int(r["key"]))
-        meta["counts"][k] = meta["counts"].get(k, 0) + int(r["dn"])
-        added += int(r["dn"])
+    for key, dn in counts_delta.items():
+        k = str(key)
+        n = meta["counts"].get(k, 0) + dn
+        if n > 0:
+            meta["counts"][k] = n
+        else:
+            meta["counts"].pop(k, None)
+        added += dn
     meta["vectors"] = sum(meta["counts"].values())
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
     return {"added_vectors": added}
+
+
+@ray.remote
+def _purge_cell_task(index_dir: str, key: int, subshards: int,
+                     ids, id_col: str) -> int:
+    """Drop ``ids`` from one cell file; returns the row delta (≤ 0)."""
+    import pyarrow.compute as pc
+
+    path = _cell_path(index_dir, key // subshards, key % subshards)
+    if not fsio.exists(path):
+        return 0
+    t = pq.read_table(pa.BufferReader(fsio.read_bytes(path)))
+    keep = pc.invert(pc.is_in(t[id_col], value_set=ids))
+    kept = t.filter(keep)
+    if kept.num_rows == t.num_rows:
+        return 0
+    if kept.num_rows:
+        _write_cell(index_dir, key, subshards, kept)
+    else:
+        fsio.delete(path)
+    return kept.num_rows - t.num_rows
 
 
 def refresh_vector_index(index_dir: str) -> dict:

@@ -145,3 +145,40 @@ def test_stats_reflect_deletion_vectors(container, ray_session):
     assert doc["columns"]["id"]["min"] == N // 2
     est = estimate_distinct(doc, "id")
     assert abs(est - N // 2) / (N // 2) < 0.06
+
+
+def test_estimates_stable_across_compaction_cycles(tmp_path,
+                                                   ray_session):
+    """Code-review regression: incremental re-analysis after a
+    compaction (which rewrites every partition under new ids) must not
+    inflate range estimates — the estimator scales by the exact record
+    row count, not the sketch's fold count."""
+    from parquet2_ray.pipelines.compact_pipeline import compact_container
+
+    out = str(tmp_path / "cyc")
+    encode_dataset(rd.from_arrow(_table()), out, EncodeOptions(
+        group_col="grp", weight_col="w", sort_key="id",
+        target_weight=600))
+    analyze_container(out)
+    base = estimate_range_rows(load_stats(out), "id", 0, N - 1)
+    for _ in range(2):
+        compact_container(out, target_weight=10**9)
+        analyze_container(out, incremental=True)
+    after = estimate_range_rows(load_stats(out), "id", 0, N - 1)
+    assert abs(after - base) / base < 0.02
+    assert after <= N * 1.01   # never exceeds the container
+
+
+def test_incremental_new_column_refused(tmp_path, ray_session):
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+
+    out = str(tmp_path / "newcol")
+    t = _table()
+    encode_dataset(rd.from_arrow(t), out, EncodeOptions(
+        group_col="grp", weight_col="w", sort_key="id",
+        target_weight=600))
+    analyze_container(out, columns=["id"])
+    append_dataset(rd.from_arrow(t.slice(0, 10)), out,
+                   append_id="an-newcol")
+    with pytest.raises(ValueError, match="previous analyze"):
+        analyze_container(out, columns=["id", "val"], incremental=True)

@@ -160,3 +160,17 @@ def test_index_on_object_store(tmp_path, ray_session):
     build_text_index(rd.from_pandas(DOCS), d, nshards=4)
     assert list(probe_text_index(d, ["beta", "gamma"])) == \
         _ref(["beta", "gamma"], "and")
+
+
+def test_string_doc_ids(tmp_path, ray_session):
+    """Code-review regression: non-numeric id columns (string doc
+    ids) must build, append and probe — to_numpy on the doc column is
+    not zero-copy for strings."""
+    df = DOCS.assign(doc_id=[f"doc-{i}" for i in DOCS["doc_id"]])
+    d = str(tmp_path / "sidx")
+    build_text_index(rd.from_pandas(df), d, nshards=4)
+    got = probe_text_index(d, ["beta", "gamma"])
+    want = [f"doc-{i}" for i in _ref(["beta", "gamma"], "and")]
+    assert sorted(got) == want
+    append_text_index(rd.from_pandas(df.iloc[:2]), d)  # idempotent
+    assert sorted(probe_text_index(d, ["beta", "gamma"])) == want

@@ -124,3 +124,43 @@ def test_empty_container_raises(tmp_path, ray_session):
     # tiny container still builds (k clamps to sample size)
     stats = build_vector_index(out, idx, n_centroids=8)
     assert stats["vectors"] == 3
+
+
+def test_append_moved_embedding_purges_old_cell(container, tmp_path,
+                                                ray_session):
+    """Code-review regression: a re-appended id whose new embedding
+    maps to a DIFFERENT centroid must not leave a stale copy in the
+    old cell (append's replace is cell-global)."""
+    idx = str(tmp_path / "idx")
+    build_vector_index(container, idx, n_centroids=8, subshards=2)
+    t = _emb_table()
+    moved = pa.table({
+        "vec_id": pa.array([20], pa.int64()),
+        "embedding": pa.array(
+            [[-float(x) for x in t["embedding"][20].as_py()]],
+            pa.list_(pa.float32()))})
+    r = append_vector_index(rd.from_arrow(moved), idx)
+    assert r["added_vectors"] == 0   # replaced, net zero
+    # exact reference over the table with row 20 replaced
+    import pandas as pd
+
+    df = t.to_pandas()
+    df.at[20, "embedding"] = moved["embedding"][0].as_py()
+    q, qids = _queries()
+    ref = ann_topk(rd.from_arrow(pa.Table.from_pandas(
+        df[["vec_id", "embedding"]]).set_column(
+            1, "embedding", pa.array(df["embedding"].tolist(),
+                                     pa.list_(pa.float32())))),
+        q, qids, k=7)
+    got = ann_search_index(idx, q, qids, k=7, nprobe=8)
+    assert got.equals(ref)
+    # and id 20 appears exactly once across all cell files
+    import pyarrow.parquet as pq
+    from parquet2_ray.state import fsio
+
+    hits = 0
+    for name in fsio.listdir(idx):
+        if name.startswith("cell-"):
+            tt = pq.read_table(f"{idx}/{name}")
+            hits += int((tt["vec_id"].to_numpy() == 20).sum())
+    assert hits == 1
