@@ -13,6 +13,7 @@ Each ``queries()`` entry maps to operators in SURVEY.md §2:
 - q_pack_sequences       sequence packing into fixed-len rows (P23)
 - q_lookup_rows          bloom+page-index+projection point lookup (P25)
 - q_text_search          persisted inverted index → pruned fetch (P67)
+- q_agg_view             materialized-view lifecycle incl. CDC refresh (P70)
 - q_dedup_exact          exact dedup (hash-groupby, training-data op)
 - q_text_metrics/q_text_quality/q_lang_id  text analysis ops
 - q_ann_topk             brute-force cosine similarity search
@@ -728,6 +729,54 @@ def q_window_tumbling(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_agg_view(sf_dir: str):
+    """P70 materialized aggregate view, full lifecycle in one oracled
+    row: encode 85% of lineitem → create the view (one P47
+    aggregate_clustered pass landed as a key-clustered container) →
+    append the remaining 15% to the SOURCE → refresh the view from the
+    CDC feed (only affected groups re-aggregate) → decode.  The oracle
+    is the plain GROUP BY over the WHOLE table, so the refresh path
+    must converge exactly.  l_quantity is integral-valued float64, so
+    sums are exact and association-independent (float-safe hashes)."""
+    import shutil
+
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.matview_pipeline import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_quantity",
+                               "l_returnflag"])
+    cut = int(t.num_rows * 0.85)
+    cont = _out_dir(sf_dir, "lineitem_view_src")
+    view = _out_dir(sf_dir, "lineitem_agg_view")
+    # the view evolves via upserts; a stale scratch from a prior run
+    # cannot be resumed into — start clean
+    shutil.rmtree(cont, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    encode_dataset(rd.from_arrow(t.slice(0, cut)), cont,
+                   EncodeOptions(group_col="l_returnflag",
+                                 weight_col=None,
+                                 sort_key="l_orderkey"))
+    create_agg_view(cont, view, "l_orderkey",
+                    {"l_quantity": ["sum", "count", "mean",
+                                    "min", "max"]},
+                    target_rows=5000)
+    append_dataset(rd.from_arrow(t.slice(cut)), cont,
+                   append_id=f"qaggview-{cut}")
+    refresh_agg_view(view)
+    return decode_dataset(view, columns=[
+        "l_orderkey", "l_quantity_sum", "l_quantity_count",
+        "l_quantity_mean", "l_quantity_min", "l_quantity_max"])
+
+
 def q_rolling_mean(sf_dir: str):
     """Per-user rolling mean over the last 3 events (SQL ROWS BETWEEN
     2 PRECEDING AND CURRENT ROW): one shard-grouped exchange, cumsum
@@ -1334,7 +1383,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_text_search": q_text_search,
         "q_distinct_users": q_distinct_users,
         "q_value_quantiles": q_value_quantiles,
-        "q_rolling_mean": q_rolling_mean,
+        # q_rolling_mean retired r4 for q_agg_view under the 50-row
+        # driver cap: the window family keeps 4 green rows (tumbling,
+        # quantiles, sessionize, distinct_users) and rolling_mean stays
+        # pytest-covered + bench-timed, while q_agg_view oracles the
+        # P70 materialized-view LIFECYCLE (create → source append →
+        # CDC refresh → decode) plus P47 aggregate_clustered
+        "q_agg_view": q_agg_view,
         "q_sessionize": q_sessionize,
         "q_stats_lineitem": q_stats_lineitem,
         "q_pack_sequences": q_pack_sequences,
@@ -1602,11 +1657,13 @@ def oracle_sql() -> dict[str, str]:
             "quantile_cont(value, 0.5) AS q0_5, "
             "quantile_cont(value, 0.95) AS q0_95 "
             "FROM events GROUP BY event_type"),
-        "q_rolling_mean": (
-            "SELECT event_id, ROUND(AVG(value) OVER ("
-            "PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean "
-            "FROM events"),
+        "q_agg_view": (
+            "SELECT l_orderkey, SUM(l_quantity) AS l_quantity_sum, "
+            "COUNT(l_quantity) AS l_quantity_count, "
+            "AVG(l_quantity) AS l_quantity_mean, "
+            "MIN(l_quantity) AS l_quantity_min, "
+            "MAX(l_quantity) AS l_quantity_max "
+            "FROM lineitem GROUP BY l_orderkey"),
         "q_text_search": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             + " AND ".join(

@@ -95,6 +95,10 @@ TIMED_QUERIES = [
     # pruned fetch, and transient+persisted IVF ANN in one row
     "q_text_search",
     "q_ann_ivf",
+    # materialized-view lifecycle (create → append → CDC refresh);
+    # q_rolling_mean retired from the registry for it, still timed
+    "q_agg_view",
+    "q_rolling_mean",
 ]
 
 
