@@ -194,12 +194,21 @@ def cmd_index_text(args) -> dict:
 
 
 def cmd_search(args) -> dict:
-    """Full-text search: probe the index, fetch matches via lookup_rows."""
-    from .pipelines.textindex_pipeline import search_container
+    """Full-text search: probe the index, fetch matches via lookup_rows.
+    --ranked switches to BM25 top-k (P73)."""
+    from .pipelines.textindex_pipeline import (
+        search_container,
+        search_container_ranked,
+    )
 
     cols = args.columns.split(",") if args.columns else None
-    ds = search_container(args.container, args.index, args.terms,
-                          mode=args.mode, columns=cols)
+    if args.ranked:
+        ds = search_container_ranked(args.container, args.index,
+                                     args.terms, k=args.k,
+                                     columns=cols)
+    else:
+        ds = search_container(args.container, args.index, args.terms,
+                              mode=args.mode, columns=cols)
     if args.output:
         ds = ds.materialize()  # one execution feeds write + count
         ds.write_parquet(args.output)
@@ -826,6 +835,10 @@ def main(argv: list[str] | None = None) -> int:
     srch.add_argument("--output", default=None,
                       help="parquet dir (omit to print --limit rows)")
     srch.add_argument("--limit", type=int, default=20)
+    srch.add_argument("--ranked", action="store_true",
+                      help="BM25 top-k instead of boolean matching")
+    srch.add_argument("--k", type=int, default=10,
+                      help="result count for --ranked")
 
     ddp = sub.add_parser("dedup")
     ddp.add_argument("--input", required=True)

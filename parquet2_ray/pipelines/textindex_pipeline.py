@@ -59,6 +59,8 @@ __all__ = [
     "append_text_index",
     "probe_text_index",
     "search_container",
+    "ranked_search_index",
+    "search_container_ranked",
     "term_hashes",
 ]
 
@@ -91,23 +93,38 @@ def term_hashes(terms) -> np.ndarray:
     return hash_strings(np.asarray(toks, dtype=object))
 
 
-def _distinct_pairs(h: np.ndarray, d: np.ndarray):
-    """Sort by (hash, doc) and drop duplicate (term, doc) pairs."""
+def _merge_pairs(h: np.ndarray, d: np.ndarray, tf: np.ndarray):
+    """Sort by (hash, doc) and combine duplicate (term, doc) pairs by
+    MAX tf — max (not sum) keeps every merge path idempotent: folding
+    the same document's postings twice must not inflate its term
+    frequencies."""
     if h.size == 0:
-        return h, d
+        return h, d, tf
     order = np.lexsort((d, h))
-    h, d = h[order], d[order]
-    keep = np.empty(h.size, dtype=bool)
-    keep[0] = True
-    keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
-    return h[keep], d[keep]
+    h, d, tf = h[order], d[order], tf[order]
+    new = np.empty(h.size, dtype=bool)
+    new[0] = True
+    new[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    grp = np.cumsum(new) - 1
+    out_tf = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
+    np.maximum.at(out_tf, grp, tf)
+    return h[new], d[new], out_tf
 
 
 def _posting_batch(batch: pd.DataFrame, text_col: str, id_col: str,
                    nshards: int) -> pd.DataFrame:
-    """(term_hash, doc, shard) rows — the index's exchange projection.
-    Distinct per (term, doc) already inside the batch, so the exchange
-    carries each document's vocabulary once, not its token stream."""
+    """The index's ONE exchange projection, kind-tagged so a single
+    ``groupby(shard)`` routes both record types:
+
+    - ``kind=0`` postings: (term_hash, doc, tf) — one row per DISTINCT
+      (term, doc), tf = the term's in-document count (BM25's tf),
+      routed by ``shard_of(term_hash)``;
+    - ``kind=1`` doclens: (doc_hash, doc, len) — one row per document,
+      len = its token count (BM25's |d|), routed by
+      ``shard_of(doc_hash)``.
+    """
+    from ..functions.hashing import column_hashes
+
     words = batch[text_col].fillna("").str.lower().str.split(
         _TOKEN_SPLIT, regex=True)
     lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
@@ -117,31 +134,91 @@ def _posting_batch(batch: pd.DataFrame, text_col: str, id_col: str,
     if flat.size:
         nonempty = flat != ""      # split() yields '' at boundary runs
         flat, docs = flat[nonempty], docs[nonempty]
-    h = (hash_strings(flat) if flat.size
-         else np.empty(0, dtype=np.uint64))
-    h, docs = _distinct_pairs(h, docs)
+        # per-row non-empty token count = the BM25 doc length
+        row_ids = np.repeat(np.arange(len(batch)), lens)[nonempty]
+        doclen = np.bincount(row_ids, minlength=len(batch))
+    else:
+        doclen = np.zeros(len(batch), dtype=np.int64)
+    hs = (hash_strings(flat) if flat.size
+          else np.empty(0, dtype=np.uint64))
+    if hs.size:
+        # one lexsort: duplicate (term, doc) occurrences collapse to a
+        # run; the run length IS the in-document term frequency
+        order = np.lexsort((docs, hs))
+        hs, ds_ = hs[order], docs[order]
+        new = np.empty(hs.size, dtype=bool)
+        new[0] = True
+        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        grp = np.cumsum(new) - 1
+        tf = np.bincount(grp).astype(np.int64)
+        h, pdocs = hs[new], ds_[new]
+    else:
+        h, pdocs, tf = hs, docs, np.empty(0, np.int64)
+    all_ids = batch[id_col].to_numpy()
+    dhash = (column_hashes(pa.array(all_ids)) if len(batch)
+             else np.empty(0, dtype=np.uint64))
+    kind = np.concatenate([np.zeros(h.size, np.int8),
+                           np.ones(dhash.size, np.int8)])
     return pd.DataFrame({
-        "h": h,
-        "doc": docs,
-        "shard": shard_of(h, nshards) if h.size
-        else np.empty(0, dtype=np.int64),
+        "h": np.concatenate([h, dhash]),
+        "doc": np.concatenate([pdocs, all_ids]),
+        "tf": np.concatenate([tf, doclen.astype(np.int64)]),
+        "kind": kind,
+        "shard": shard_of(np.concatenate([h, dhash]), nshards)
+        if (h.size + dhash.size) else np.empty(0, dtype=np.int64),
     })
 
 
 def _write_shard_file(path: str, h: np.ndarray, d: np.ndarray,
-                      doc_type: pa.DataType) -> None:
+                      doc_type: pa.DataType,
+                      tf: np.ndarray | None = None) -> None:
+    if tf is None:
+        tf = np.ones(h.size, dtype=np.int64)
     sink = pa.BufferOutputStream()
     pq.write_table(pa.table({"h": pa.array(h, pa.uint64()),
-                             "doc": pa.array(d, doc_type)}), sink)
+                             "doc": pa.array(d, doc_type),
+                             "tf": pa.array(tf, pa.int64())}), sink)
     fsio.atomic_write(path, sink.getvalue().to_pybytes(), fsync=False)
 
 
 def _read_shard_file(path: str, columns=None) -> pa.Table:
     if not fsio.exists(path):
         return pa.table({"h": pa.array([], pa.uint64()),
-                         "doc": pa.array([], pa.int64())})
+                         "doc": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int64())})
     return pq.read_table(pa.BufferReader(fsio.read_bytes(path)),
                          columns=columns)
+
+
+def _doclen_path(index_dir: str, shard: int) -> str:
+    return index_dir.rstrip("/") + f"/doclens-{shard:05d}.parquet"
+
+
+def _write_doclen_file(path: str, h: np.ndarray, lens: np.ndarray) \
+        -> None:
+    sink = pa.BufferOutputStream()
+    pq.write_table(pa.table({"h": pa.array(h, pa.uint64()),
+                             "len": pa.array(lens, pa.int64())}), sink)
+    fsio.atomic_write(path, sink.getvalue().to_pybytes(), fsync=False)
+
+
+def _read_doclen_file(path: str) -> tuple[np.ndarray, np.ndarray]:
+    if not fsio.exists(path):
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    t = pq.read_table(pa.BufferReader(fsio.read_bytes(path)))
+    return t["h"].to_numpy(), t["len"].to_numpy()
+
+
+def _merge_doclens(h: np.ndarray, lens: np.ndarray):
+    """Sort by doc hash; duplicates keep the LAST write (replace)."""
+    if h.size == 0:
+        return h, lens
+    order = np.argsort(h, kind="stable")
+    h, lens = h[order], lens[order]
+    last = np.empty(h.size, dtype=bool)
+    last[:-1] = h[1:] != h[:-1]
+    last[-1] = True
+    return h[last], lens[last]
 
 
 def build_text_index(
@@ -169,20 +246,29 @@ def build_text_index(
         empty = pa.table({"shard": pa.array([], pa.int32()),
                           "n": pa.array([], pa.int64()),
                           "terms": pa.array([], pa.int64()),
+                          "ndocs": pa.array([], pa.int64()),
+                          "toklen": pa.array([], pa.int64()),
                           "doc_type": pa.array([], pa.string())})
         if group.num_rows == 0:
             return empty
         shard = int(group["shard"][0].as_py())
+        kind = group["kind"].to_numpy(zero_copy_only=False)
         h = group["h"].combine_chunks().to_numpy()
         d = group["doc"].combine_chunks().to_numpy(zero_copy_only=False)
-        h, d = _distinct_pairs(h, d)   # cross-batch duplicate pairs
-        _write_shard_file(_shard_path(index_dir, shard), h, d,
-                          group.schema.field("doc").type)
-        nterms = int((np.diff(h) != 0).sum()) + 1 if h.size else 0
+        tf = group["tf"].combine_chunks().to_numpy()
+        pm = kind == 0
+        ph, pd_, ptf = _merge_pairs(h[pm], d[pm], tf[pm])
+        _write_shard_file(_shard_path(index_dir, shard), ph, pd_,
+                          group.schema.field("doc").type, ptf)
+        dh, dl = _merge_doclens(h[~pm], tf[~pm])
+        _write_doclen_file(_doclen_path(index_dir, shard), dh, dl)
+        nterms = int((np.diff(ph) != 0).sum()) + 1 if ph.size else 0
         return pa.table({
             "shard": pa.array([shard], pa.int32()),
-            "n": pa.array([h.size], pa.int64()),
+            "n": pa.array([ph.size], pa.int64()),
             "terms": pa.array([nterms], pa.int64()),
+            "ndocs": pa.array([dh.size], pa.int64()),
+            "toklen": pa.array([int(dl.sum())], pa.int64()),
             "doc_type": pa.array([str(group.schema.field("doc").type)],
                                  pa.string())})
 
@@ -200,6 +286,8 @@ def build_text_index(
         if s not in counts:
             _write_shard_file(_shard_path(index_dir, s), e,
                               np.empty(0, dtype=np.int64), pa.int64())
+            _write_doclen_file(_doclen_path(index_dir, s), e,
+                               np.empty(0, dtype=np.int64))
             counts[s] = (0, 0)
     meta = {
         "nshards": nshards,
@@ -209,10 +297,13 @@ def build_text_index(
         "doc_type": doc_type,
         "postings": sum(n for n, _ in counts.values()),
         "terms": sum(t for _, t in counts.values()),
+        "ndocs": sum(int(r["ndocs"]) for r in rows),
+        "total_tokens": sum(int(r["toklen"]) for r in rows),
     }
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
-    return {"postings": meta["postings"], "terms": meta["terms"]}
+    return {"postings": meta["postings"], "terms": meta["terms"],
+            "ndocs": meta["ndocs"]}
 
 
 def _index_meta(index_dir: str) -> dict:
@@ -308,11 +399,16 @@ def refresh_text_index(index_dir: str) -> dict:
 
     from ..stages.dedup import gather_small
 
+    from ..functions.hashing import column_hashes
+
     purge_tbl = gather_small(
         feed.map_batches(purge_batch, batch_format="pyarrow"),
         pa.table({id_col: pa.array([], pa.int64())}))
     purge = np.unique(purge_tbl[id_col].to_numpy(zero_copy_only=False))
-    purge_ref = ray.put(purge)
+    # hashes of the purged ids locate their doclen entries
+    purge_h = (np.unique(column_hashes(pa.array(purge)))
+               if purge.size else np.empty(0, np.uint64))
+    purge_ref = ray.put((purge, purge_h))
 
     # additions: the new content's postings (re-projected fresh)
     def add_batch(b: pa.Table) -> pd.DataFrame:
@@ -327,25 +423,44 @@ def refresh_text_index(index_dir: str) -> dict:
 
     def merge_shard(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({"shard": pa.array([], pa.int32())})
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "ddocs": pa.array([], pa.int64()),
+                             "dtok": pa.array([], pa.int64())})
         shard = int(group["shard"][0].as_py())
-        _apply_shard(index_dir, shard, ray.get(purge_ref),
-                     group["h"].combine_chunks().to_numpy(),
-                     group["doc"].combine_chunks().to_numpy(zero_copy_only=False),
-                     group.schema.field("doc").type)
-        return pa.table({"shard": pa.array([shard], pa.int32())})
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        pm = kind == 0
+        gh = group["h"].combine_chunks().to_numpy()
+        gd = group["doc"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        gtf = group["tf"].combine_chunks().to_numpy()
+        pg, pgh = ray.get(purge_ref)
+        ddocs, dtok = _apply_shard(
+            index_dir, shard, pg, pgh,
+            gh[pm], gd[pm], gtf[pm].astype(np.int64),
+            gh[~pm], gtf[~pm].astype(np.int64),
+            group.schema.field("doc").type)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "ddocs": pa.array([ddocs], pa.int64()),
+                         "dtok": pa.array([dtok], pa.int64())})
 
-    touched = {int(r["shard"]) for r in
-               (adds.groupby("shard")
-                .map_groups(merge_shard, batch_format="pyarrow")
-                .take_all())}
+    rows = (adds.groupby("shard")
+            .map_groups(merge_shard, batch_format="pyarrow")
+            .take_all())
+    touched = {int(r["shard"]) for r in rows}
+    ddocs = sum(int(r["ddocs"]) for r in rows)
+    dtok = sum(int(r["dtok"]) for r in rows)
     # purge-only shards (no additions hashed into them) still sweep;
     # the purge set ships as the ray.put ref (dereferenced on arrival,
     # once per node), not by value per task
     if purge.size:
         rest = [s for s in range(nshards) if s not in touched]
-        ray.get([_purge_shard_task.remote(index_dir, s, purge_ref)
-                 for s in rest])
+        for dd, dt in ray.get([
+                _purge_shard_task.remote(index_dir, s, purge_ref)
+                for s in rest]):
+            ddocs += dd
+            dtok += dt
+    meta["ndocs"] = int(meta.get("ndocs", 0)) + ddocs
+    meta["total_tokens"] = int(meta.get("total_tokens", 0)) + dtok
     meta["cursor"] = now
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
@@ -354,31 +469,53 @@ def refresh_text_index(index_dir: str) -> dict:
 
 
 def _apply_shard(index_dir: str, shard: int, purge: np.ndarray,
+                 purge_h: np.ndarray,
                  add_h: np.ndarray, add_d: np.ndarray,
-                 doc_type: pa.DataType) -> None:
-    """Purge ids then merge additions into one shard file (atomic)."""
+                 add_tf: np.ndarray,
+                 len_h: np.ndarray, len_v: np.ndarray,
+                 doc_type: pa.DataType) -> tuple[int, int]:
+    """Purge ids then merge additions into one shard's posting AND
+    doclen files (atomic each).  Returns (Δdocs, Δtokens) from the
+    doclen side for the meta fold."""
     path = _shard_path(index_dir, shard)
     old = _read_shard_file(path)
     h = old["h"].to_numpy()
     d = old["doc"].to_numpy()
+    tf = old["tf"].to_numpy()
     if purge.size and d.size:
         keep = ~np.isin(d, purge)
-        h, d = h[keep], d[keep]
+        h, d, tf = h[keep], d[keep], tf[keep]
     if add_h.size:
         h = np.concatenate([h, add_h])
         d = np.concatenate([d, add_d])
-    h, d = _distinct_pairs(h, d)
+        tf = np.concatenate([tf, add_tf])
+    h, d, tf = _merge_pairs(h, d, tf)
     if old.num_rows:
         doc_type = old.schema.field("doc").type
-    _write_shard_file(path, h, d, doc_type)
+    _write_shard_file(path, h, d, doc_type, tf)
+    # doclen side: purge by doc HASH, then replace-merge additions
+    lpath = _doclen_path(index_dir, shard)
+    oh, ol = _read_doclen_file(lpath)
+    n0, t0 = oh.size, int(ol.sum()) if ol.size else 0
+    if purge_h.size and oh.size:
+        keep = ~np.isin(oh, purge_h)
+        oh, ol = oh[keep], ol[keep]
+    if len_h.size:
+        oh = np.concatenate([oh, len_h])
+        ol = np.concatenate([ol, len_v])
+    oh, ol = _merge_doclens(oh, ol)
+    _write_doclen_file(lpath, oh, ol)
+    return (oh.size - n0, (int(ol.sum()) if ol.size else 0) - t0)
 
 
 @ray.remote
 def _purge_shard_task(index_dir: str, shard: int,
-                      purge: np.ndarray) -> None:
-    _apply_shard(index_dir, shard, purge,
-                 np.empty(0, dtype=np.uint64),
-                 np.empty(0, dtype=np.int64), pa.int64())
+                      purge_pair) -> tuple[int, int]:
+    purge, purge_h = purge_pair
+    e64 = np.empty(0, dtype=np.uint64)
+    ei = np.empty(0, dtype=np.int64)
+    return _apply_shard(index_dir, shard, purge, purge_h,
+                        e64, ei, ei, e64, ei, pa.int64())
 
 
 def append_text_index(
@@ -400,26 +537,49 @@ def append_text_index(
     def merge_shard(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({"shard": pa.array([], pa.int32()),
-                             "dn": pa.array([], pa.int64())})
+                             "dn": pa.array([], pa.int64()),
+                             "ddocs": pa.array([], pa.int64()),
+                             "dtok": pa.array([], pa.int64())})
         shard = int(group["shard"][0].as_py())
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        gh = group["h"].combine_chunks().to_numpy()
+        gd = group["doc"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        gtf = group["tf"].combine_chunks().to_numpy()
+        pm = kind == 0
         path = _shard_path(index_dir, shard)
         old = _read_shard_file(path)
-        h = np.concatenate([old["h"].to_numpy(),
-                            group["h"].combine_chunks().to_numpy()])
-        d = np.concatenate([old["doc"].to_numpy(),
-                            group["doc"].combine_chunks().to_numpy(zero_copy_only=False)])
-        h, d = _distinct_pairs(h, d)
+        h = np.concatenate([old["h"].to_numpy(), gh[pm]])
+        d = np.concatenate([old["doc"].to_numpy(), gd[pm]])
+        tf = np.concatenate([old["tf"].to_numpy(),
+                             gtf[pm].astype(np.int64)])
+        h, d, tf = _merge_pairs(h, d, tf)
         doc_type = (old.schema.field("doc").type if old.num_rows
                     else group.schema.field("doc").type)
-        _write_shard_file(path, h, d, doc_type)
-        return pa.table({"shard": pa.array([shard], pa.int32()),
-                         "dn": pa.array([h.size - old.num_rows],
-                                        pa.int64())})
+        _write_shard_file(path, h, d, doc_type, tf)
+        # doclens: new rows replace (stable sort keeps the increment)
+        lpath = _doclen_path(index_dir, shard)
+        oh, ol = _read_doclen_file(lpath)
+        old_docs, old_tok = oh.size, int(ol.sum()) if ol.size else 0
+        nh, nl = _merge_doclens(
+            np.concatenate([oh, gh[~pm]]),
+            np.concatenate([ol, gtf[~pm].astype(np.int64)]))
+        _write_doclen_file(lpath, nh, nl)
+        return pa.table({
+            "shard": pa.array([shard], pa.int32()),
+            "dn": pa.array([h.size - old.num_rows], pa.int64()),
+            "ddocs": pa.array([nh.size - old_docs], pa.int64()),
+            "dtok": pa.array([int(nl.sum()) - old_tok], pa.int64())})
 
     merged = (proj.groupby("shard")
               .map_groups(merge_shard, batch_format="pyarrow"))
-    added = sum(int(r["dn"]) for r in merged.take_all())
+    rows = merged.take_all()
+    added = sum(int(r["dn"]) for r in rows)
     meta["postings"] = int(meta["postings"]) + added
+    meta["ndocs"] = int(meta.get("ndocs", 0)) + \
+        sum(int(r["ddocs"]) for r in rows)
+    meta["total_tokens"] = int(meta.get("total_tokens", 0)) + \
+        sum(int(r["dtok"]) for r in rows)
     meta.pop("terms", None)    # exact term count needs a full rescan
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
@@ -556,3 +716,159 @@ def search_container(
         return rd.from_arrow(pa.table({}))
     return lookup_rows(container_dir, meta["id_col"], ids.tolist(),
                        columns=columns)
+
+
+@ray.remote
+def _fetch_tf_task(index_dir: str, shard: int, hs: np.ndarray) -> dict:
+    """(doc ids, term frequencies) per term hash — the ranked-search
+    fetch.  Returned mass is bounded by the caller's Σdf guard."""
+    t = _read_shard_file(_shard_path(index_dir, shard))
+    h = t["h"].to_numpy()
+    d = t["doc"]
+    tf = t["tf"].to_numpy()
+    out = {}
+    for th in hs:
+        lo = np.searchsorted(h, th, side="left")
+        hi = np.searchsorted(h, th, side="right")
+        out[int(th)] = (d[lo:hi].to_numpy(zero_copy_only=False),
+                        tf[lo:hi].astype(np.float64))
+    return out
+
+
+@ray.remote
+def _doclen_task(index_dir: str, shard: int, dh: np.ndarray) -> dict:
+    """doc_hash → token length for the requested hashes (searchsorted
+    over the shard's sorted doclen file)."""
+    h, lens = _read_doclen_file(_doclen_path(index_dir, shard))
+    if h.size == 0:
+        return {}
+    idx = np.searchsorted(h, dh)
+    ok = (idx < h.size) & (h[np.minimum(idx, h.size - 1)] == dh)
+    return {int(x): int(lens[i])
+            for x, i, hit in zip(dh, idx, ok) if hit}
+
+
+def ranked_search_index(
+    index_dir: str,
+    terms,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    max_postings: int = 10_000_000,
+) -> pa.Table:
+    """BM25 top-k over the inverted index (P73): classic Robertson/
+    Spärck-Jones scoring — idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    tf saturation k1, length normalization b against the corpus
+    average doc length (both maintained in the index meta; doc lengths
+    come from the per-shard doclen files built in the same exchange as
+    the postings).
+
+    Ranked retrieval is OR-shaped, so the fetch mass is Σ df over the
+    query terms — guarded by ``max_postings`` like the boolean OR.
+    Returns (doc, score, rank), ties broken by ascending doc id."""
+    from ..functions.hashing import column_hashes
+
+    terms = list(terms)
+    if not terms:
+        raise ValueError("ranked_search_index needs at least one term")
+    meta = _index_meta(index_dir)
+    nshards = int(meta["nshards"])
+    n_docs = int(meta.get("ndocs", 0))
+    if n_docs <= 0:
+        raise ValueError(f"{index_dir}: index predates ranked search "
+                         "(no ndocs in meta) — rebuild it")
+    avgdl = max(1.0, float(meta.get("total_tokens", 0)) / n_docs)
+    hs = np.unique(term_hashes(terms))
+    shards = shard_of(hs, nshards)
+    by_shard = {int(s): hs[shards == s] for s in np.unique(shards)}
+
+    counts: dict[int, int] = {}
+    for c in ray.get([_count_task.remote(index_dir, s, shs)
+                      for s, shs in by_shard.items()]):
+        counts.update(c)
+    total = int(sum(counts.values()))
+    if total == 0:
+        return pa.table({"doc": pa.array([]),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    if total > max_postings:
+        raise ValueError(
+            f"ranked query fetches {total} postings "
+            f"(> max_postings={max_postings}) — refine the query")
+
+    fetched: dict[int, tuple] = {}
+    for part in ray.get([_fetch_tf_task.remote(index_dir, s, shs)
+                         for s, shs in by_shard.items()]):
+        fetched.update(part)
+
+    docs_all = np.concatenate([fetched[int(t)][0] for t in hs])
+    tf_all = np.concatenate([fetched[int(t)][1] for t in hs])
+    idf = {int(t): float(np.log1p(
+        (n_docs - counts[int(t)] + 0.5) / (counts[int(t)] + 0.5)))
+        for t in hs}
+    w_all = np.concatenate([
+        np.full(fetched[int(t)][0].size, idf[int(t)]) for t in hs])
+
+    cand = np.unique(docs_all)             # sorted — the tie-break key
+    # doc lengths for the candidates (distributed probe by doc hash)
+    ch = column_hashes(pa.array(cand))
+    cshards = shard_of(ch, nshards)
+    lenmap: dict[int, int] = {}
+    for part in ray.get([
+            _doclen_task.remote(index_dir, int(s), ch[cshards == s])
+            for s in np.unique(cshards)]):
+        lenmap.update(part)
+    dl = np.array([lenmap.get(int(x), avgdl) for x in ch],
+                  dtype=np.float64)
+
+    pos = np.searchsorted(cand, docs_all)
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    np.add.at(scores, pos,
+              w_all * tf_all * (k1 + 1.0) / (tf_all + norm[pos]))
+    # cand is ascending; a stable sort on -score keeps doc-ascending
+    # order inside score ties
+    order = np.argsort(-scores, kind="stable")[:k]
+    return pa.table({
+        "doc": pa.array(cand[order]),
+        "score": pa.array(scores[order], pa.float64()),
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+    })
+
+
+def search_container_ranked(
+    container_dir: str,
+    index_dir: str,
+    terms,
+    k: int = 10,
+    columns: list[str] | None = None,
+    k1: float = 1.5,
+    b: float = 0.75,
+    max_postings: int = 10_000_000,
+) -> rd.Dataset:
+    """BM25 top-k + row fetch: rank against the index, then pull only
+    the k winning rows through ``lookup_rows``' pruning; the score and
+    rank columns ride along (broadcast of a k-sized map)."""
+    from .encode_pipeline import lookup_rows
+
+    meta = _index_meta(index_dir)
+    ranked = ranked_search_index(index_dir, terms, k=k, k1=k1, b=b,
+                                 max_postings=max_postings)
+    if ranked.num_rows == 0:
+        return rd.from_arrow(pa.table({}))
+    id_col = meta["id_col"]
+    score_of = {d: (float(s), int(r)) for d, s, r in
+                zip(ranked["doc"].to_pylist(),
+                    ranked["score"].to_pylist(),
+                    ranked["rank"].to_pylist())}
+
+    def attach(bt: pa.Table) -> pa.Table:
+        vals = bt[id_col].to_pylist()
+        return (bt.append_column("score", pa.array(
+            [score_of[v][0] for v in vals], pa.float64()))
+            .append_column("rank", pa.array(
+                [score_of[v][1] for v in vals], pa.int64())))
+
+    rows = lookup_rows(container_dir, id_col,
+                       ranked["doc"].to_pylist(), columns=columns)
+    return rows.map_batches(attach, batch_format="pyarrow")

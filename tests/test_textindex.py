@@ -174,3 +174,129 @@ def test_string_doc_ids(tmp_path, ray_session):
     assert sorted(got) == want
     append_text_index(rd.from_pandas(df.iloc[:2]), d)  # idempotent
     assert sorted(probe_text_index(d, ["beta", "gamma"])) == want
+
+
+# ----------------------- P73 ranked retrieval -----------------------
+
+def _bm25_reference(terms, k1=1.5, b=0.75):
+    """Scalar BM25 over DOCS with the module's tokenizer."""
+    import math
+
+    toks = {r.doc_id: [p for p in re.split(r"[^a-z0-9]+",
+                                           r.text.lower()) if p]
+            for r in DOCS.itertuples()}
+    N = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    scores = {}
+    for t in terms:
+        df = sum(1 for v in toks.values() if t in v)
+        if df == 0:
+            continue
+        idf = math.log1p((N - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(t)
+            if tf:
+                dl = len(v)
+                scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1) \
+                    / (tf + k1 * (1 - b + b * dl / avgdl))
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_ranked_search_matches_scalar_bm25(index, ray_session):
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        ranked_search_index,
+    )
+
+    for terms in (["alpha"], ["alpha", "beta"],
+                  ["beta", "delta", "zzz"]):
+        got = ranked_search_index(index, terms, k=10)
+        want = _bm25_reference(terms)
+        assert got["doc"].to_pylist() == [d for d, _ in want]
+        for gs, (_, ws) in zip(got["score"].to_pylist(), want):
+            assert abs(gs - ws) < 1e-9
+        assert got["rank"].to_pylist() == list(
+            range(1, len(want) + 1))
+
+
+def test_ranked_search_tf_saturation(index, ray_session):
+    """doc 3 repeats 'alpha' 3× — it must outrank single-occurrence
+    docs for the query 'alpha', but by less than 3× (saturation)."""
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        ranked_search_index,
+    )
+
+    got = ranked_search_index(index, ["alpha"], k=10)
+    scores = dict(zip(got["doc"].to_pylist(),
+                      got["score"].to_pylist()))
+    assert got["doc"][0].as_py() == 3          # highest tf wins
+    assert scores[3] > scores[1]
+    assert scores[3] < 3 * scores[1] * 1.5     # saturated, not linear
+
+
+def test_ranked_search_after_refresh(tmp_path, ray_session):
+    """Ranked retrieval stays correct through the CDC refresh: tf and
+    doclen entries follow deletes and updates."""
+    import ray.data as rd2
+
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        index_container_text,
+        ranked_search_index,
+        refresh_text_index,
+    )
+
+    import pyarrow as pa2
+
+    src = str(tmp_path / "rsrc")
+    df = DOCS.assign(grp="a")
+    encode_dataset(rd2.from_arrow(pa2.Table.from_pandas(df)), src,
+                   EncodeOptions(group_col="grp", weight_col=None,
+                                 sort_key="doc_id"))
+    idx = str(tmp_path / "ridx")
+    index_container_text(src, idx, nshards=8)
+    delete_rows(src, "doc_id", values=[3])   # drop the tf-heavy doc
+    refresh_text_index(idx)
+    got = ranked_search_index(idx, ["alpha"], k=10)
+    assert 3 not in got["doc"].to_pylist()
+    # reference over the remaining docs
+    ref = str(tmp_path / "rref")
+    index_container_text(src, ref, nshards=8)
+    want = ranked_search_index(ref, ["alpha"], k=10)
+    assert got["doc"].to_pylist() == want["doc"].to_pylist()
+    for a, w in zip(got["score"].to_pylist(),
+                    want["score"].to_pylist()):
+        assert abs(a - w) < 1e-9
+
+
+def test_search_container_ranked(tmp_path, ray_session):
+    import ray.data as rd2
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        build_text_index,
+        search_container_ranked,
+    )
+
+    src = str(tmp_path / "csrc.parquet")
+    df = DOCS.assign(source="s", n_chars=DOCS.text.str.len())
+    df.to_parquet(src)
+    cont = str(tmp_path / "ccont")
+    encode_dataset(src, cont, EncodeOptions(
+        group_col="source", weight_col="n_chars", sort_key="doc_id"))
+    idx = str(tmp_path / "cidx")
+    build_text_index(rd2.read_parquet(src, columns=["doc_id", "text"]),
+                     idx, nshards=8)
+    rows = search_container_ranked(cont, idx, ["alpha", "beta"], k=3,
+                                   columns=["doc_id", "text"]).take_all()
+    want = _bm25_reference(["alpha", "beta"])[:3]
+    got = sorted(rows, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    assert all({"doc_id", "text", "score", "rank"} == set(r)
+               for r in rows)
