@@ -360,6 +360,22 @@ def cmd_maintain(args) -> dict:
         refresh_sidecars=not args.no_sidecars)
 
 
+def cmd_generated(args) -> dict:
+    """Declare or show P74 generated columns."""
+    import json as _json
+
+    from .pipelines.generated_pipeline import get_generated, set_generated
+
+    if args.set:
+        specs = {}
+        for item in args.set:
+            name, spec = item.split("=", 1)
+            specs[name] = _json.loads(spec)
+        return set_generated(args.container, specs,
+                             validate=not args.no_validate)
+    return {"generated": get_generated(args.container)}
+
+
 def cmd_sidecars(args) -> dict:
     """List or refresh a container's registered sidecars (P72)."""
     from .pipelines.sidecar_registry import (
@@ -700,6 +716,14 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--no-sidecars", action="store_true",
                      help="skip the P72 sidecar-refresh step")
 
+    gen = sub.add_parser("generated",
+                         help="declare/show P74 generated columns")
+    gen.add_argument("--container", required=True)
+    gen.add_argument("--set", action="append", default=None,
+                     help='name=["op","src",arg] (JSON spec); repeatable')
+    gen.add_argument("--no-validate", action="store_true",
+                     help="skip retroactive validation of existing rows")
+
     sdc = sub.add_parser("sidecars",
                          help="list/refresh registered sidecars (P72)")
     sdc.add_argument("--container", required=True)
@@ -1010,6 +1034,7 @@ def main(argv: list[str] | None = None) -> int:
            "constraints": cmd_constraints,
            "replicate": cmd_replicate,
            "sidecars": cmd_sidecars,
+           "generated": cmd_generated,
            "index-text": cmd_index_text,
            "search": cmd_search,
            "analyze": cmd_analyze,

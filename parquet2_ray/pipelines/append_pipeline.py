@@ -403,6 +403,21 @@ def append_dataset(
 
     fsio.ensure_dir(out_dir)
     mf.manifest_dir(out_dir)             # claims live here
+    # generated columns (P74): derive/overwrite them on the increment
+    # BEFORE schema checks, validation and planning, so every ingest
+    # path stores the identical derived values
+    from .generated_pipeline import apply_generated, get_generated
+
+    gspecs = get_generated(out_dir)
+    if gspecs:
+        gds = (input_path if isinstance(input_path, rd.Dataset)
+               else rd.read_parquet(input_path, filesystem=filesystem))
+        if columns is not None:
+            gds = gds.select_columns(columns)
+            columns = None
+        input_path = gds.map_batches(
+            lambda b: apply_generated(b, gspecs),
+            batch_format="pyarrow")
     _check_schema_compatible(input_path, out_dir, columns, filesystem,
                              evolve=evolve_schema)
     # declared CHECK constraints (P65) validate the increment BEFORE

@@ -155,6 +155,16 @@ def upsert_rows(
             upsert_id = _input_append_id(new_input, filesystem)
         new_ds = rd.read_parquet(new_input, filesystem=filesystem)
 
+    # generated columns (P74): derive/overwrite on the increment so
+    # upserted rows carry the same derived values appends would
+    from .generated_pipeline import apply_generated, get_generated
+
+    gspecs = get_generated(out_dir)
+    if gspecs:
+        new_ds = new_ds.map_batches(
+            lambda b: apply_generated(b, gspecs),
+            batch_format="pyarrow")
+
     records = mf.load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
