@@ -945,6 +945,27 @@ def encode_dataset(
     t0 = time.time()
     from ..state import fsio as _fsio
     _fsio.ensure_dir(out_dir)
+    # generated columns (P74) declared BEFORE the first encode: derive
+    # them here so container creation enforces the same invariant the
+    # append/upsert hooks do.  Path inputs route through a Dataset read
+    # (losing the fused read+split fast path) only when specs exist —
+    # the flagship encode with no declared specs pays one file-exists
+    # check.  append_dataset applies specs itself (pre-planning), so
+    # its _plan_ctx arrives already derived.
+    if _plan_ctx is None:
+        from .generated_pipeline import apply_generated, get_generated
+
+        _gspecs = get_generated(out_dir)
+        if _gspecs:
+            _gds = (input_path if isinstance(input_path, rd.Dataset)
+                    else rd.read_parquet(input_path,
+                                         filesystem=filesystem))
+            if columns is not None:
+                _gds = _gds.select_columns(columns)
+                columns = None
+            input_path = _gds.map_batches(
+                lambda b: apply_generated(b, _gspecs),
+                batch_format="pyarrow")
     ctx = _plan_ctx or plan_encode(input_path, opts, columns, filesystem)
     plan = ctx["plan"]
     file_meta = ctx["file_meta"]

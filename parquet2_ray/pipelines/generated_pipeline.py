@@ -88,8 +88,17 @@ def _compute(spec: list, col: pa.ChunkedArray | pa.Array) -> pa.Array:
     if op == "length":
         return pc.utf8_length(col).cast(pa.int64())
     n = np.int64(spec[2])
+    unit_div = np.int64(1)
     if op == "floor_time":
-        col = col.cast(pa.timestamp("s")).cast(pa.int64())
+        # sub-second timestamps floor via integer division in the
+        # column's NATIVE unit (a safe cast to timestamp[s] would
+        # raise on any non-whole-second value); // floors toward -inf,
+        # matching DuckDB's floor(epoch(ts))
+        t = col.type
+        if pa.types.is_timestamp(t):
+            unit_div = np.int64(
+                {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[t.unit])
+        col = col.cast(pa.int64())
     else:
         col = col.cast(pa.int64())
     vals = col.to_numpy(zero_copy_only=False)
@@ -98,6 +107,8 @@ def _compute(spec: list, col: pa.ChunkedArray | pa.Array) -> pa.Array:
     safe = np.where(np.isnan(vals), 0, vals) if vals.dtype.kind == "f" \
         else vals
     safe = safe.astype(np.int64)
+    if unit_div > 1:
+        safe = safe // unit_div
     if op == "mod":
         out = safe % n
     else:
@@ -162,11 +173,16 @@ def set_generated(out_dir: str, generated: dict[str, list],
                     raise ValueError(
                         f"generated column {name!r} missing from "
                         "existing rows — re-encode to backfill")
+                have = b[name].combine_chunks()
                 want = _compute(spec, b[spec[1]])
-                eq = pc.equal(b[name].combine_chunks().cast(
-                    want.type), want)
-                bad += int(pc.sum(pc.if_else(
-                    pc.fill_null(eq, False), 0, 1)).as_py() or 0)
+                # null == null is a MATCH here (nulls propagate by
+                # design, so a stored null against a derived null is
+                # exactly what apply_generated wrote)
+                eq = pc.equal(have.cast(want.type), want)
+                both_null = pc.and_(pc.is_null(have),
+                                    pc.is_null(want))
+                ok = pc.or_(pc.fill_null(eq, False), both_null)
+                bad += int(pc.sum(pc.if_else(ok, 0, 1)).as_py() or 0)
             return pa.table({"bad": pa.array([bad], pa.int64())})
 
         total_bad = sum(r["bad"] for r in

@@ -186,8 +186,16 @@ def _read_shard_file(path: str, columns=None) -> pa.Table:
         return pa.table({"h": pa.array([], pa.uint64()),
                          "doc": pa.array([], pa.int64()),
                          "tf": pa.array([], pa.int64())})
-    return pq.read_table(pa.BufferReader(fsio.read_bytes(path)),
-                         columns=columns)
+    t = pq.read_table(pa.BufferReader(fsio.read_bytes(path)),
+                      columns=columns)
+    # pre-P73 shard files have no tf column — synthesize tf=1 so
+    # refresh/append over an old index degrade gracefully (boolean
+    # search is unaffected; rebuild to get real frequencies)
+    if (columns is None or "tf" in columns) and \
+            "tf" not in t.column_names:
+        t = t.append_column(
+            "tf", pa.array(np.ones(t.num_rows, np.int64)))
+    return t
 
 
 def _doclen_path(index_dir: str, shard: int) -> str:
@@ -289,6 +297,13 @@ def build_text_index(
             _write_doclen_file(_doclen_path(index_dir, s), e,
                                np.empty(0, dtype=np.int64))
             counts[s] = (0, 0)
+    # per-shard ABSOLUTE doclen stats: folds update a shard's entry
+    # with the file's absolute state, so a crashed-then-rerun window
+    # converges instead of double-counting deltas
+    dstats = {str(int(r["shard"])): [int(r["ndocs"]), int(r["toklen"])]
+              for r in rows}
+    for s in range(nshards):
+        dstats.setdefault(str(s), [0, 0])
     meta = {
         "nshards": nshards,
         "tokenizer": _TOKENIZER_ID,
@@ -297,8 +312,9 @@ def build_text_index(
         "doc_type": doc_type,
         "postings": sum(n for n, _ in counts.values()),
         "terms": sum(t for _, t in counts.values()),
-        "ndocs": sum(int(r["ndocs"]) for r in rows),
-        "total_tokens": sum(int(r["toklen"]) for r in rows),
+        "doclen_shards": dstats,
+        "ndocs": sum(v[0] for v in dstats.values()),
+        "total_tokens": sum(v[1] for v in dstats.values()),
     }
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
@@ -434,33 +450,35 @@ def refresh_text_index(index_dir: str) -> dict:
             zero_copy_only=False)
         gtf = group["tf"].combine_chunks().to_numpy()
         pg, pgh = ray.get(purge_ref)
-        ddocs, dtok = _apply_shard(
+        adocs, atok = _apply_shard(
             index_dir, shard, pg, pgh,
             gh[pm], gd[pm], gtf[pm].astype(np.int64),
             gh[~pm], gtf[~pm].astype(np.int64),
             group.schema.field("doc").type)
         return pa.table({"shard": pa.array([shard], pa.int32()),
-                         "ddocs": pa.array([ddocs], pa.int64()),
-                         "dtok": pa.array([dtok], pa.int64())})
+                         "adocs": pa.array([adocs], pa.int64()),
+                         "atok": pa.array([atok], pa.int64())})
 
     rows = (adds.groupby("shard")
             .map_groups(merge_shard, batch_format="pyarrow")
             .take_all())
     touched = {int(r["shard"]) for r in rows}
-    ddocs = sum(int(r["ddocs"]) for r in rows)
-    dtok = sum(int(r["dtok"]) for r in rows)
+    _ensure_doclen_stats(meta, index_dir)
+    for r in rows:
+        meta["doclen_shards"][str(int(r["shard"]))] = \
+            [int(r["adocs"]), int(r["atok"])]
     # purge-only shards (no additions hashed into them) still sweep;
     # the purge set ships as the ray.put ref (dereferenced on arrival,
     # once per node), not by value per task
     if purge.size:
         rest = [s for s in range(nshards) if s not in touched]
-        for dd, dt in ray.get([
+        for s, (adocs, atok) in zip(rest, ray.get([
                 _purge_shard_task.remote(index_dir, s, purge_ref)
-                for s in rest]):
-            ddocs += dd
-            dtok += dt
-    meta["ndocs"] = int(meta.get("ndocs", 0)) + ddocs
-    meta["total_tokens"] = int(meta.get("total_tokens", 0)) + dtok
+                for s in rest])):
+            meta["doclen_shards"][str(s)] = [adocs, atok]
+    meta["ndocs"] = sum(v[0] for v in meta["doclen_shards"].values())
+    meta["total_tokens"] = sum(v[1] for v in
+                               meta["doclen_shards"].values())
     meta["cursor"] = now
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
@@ -475,8 +493,9 @@ def _apply_shard(index_dir: str, shard: int, purge: np.ndarray,
                  len_h: np.ndarray, len_v: np.ndarray,
                  doc_type: pa.DataType) -> tuple[int, int]:
     """Purge ids then merge additions into one shard's posting AND
-    doclen files (atomic each).  Returns (Δdocs, Δtokens) from the
-    doclen side for the meta fold."""
+    doclen files (atomic each).  Returns the ABSOLUTE (docs, tokens)
+    of the doclen file after the write — absolute so the meta fold is
+    idempotent across crashed-and-rerun windows."""
     path = _shard_path(index_dir, shard)
     old = _read_shard_file(path)
     h = old["h"].to_numpy()
@@ -496,7 +515,6 @@ def _apply_shard(index_dir: str, shard: int, purge: np.ndarray,
     # doclen side: purge by doc HASH, then replace-merge additions
     lpath = _doclen_path(index_dir, shard)
     oh, ol = _read_doclen_file(lpath)
-    n0, t0 = oh.size, int(ol.sum()) if ol.size else 0
     if purge_h.size and oh.size:
         keep = ~np.isin(oh, purge_h)
         oh, ol = oh[keep], ol[keep]
@@ -505,7 +523,7 @@ def _apply_shard(index_dir: str, shard: int, purge: np.ndarray,
         ol = np.concatenate([ol, len_v])
     oh, ol = _merge_doclens(oh, ol)
     _write_doclen_file(lpath, oh, ol)
-    return (oh.size - n0, (int(ol.sum()) if ol.size else 0) - t0)
+    return (int(oh.size), int(ol.sum()) if ol.size else 0)
 
 
 @ray.remote
@@ -560,30 +578,48 @@ def append_text_index(
         # doclens: new rows replace (stable sort keeps the increment)
         lpath = _doclen_path(index_dir, shard)
         oh, ol = _read_doclen_file(lpath)
-        old_docs, old_tok = oh.size, int(ol.sum()) if ol.size else 0
         nh, nl = _merge_doclens(
             np.concatenate([oh, gh[~pm]]),
             np.concatenate([ol, gtf[~pm].astype(np.int64)]))
         _write_doclen_file(lpath, nh, nl)
+        # absolute file state, not deltas: meta folds stay idempotent
+        # across crashed-and-rerun windows
         return pa.table({
             "shard": pa.array([shard], pa.int32()),
             "dn": pa.array([h.size - old.num_rows], pa.int64()),
-            "ddocs": pa.array([nh.size - old_docs], pa.int64()),
-            "dtok": pa.array([int(nl.sum()) - old_tok], pa.int64())})
+            "adocs": pa.array([nh.size], pa.int64()),
+            "atok": pa.array([int(nl.sum()) if nl.size else 0],
+                             pa.int64())})
 
     merged = (proj.groupby("shard")
               .map_groups(merge_shard, batch_format="pyarrow"))
     rows = merged.take_all()
     added = sum(int(r["dn"]) for r in rows)
     meta["postings"] = int(meta["postings"]) + added
-    meta["ndocs"] = int(meta.get("ndocs", 0)) + \
-        sum(int(r["ddocs"]) for r in rows)
-    meta["total_tokens"] = int(meta.get("total_tokens", 0)) + \
-        sum(int(r["dtok"]) for r in rows)
+    _ensure_doclen_stats(meta, index_dir)
+    for r in rows:
+        meta["doclen_shards"][str(int(r["shard"]))] = \
+            [int(r["adocs"]), int(r["atok"])]
+    meta["ndocs"] = sum(v[0] for v in meta["doclen_shards"].values())
+    meta["total_tokens"] = sum(v[1] for v in
+                               meta["doclen_shards"].values())
     meta.pop("terms", None)    # exact term count needs a full rescan
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
     return {"added_postings": added}
+
+
+def _ensure_doclen_stats(meta: dict, index_dir: str) -> None:
+    """Initialize per-shard doclen stats for a pre-P73 meta by reading
+    the doclen files once (absent files count as empty)."""
+    if "doclen_shards" in meta:
+        return
+    stats = {}
+    for s in range(int(meta["nshards"])):
+        h, lens = _read_doclen_file(_doclen_path(index_dir, s))
+        stats[str(s)] = [int(h.size),
+                         int(lens.sum()) if lens.size else 0]
+    meta["doclen_shards"] = stats
 
 
 @ray.remote
@@ -604,8 +640,10 @@ def _fetch_task(index_dir: str, shard: int, hs: np.ndarray,
     set (if any) INSIDE the task — the driver only ever receives
     subsets of the rarest term's list.  ``seed`` is passed as an
     ``ray.put`` ObjectRef at the call site; Ray dereferences it on
-    arrival, so the array ships to each node once, not per task."""
-    t = _read_shard_file(_shard_path(index_dir, shard))
+    arrival, so the array ships to each node once, not per task.
+    Boolean probing never needs term frequencies — project them out."""
+    t = _read_shard_file(_shard_path(index_dir, shard),
+                         columns=["h", "doc"])
     h = t["h"].to_numpy()
     d = t["doc"].to_numpy()
     out = {}
@@ -862,13 +900,23 @@ def search_container_ranked(
                     ranked["score"].to_pylist(),
                     ranked["rank"].to_pylist())}
 
+    # lookup_rows drops the key column when the projection excludes
+    # it, but attach needs it to map scores — request it, then drop it
+    # back out if the caller didn't ask for it
+    read_cols = columns
+    drop_id = False
+    if columns is not None and id_col not in columns:
+        read_cols = list(columns) + [id_col]
+        drop_id = True
+
     def attach(bt: pa.Table) -> pa.Table:
         vals = bt[id_col].to_pylist()
-        return (bt.append_column("score", pa.array(
+        bt = (bt.append_column("score", pa.array(
             [score_of[v][0] for v in vals], pa.float64()))
             .append_column("rank", pa.array(
                 [score_of[v][1] for v in vals], pa.int64())))
+        return bt.drop_columns([id_col]) if drop_id else bt
 
     rows = lookup_rows(container_dir, id_col,
-                       ranked["doc"].to_pylist(), columns=columns)
+                       ranked["doc"].to_pylist(), columns=read_cols)
     return rows.map_batches(attach, batch_format="pyarrow")

@@ -122,6 +122,26 @@ def update_rows(
     records = mf.load_manifest(out_dir)
     if not records:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    # generated columns (P74): the positional kernel cannot recompute a
+    # derived column, so SET of a generated name (direct corruption) or
+    # of a generated column's SOURCE (would leave the derived value
+    # stale) is refused — route such changes through upsert, whose
+    # ingest hook re-derives
+    from .generated_pipeline import get_generated
+
+    gspecs = get_generated(out_dir)
+    if gspecs:
+        sources = {s[1]: n for n, s in gspecs.items()}
+        for name in set:
+            if name in gspecs:
+                raise ValueError(
+                    f"SET {name}: generated column — its value is "
+                    "derived; update the source column via upsert")
+            if name in sources:
+                raise ValueError(
+                    f"SET {name}: source of generated column "
+                    f"{sources[name]!r} — a positional update would "
+                    "leave the derived value stale; use upsert")
     tmap = union_tmap(records, column, op_name="update")
     from ..codecs.column import str_to_type
 

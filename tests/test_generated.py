@@ -161,3 +161,63 @@ def test_event_time_windowed_view(tmp_path, ray_session):
     np.testing.assert_allclose(got["value_sum"].to_numpy(),
                                want["value_sum"].to_numpy(),
                                rtol=1e-12)
+
+
+def test_floor_time_subsecond_units(ray_session):
+    """Code-review regression: ms/us/ns timestamps with non-whole
+    seconds must floor (native-unit integer division), not raise."""
+    for unit, mult in (("ms", 10**3), ("us", 10**6), ("ns", 10**9)):
+        b = pa.table({"ts": pa.array(
+            [1500 * mult // 1000, DAY * mult + 7, None],
+            pa.timestamp(unit))})
+        out = apply_generated(b, {"day": ["floor_time", "ts", DAY]})
+        assert out["day"].to_pylist() == [0, DAY, None], unit
+
+
+def test_retro_declare_accepts_null_sources(tmp_path, ray_session):
+    """Code-review regression: stored null derived values (from null
+    sources) must validate as matches, not violations."""
+    out = str(tmp_path / "nulls")
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([0, None, DAY], pa.timestamp("s")),
+        "kind": pa.array(["a"] * 3),
+    })
+    good = apply_generated(t, {"day": ["floor_time", "ts", DAY]})
+    encode_dataset(rd.from_arrow(good), out, EncodeOptions(
+        group_col="kind", weight_col=None, sort_key="event_id"))
+    set_generated(out, {"day": ["floor_time", "ts", DAY]})  # no raise
+
+
+def test_encode_applies_declared_specs(tmp_path, ray_session):
+    """Code-review regression: container CREATION derives declared
+    specs too — no manual apply_generated needed, and a wrong
+    caller-supplied column is overwritten."""
+    out = str(tmp_path / "enc")
+    set_generated(out, {"day": ["floor_time", "ts", DAY]})
+    t = _events(200)
+    wrong = t.append_column("day", pa.array([999] * 200, pa.int64()))
+    encode_dataset(rd.from_arrow(wrong), out, EncodeOptions(
+        group_col="kind", weight_col=None, sort_key="event_id"))
+    got = pa.Table.from_pylist(decode_dataset(
+        out, columns=["event_id", "day"]).take_all()).sort_by(
+        "event_id")
+    want = apply_generated(t, get_generated(out))
+    assert got["day"].to_pylist() == want["day"].to_pylist()
+
+
+def test_update_refuses_generated_and_source(tmp_path, ray_session):
+    from parquet2_ray.pipelines.update_pipeline import update_rows
+
+    out = str(tmp_path / "upd")
+    set_generated(out, {"day": ["floor_time", "ts", DAY]})
+    t = _events(100)
+    encode_dataset(rd.from_arrow(t), out, EncodeOptions(
+        group_col="kind", weight_col=None, sort_key="event_id"))
+    with pytest.raises(ValueError, match="derived"):
+        update_rows(out, "event_id", {"day": 0}, lo=0, hi=10)
+    with pytest.raises(ValueError, match="stale"):
+        update_rows(out, "event_id",
+                    {"ts": pd.Timestamp("1970-01-02")}, lo=0, hi=10)
+    # unrelated columns still update fine
+    update_rows(out, "event_id", {"value": 1.0}, lo=0, hi=10)

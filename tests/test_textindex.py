@@ -4,6 +4,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -300,3 +301,97 @@ def test_search_container_ranked(tmp_path, ray_session):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     assert all({"doc_id", "text", "score", "rank"} == set(r)
                for r in rows)
+
+
+def test_ranked_columns_excluding_id(tmp_path, ray_session):
+    """Code-review regression: a projection without the id column must
+    not break the score attach (id is fetched internally, dropped)."""
+    import ray.data as rd2
+
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        build_text_index,
+        search_container_ranked,
+    )
+
+    src = str(tmp_path / "cx.parquet")
+    df = DOCS.assign(source="s", n_chars=DOCS.text.str.len())
+    df.to_parquet(src)
+    cont = str(tmp_path / "cxc")
+    encode_dataset(src, cont, EncodeOptions(
+        group_col="source", weight_col="n_chars", sort_key="doc_id"))
+    idx = str(tmp_path / "cxi")
+    build_text_index(rd2.read_parquet(src, columns=["doc_id", "text"]),
+                     idx, nshards=4)
+    rows = search_container_ranked(cont, idx, ["beta"], k=2,
+                                   columns=["text"]).take_all()
+    assert len(rows) == 2
+    assert all(set(r) == {"text", "score", "rank"} for r in rows)
+
+
+def test_pre_p73_shard_files_tolerated(tmp_path, ray_session):
+    """Code-review regression: shard files without a tf column (built
+    pre-P73) read back with tf=1 instead of KeyError."""
+    import pyarrow.parquet as pq2
+
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        _read_shard_file,
+    )
+
+    p = str(tmp_path / "old.parquet")
+    pq2.write_table(pa.table({
+        "h": pa.array([1, 2], pa.uint64()),
+        "doc": pa.array([10, 20], pa.int64())}), p)
+    t = _read_shard_file(p)
+    assert t["tf"].to_pylist() == [1, 1]
+
+
+def test_refresh_meta_counters_crash_safe(tmp_path, ray_session):
+    """Code-review regression: ndocs/total_tokens are folded as
+    per-shard ABSOLUTES — a crashed-then-rerun refresh window must not
+    skew them (delta folds would double-apply)."""
+    import json
+
+    import ray.data as rd2
+
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        _index_meta,
+        _meta_path,
+        index_container_text,
+        refresh_text_index,
+    )
+    from parquet2_ray.state import fsio
+
+    src = str(tmp_path / "ms")
+    df = DOCS.assign(grp="a")
+    encode_dataset(rd2.from_arrow(pa.Table.from_pandas(df)), src,
+                   EncodeOptions(group_col="grp", weight_col=None,
+                                 sort_key="doc_id"))
+    idx = str(tmp_path / "mi")
+    index_container_text(src, idx, nshards=4)
+    delete_rows(src, "doc_id", values=[1, 3])
+    refresh_text_index(idx)
+    m1 = _index_meta(idx)
+    # crash before the cursor write: shard files already updated
+    m1rw = dict(m1)
+    m1rw["cursor"] = 0
+    fsio.atomic_write(_meta_path(idx), json.dumps(m1rw).encode(),
+                      fsync=False)
+    refresh_text_index(idx)   # re-runs the same window
+    m2 = _index_meta(idx)
+    assert m2["ndocs"] == m1["ndocs"]
+    assert m2["total_tokens"] == m1["total_tokens"]
+    # and they equal a from-scratch rebuild's view of the corpus
+    ref = str(tmp_path / "mr")
+    index_container_text(src, ref, nshards=4)
+    mr = _index_meta(ref)
+    assert m2["ndocs"] == mr["ndocs"]
+    assert m2["total_tokens"] == mr["total_tokens"]
