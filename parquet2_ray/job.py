@@ -479,7 +479,8 @@ def cmd_agg(args) -> dict:
                              "(sum|count|min|max|mean)")
         col, fn = spec.rsplit(":", 1)
         aggs.setdefault(col, []).append(fn)
-    t = aggregate_clustered(args.container, args.key, aggs)
+    key = args.key.split(",") if "," in args.key else args.key
+    t = aggregate_clustered(args.container, key, aggs)
     if args.output:
         import pyarrow.parquet as pq
 

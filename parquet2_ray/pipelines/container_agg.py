@@ -42,17 +42,24 @@ _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 def aggregate_clustered(
     container_dir: str,
-    key: str,
+    key: "str | list[str]",
     aggs: dict[str, list[str]],
     key_values=None,
 ) -> pa.Table:
-    """Group-by ``key`` with per-column aggregates over a container;
-    returns the complete result as one Table (output is O(distinct
-    keys) — already reduced; stream-size results belong to the window
-    stages, not a group-by).
+    """Group-by ``key`` (one column or a list — multi-key GROUP BY)
+    with per-column aggregates over a container; returns the complete
+    result as one Table (output is O(distinct keys) — already reduced;
+    stream-size results belong to the window stages, not a group-by).
+
+    Multi-key finality is decided by the FIRST key's partition spans:
+    a (k1, k2, ...) group whose k1 is contained in exactly one
+    partition has ALL its rows there, so its aggregate is final — a
+    conservative but correct stab test; extra keys only force more
+    partial combines, never wrong answers.  Cluster on the first key
+    (P43) for the shuffle-free path.
 
     ``aggs``: ``{column: ["sum", "mean", ...]}``.  Output columns are
-    named ``{column}_{fn}`` plus the key.
+    named ``{column}_{fn}`` plus the key column(s).
 
     ``key_values``: restrict the aggregate to these key values — the
     incremental-refresh shape (P70 materialized views): partitions are
@@ -61,6 +68,8 @@ def aggregate_clustered(
     rows), never a container scan.  Null is never a member of
     ``key_values`` (SQL ``IN`` semantics).
     """
+    keys = [key] if isinstance(key, str) else list(key)
+    primary = keys[0]
     for col, fns in aggs.items():
         for fn in fns:
             if fn not in ("sum", "count", "min", "max", "mean"):
@@ -77,7 +86,8 @@ def aggregate_clustered(
         from .encode_pipeline import prune_partitions
 
         keep_paths = set(prune_partitions(
-            container_dir, key_values, records=records, column=key))
+            container_dir, key_values, records=records,
+            column=primary))
         records = {pid: r for pid, r in records.items()
                    if r["path"] in keep_paths}
         if not records:
@@ -90,7 +100,7 @@ def aggregate_clustered(
     from ..functions.stats import key_span
 
     for r in records.values():
-        span = key_span(r, key)
+        span = key_span(r, primary)
         if span is None:
             spanless = True
         else:
@@ -106,7 +116,7 @@ def aggregate_clustered(
     from .encode_pipeline import _pad_to_union, _union_fields
 
     union = _union_fields(list(records.values()))
-    wanted = list(dict.fromkeys([key] + list(aggs)))
+    wanted = list(dict.fromkeys(keys + list(aggs)))
     if union is not None:
         known = {n for n, _ in union}
         missing_cols = [c for c in wanted if c not in known]
@@ -134,7 +144,7 @@ def aggregate_clustered(
 
         from ..stages.encode import decode_partition_path
 
-        cols = list(dict.fromkeys([key] + [c for c, _ in phys]))
+        cols = list(dict.fromkeys(keys + [c for c, _ in phys]))
         for p in batch["path"]:
             t = decode_partition_path(p.as_py(), columns=cols,
                                       missing_ok=pad is not None)
@@ -142,18 +152,19 @@ def aggregate_clustered(
                 t = _pad_to_union(t, pad)
             if key_set is not None and t.num_rows:
                 t = t.filter(pc.is_in(
-                    t[key], value_set=key_set.cast(t.schema.field(key)
-                                                   .type)))
+                    t[primary],
+                    value_set=key_set.cast(
+                        t.schema.field(primary).type)))
             if t.num_rows == 0:
                 continue
-            g = pa.TableGroupBy(t, key).aggregate(phys)
+            g = pa.TableGroupBy(t, keys).aggregate(phys)
             # stab count per group key: #partition spans containing it
             if force_combine or not los:
                 final = np.zeros(g.num_rows, dtype=bool)
             else:
                 from ..functions.stats import bound_in_profile_domain
 
-                kv = g[key].combine_chunks()
+                kv = g[primary].combine_chunks()
                 nulls = (kv.is_null().to_numpy(zero_copy_only=False)
                          if kv.null_count else None)
 
@@ -196,30 +207,31 @@ def aggregate_clustered(
     rest = allp.filter(pa.compute.invert(mask)).drop_columns(["__final"])
     if rest.num_rows:
         merge = [(f"{c}_{fn}", _MERGE[fn]) for c, fn in phys]
-        combined = pa.TableGroupBy(rest, key).aggregate(merge)
+        combined = pa.TableGroupBy(rest, keys).aggregate(merge)
         # aggregate() names merged cols "{col}_{fn}_{mergefn}" — restore
-        combined = _restore_names(combined, key, phys)
+        combined = _restore_names(combined, keys, phys)
         out = pa.concat_tables(
             [final_rows.select(combined.column_names), combined])
     else:
         out = final_rows
-    return _derive(out, key, aggs)
+    return _derive(out, keys, aggs)
 
 
-def _restore_names(t: pa.Table, key: str, phys: list) -> pa.Table:
+def _restore_names(t: pa.Table, keys: list, phys: list) -> pa.Table:
     names = []
     it = iter([f"{c}_{fn}" for c, fn in phys])
     for n in t.column_names:
-        names.append(n if n == key else next(it))
+        names.append(n if n in keys else next(it))
     return t.rename_columns(names)
 
 
-def _derive(t: pa.Table, key: str, aggs: dict) -> pa.Table:
+def _derive(t: pa.Table, keys: list, aggs: dict) -> pa.Table:
     """Project the physical partial columns onto the requested ones
     (mean = sum/count; drop helpers the user didn't ask for)."""
     import pyarrow.compute as pc
 
-    cols: dict[str, pa.Array] = {key: t[key].combine_chunks()}
+    cols: dict[str, pa.Array] = {k: t[k].combine_chunks()
+                                 for k in keys}
     for col, fns in aggs.items():
         for fn in fns:
             if fn == "mean":
@@ -229,4 +241,4 @@ def _derive(t: pa.Table, key: str, aggs: dict) -> pa.Table:
                     pc.cast(s, pa.float64()), pc.cast(c, pa.float64()))
             else:
                 cols[f"{col}_{fn}"] = t[f"{col}_{fn}"].combine_chunks()
-    return pa.table(cols).sort_by(key)
+    return pa.table(cols).sort_by([(k, "ascending") for k in keys])

@@ -120,3 +120,52 @@ def test_temporal_key_aggregate_with_boundary_duplicates(ray_session,
     for c in ("v_sum", "v_mean"):
         for a, b in zip(got[c].to_pylist(), want[c].to_pylist()):
             assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_multi_key_group_by(tmp_path, ray_session):
+    """P75: GROUP BY (k1, k2) over a container — finality by the first
+    key's spans, verified against DuckDB."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd2
+    from parquet2_ray.pipelines.container_agg import aggregate_clustered
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        encode_dataset,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    t = pa.table({
+        "k1": pa.array(rng.integers(0, 40, n)),
+        "k2": pa.array(np.array(["x", "y", "z"])[rng.integers(0, 3, n)]),
+        "v": pa.array(rng.normal(7, 2, n)),
+        "grp": pa.array((np.arange(n) // 750).astype(str)),
+    })
+    out = str(tmp_path / "mk")
+    encode_dataset(rd2.from_arrow(t), out, EncodeOptions(
+        group_col="grp", weight_col=None, sort_key="k1"))
+    got = aggregate_clustered(
+        out, ["k1", "k2"],
+        {"v": ["sum", "count", "mean", "min"]}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k1, k2, SUM(v) AS v_sum, COUNT(v) AS v_count, "
+        "AVG(v) AS v_mean, MIN(v) AS v_min FROM t "
+        "GROUP BY k1, k2 ORDER BY k1, k2").df()
+    got = got[want.columns.tolist()].reset_index(drop=True)
+    assert got["k1"].tolist() == want["k1"].tolist()
+    assert got["k2"].tolist() == want["k2"].tolist()
+    np.testing.assert_allclose(got["v_sum"], want["v_sum"], rtol=1e-12)
+    assert got["v_count"].tolist() == want["v_count"].tolist()
+    np.testing.assert_allclose(got["v_min"], want["v_min"], rtol=0)
+    # key_values restriction works on the PRIMARY key in multi-key mode
+    some = aggregate_clustered(out, ["k1", "k2"], {"v": ["count"]},
+                               key_values=[3, 7]).to_pandas()
+    assert set(some["k1"]) <= {3, 7}
+    w2 = want[want.k1.isin([3, 7])]
+    assert len(some) == len(w2)
