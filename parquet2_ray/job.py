@@ -95,7 +95,8 @@ def cmd_view(args) -> dict:
             aggs.setdefault(col, []).append(fn)
         if not aggs:
             raise SystemExit("view create needs at least one --agg col:fn")
-        return create_agg_view(args.source, args.view, args.key, aggs,
+        key = (args.key.split(",") if "," in args.key else args.key)
+        return create_agg_view(args.source, args.view, key, aggs,
                                target_rows=args.target_rows)
     if args.action == "refresh":
         return refresh_agg_view(args.view)

@@ -55,6 +55,32 @@ from ..state import manifest as mf
 __all__ = ["create_agg_view", "refresh_agg_view", "view_status"]
 
 _BUCKET = "_vbucket"
+_VKEY = "_vkey"
+_SEP = "\x1f"
+
+
+def _keylist(key) -> list:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _with_vkey(tbl: pa.Table, keys: list) -> pa.Table:
+    """Composite upsert key for multi-key views: the keys' string
+    forms joined on an unprintable separator (values containing
+    \x1f are out of contract, documented)."""
+    parts = [pc.cast(tbl[k].combine_chunks(), pa.string())
+             for k in keys]
+    vk = parts[0] if len(parts) == 1 else         pc.binary_join_element_wise(*parts, _SEP)
+    if _VKEY in tbl.column_names:
+        return tbl.set_column(tbl.column_names.index(_VKEY),
+                              _VKEY, vk)
+    return tbl.append_column(_VKEY, vk)
+
+
+def _drop_null_keys(tbl: pa.Table, keys: list) -> pa.Table:
+    for k in keys:
+        if tbl.num_rows and tbl[k].null_count:
+            tbl = tbl.filter(pc.is_valid(tbl[k]))
+    return tbl
 
 
 def _view_meta_path(view_dir: str) -> str:
@@ -66,10 +92,11 @@ def _source_txn(source_dir: str) -> int:
     return max((mf.record_txn(r) for r in records.values()), default=0)
 
 
-def _bucketed(tbl: pa.Table, key: str, target_rows: int,
+def _bucketed(tbl: pa.Table, key, target_rows: int,
               label: str | None = None) -> pa.Table:
-    """Sort by key and attach the encode-clustering bucket column."""
-    tbl = tbl.sort_by(key)
+    """Sort by the key(s) and attach the encode-clustering bucket
+    column."""
+    tbl = tbl.sort_by([(k, "ascending") for k in _keylist(key)])
     n = tbl.num_rows
     if label is not None:
         buckets = pa.array([label] * n, pa.string())
@@ -84,28 +111,36 @@ def _bucketed(tbl: pa.Table, key: str, target_rows: int,
 def create_agg_view(
     source_dir: str,
     view_dir: str,
-    key: str,
+    key,
     aggs: dict[str, list[str]],
     target_rows: int = 500_000,
 ) -> dict:
     """Materialize ``GROUP BY key`` aggregates of the source container
-    into ``view_dir``.  Returns ``{"groups": n, "cursor": txn}``."""
+    into ``view_dir``; ``key`` may be one column or a LIST (multi-key
+    GROUP BY, P76) — multi-key views add a ``_vkey`` composite helper
+    column (string forms joined on \x1f) that serves as the upsert
+    key.  Returns ``{"groups": n, "cursor": txn}``."""
     from .container_agg import aggregate_clustered
     from .encode_pipeline import EncodeOptions, encode_dataset
 
+    keys = _keylist(key)
     # cursor BEFORE the aggregate: anything committed between the two
     # reads lands inside the first refresh window instead of being
     # silently skipped (refresh is idempotent, so overlap is safe)
     cursor = _source_txn(source_dir)
-    tbl = aggregate_clustered(source_dir, key, aggs)
-    if tbl.num_rows and tbl[key].null_count:
-        tbl = tbl.filter(pc.is_valid(tbl[key]))  # view excludes nulls
+    tbl = aggregate_clustered(source_dir, keys if len(keys) > 1
+                              else keys[0], aggs)
+    if tbl.num_rows:
+        tbl = _drop_null_keys(tbl, keys)  # view excludes null groups
     if tbl.num_rows == 0:
         raise ValueError(f"{source_dir}: aggregate over {key!r} is "
                          "empty — nothing to materialize")
+    if len(keys) > 1:
+        tbl = _with_vkey(tbl, keys)
     encode_dataset(
         rd.from_arrow(_bucketed(tbl, key, target_rows)), view_dir,
-        EncodeOptions(group_col=_BUCKET, weight_col=None, sort_key=key,
+        EncodeOptions(group_col=_BUCKET, weight_col=None,
+                      sort_key=keys if len(keys) > 1 else keys[0],
                       target_rows=target_rows))
     meta = {"source": source_dir, "key": key, "aggs": aggs,
             "cursor": cursor, "target_rows": target_rows}
@@ -138,25 +173,35 @@ def _full_resync(view_dir: str, meta: dict, now: int) -> dict:
     from .upsert_pipeline import upsert_rows
 
     source, key = meta["source"], meta["key"]
-    full = aggregate_clustered(source, key, meta["aggs"])
-    if full.num_rows and full[key].null_count:
-        full = full.filter(pc.is_valid(full[key]))
-    present = set(full[key].to_pylist())
-    vk = gather_small(
-        decode_dataset(view_dir, columns=[key]),
-        pa.table({key: pa.array([], full.schema.field(key).type
-                                if full.num_rows else pa.int64())}))
-    gone = [v for v in set(vk[key].to_pylist()) if v not in present]
+    keys = _keylist(key)
+    multi = len(keys) > 1
+    ukey = _VKEY if multi else keys[0]
+    full = aggregate_clustered(source, keys if multi else keys[0],
+                               meta["aggs"])
+    if full.num_rows:
+        full = _drop_null_keys(full, keys)
+    if multi and full.num_rows:
+        full = _with_vkey(full, keys)
+    present = (set(full[ukey].to_pylist()) if full.num_rows
+               else set())
+    vrows = gather_small(
+        decode_dataset(view_dir, columns=keys),
+        pa.table({k: pa.array([], pa.int64()) for k in keys}))
+    if multi and vrows.num_rows:
+        vrows = _with_vkey(vrows, keys)
+    have = (set(vrows[ukey].to_pylist()) if vrows.num_rows
+            else set())
+    gone = [v for v in have if v not in present]
     upserted = 0
     if full.num_rows:
         inc = _bucketed(full, key,
                         int(meta.get("target_rows", 500_000)),
                         label=f"r{now:06d}")
-        upsert_rows(view_dir, rd.from_arrow(inc), key,
+        upsert_rows(view_dir, rd.from_arrow(inc), ukey,
                     upsert_id=f"view-resync-{now}")
         upserted = full.num_rows
     if gone:
-        delete_rows(view_dir, key, values=gone)
+        delete_rows(view_dir, ukey, values=gone)
     meta["cursor"] = now
     fsio.atomic_write(_view_meta_path(view_dir),
                       json.dumps(meta).encode(), fsync=False)
@@ -180,6 +225,10 @@ def refresh_agg_view(
 
     meta = json.loads(fsio.read_bytes(_view_meta_path(view_dir)))
     source, key = meta["source"], meta["key"]
+    keys = _keylist(key)
+    multi = len(keys) > 1
+    primary = keys[0]
+    ukey = _VKEY if multi else primary
     cursor = int(meta["cursor"])
     now = _source_txn(source)
     if now <= cursor:
@@ -187,11 +236,12 @@ def refresh_agg_view(
 
     # the CDC diff cancels rows whose PROJECTED content is unchanged —
     # projecting only the key would hide UPDATEs (key identical, value
-    # changed), so the aggregated value columns ride along
+    # changed), so the aggregated value columns (and every key) ride
+    # along; pairing runs on the PRIMARY key
     try:
         feed = row_changes(
-            source, since_txn=cursor, key=key,
-            columns=list(dict.fromkeys([key] + list(meta["aggs"]))))
+            source, since_txn=cursor, key=primary,
+            columns=list(dict.fromkeys(keys + list(meta["aggs"]))))
     except RuntimeError:
         # the cursor snapshot was hollowed by a retention sweep — no
         # diff is possible; fall back to an in-place full resync
@@ -199,12 +249,12 @@ def refresh_agg_view(
         return _full_resync(view_dir, meta, now)
 
     def distinct_keys(b: pa.Table) -> pa.Table:
-        return pa.table({key: b[key].combine_chunks().unique()})
+        return pa.table({primary: b[primary].combine_chunks().unique()})
 
     kt = gather_small(
         feed.map_batches(distinct_keys, batch_format="pyarrow"),
-        pa.table({key: pa.array([], pa.int64())}))
-    affected = kt[key].combine_chunks().unique()
+        pa.table({primary: pa.array([], pa.int64())}))
+    affected = kt[primary].combine_chunks().unique()
     # null keys never pair in the feed and the view excludes the null
     # group by contract — drop them
     affected = affected.drop_null()
@@ -222,22 +272,49 @@ def refresh_agg_view(
             "cheaper path for a window this wide")
 
     vals = affected.to_pylist()
-    new_agg = aggregate_clustered(source, key, meta["aggs"],
-                                  key_values=vals)
-    present = (set(new_agg[key].to_pylist()) if new_agg.num_rows
+    new_agg = aggregate_clustered(source, keys if multi else primary,
+                                  meta["aggs"], key_values=vals)
+    if new_agg.num_rows:
+        new_agg = _drop_null_keys(new_agg, keys)
+    if multi and new_agg.num_rows:
+        new_agg = _with_vkey(new_agg, keys)
+    present = (set(new_agg[ukey].to_pylist()) if new_agg.num_rows
                else set())
-    gone = [v for v in vals if v not in present]
+    if multi:
+        # gone groups: the view's current groups whose PRIMARY is in
+        # the affected set minus the recomputed ones.  The bloom-pruned
+        # decode may over-select partitions; the exact is_in filter
+        # runs in-task so the gather stays O(affected groups)
+        from .encode_pipeline import decode_dataset
+
+        vset = pa.array(vals)
+
+        def cur_groups(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(
+                b[primary],
+                value_set=vset.cast(b.schema.field(primary).type)))
+            return _with_vkey(b, keys).select([_VKEY])
+
+        cur = gather_small(
+            decode_dataset(view_dir, key_values=vals,
+                           columns=keys)
+            .map_batches(cur_groups, batch_format="pyarrow"),
+            pa.table({_VKEY: pa.array([], pa.string())}))
+        have = set(cur[_VKEY].to_pylist())
+        gone = [v for v in have if v not in present]
+    else:
+        gone = [v for v in vals if v not in present]
 
     upserted = 0
     if new_agg.num_rows:
         inc = _bucketed(new_agg, key, int(meta.get("target_rows",
                                                    500_000)),
                         label=f"r{now:06d}")
-        upsert_rows(view_dir, rd.from_arrow(inc), key,
+        upsert_rows(view_dir, rd.from_arrow(inc), ukey,
                     upsert_id=f"view-{cursor}-{now}")
         upserted = new_agg.num_rows
     if gone:
-        delete_rows(view_dir, key, values=gone)
+        delete_rows(view_dir, ukey, values=gone)
     meta["cursor"] = now
     fsio.atomic_write(_view_meta_path(view_dir),
                       json.dumps(meta).encode(), fsync=False)

@@ -183,3 +183,91 @@ def test_agg_key_values_restriction(src, ray_session):
            .to_pandas().sort_values("uid").reset_index(drop=True))
     want = (full[full.uid.isin(some)].reset_index(drop=True))
     pd.testing.assert_frame_equal(got[_full_cols()], want[_full_cols()])
+
+
+# ------------------------- P76 multi-key views ----------------------
+
+def _mk_source_table(n=2500, seed=19):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "uid": pa.array(rng.integers(0, 50, n)),
+        "cat": pa.array(np.array(["x", "y", "z"])[rng.integers(0, 3, n)]),
+        "v": pa.array(rng.normal(4, 2, n)),
+        "grp": pa.array((np.arange(n) // 700).astype(str)),
+    })
+
+
+def _mk_full(src):
+    from parquet2_ray.pipelines.container_agg import aggregate_clustered
+
+    return (aggregate_clustered(src, ["uid", "cat"],
+                                {"v": ["sum", "count", "min"]})
+            .to_pandas().sort_values(["uid", "cat"])
+            .reset_index(drop=True))
+
+
+def _mk_view_df(view):
+    df = pd.DataFrame(decode_dataset(view).take_all())
+    df = df.drop(columns=["_vbucket", "_vkey"])
+    return (df.sort_values(["uid", "cat"]).reset_index(drop=True)
+            [["uid", "cat", "v_sum", "v_count", "v_min"]])
+
+
+def test_multikey_view_create_and_refresh(tmp_path, ray_session):
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+
+    src = str(tmp_path / "mks")
+    encode_dataset(rd.from_arrow(_mk_source_table()), src,
+                   EncodeOptions(group_col="grp", weight_col=None,
+                                 sort_key="uid"))
+    view = str(tmp_path / "mkv")
+    r = create_agg_view(src, view, ["uid", "cat"],
+                        {"v": ["sum", "count", "min"]},
+                        target_rows=40)
+    assert r["groups"] == len(_mk_full(src))
+    pd.testing.assert_frame_equal(_mk_view_df(view), _mk_full(src))
+    # DML: new (uid, cat) pairs + a uid that vanishes entirely
+    inc = pa.table({"uid": pa.array([500, 3]),
+                    "cat": pa.array(["q", "x"]),
+                    "v": pa.array([1.0, 2.0]),
+                    "grp": pa.array(["z", "z"])})
+    append_dataset(rd.from_arrow(inc), src, append_id="mk-a1")
+    delete_rows(src, "uid", values=[7], mode="dv")
+    rr = refresh_agg_view(view)
+    assert rr["refreshed"] and rr["deleted_groups"] >= 1
+    pd.testing.assert_frame_equal(_mk_view_df(view), _mk_full(src))
+    # idempotent no-op
+    assert refresh_agg_view(view)["refreshed"] is False
+
+
+def test_multikey_group_vanishes_but_primary_survives(tmp_path,
+                                                      ray_session):
+    """Deleting every row of ONE (uid, cat) group while the uid keeps
+    other cats must delete exactly that composite group."""
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+
+    src = str(tmp_path / "mps")
+    t = pa.table({
+        "uid": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "cat": pa.array(["x", "x", "y", "x", "y"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        "eid": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "grp": pa.array(["a"] * 5),
+    })
+    encode_dataset(rd.from_arrow(t), src, EncodeOptions(
+        group_col="grp", weight_col=None, sort_key="uid"))
+    view = str(tmp_path / "mpv")
+    create_agg_view(src, view, ["uid", "cat"], {"v": ["sum"]})
+    # remove BOTH (1, x) rows; (1, y) survives
+    delete_rows(src, "eid", values=[10, 11])
+    rr = refresh_agg_view(view)
+    assert rr["deleted_groups"] == 1
+    df = _mk_view_df_cols(view)
+    assert sorted(map(tuple, df[["uid", "cat"]].values.tolist())) == \
+        [(1, "y"), (2, "x"), (2, "y")]
+
+
+def _mk_view_df_cols(view):
+    df = pd.DataFrame(decode_dataset(view).take_all())
+    return df.drop(columns=["_vbucket", "_vkey"])
