@@ -92,6 +92,18 @@ def _source_txn(source_dir: str) -> int:
     return max((mf.record_txn(r) for r in records.values()), default=0)
 
 
+def _view_opts(keys: list, target_rows: int):
+    """EncodeOptions for everything written INTO the view container:
+    bucket-grouped, sorted by the keys, bloom on the primary — so
+    refresh-inserted partitions prune exactly like create-time ones
+    (a default-opts upsert would store bloomless partitions and starve
+    later pruned reads)."""
+    from .encode_pipeline import EncodeOptions
+
+    return EncodeOptions(group_col=_BUCKET, weight_col=None,
+                         sort_key=keys, target_rows=target_rows)
+
+
 def _bucketed(tbl: pa.Table, key, target_rows: int,
               label: str | None = None) -> pa.Table:
     """Sort by the key(s) and attach the encode-clustering bucket
@@ -128,8 +140,7 @@ def create_agg_view(
     # reads lands inside the first refresh window instead of being
     # silently skipped (refresh is idempotent, so overlap is safe)
     cursor = _source_txn(source_dir)
-    tbl = aggregate_clustered(source_dir, keys if len(keys) > 1
-                              else keys[0], aggs)
+    tbl = aggregate_clustered(source_dir, keys, aggs)
     if tbl.num_rows:
         tbl = _drop_null_keys(tbl, keys)  # view excludes null groups
     if tbl.num_rows == 0:
@@ -139,9 +150,7 @@ def create_agg_view(
         tbl = _with_vkey(tbl, keys)
     encode_dataset(
         rd.from_arrow(_bucketed(tbl, key, target_rows)), view_dir,
-        EncodeOptions(group_col=_BUCKET, weight_col=None,
-                      sort_key=keys if len(keys) > 1 else keys[0],
-                      target_rows=target_rows))
+        _view_opts(keys, target_rows))
     meta = {"source": source_dir, "key": key, "aggs": aggs,
             "cursor": cursor, "target_rows": target_rows}
     fsio.atomic_write(_view_meta_path(view_dir),
@@ -176,8 +185,7 @@ def _full_resync(view_dir: str, meta: dict, now: int) -> dict:
     keys = _keylist(key)
     multi = len(keys) > 1
     ukey = _VKEY if multi else keys[0]
-    full = aggregate_clustered(source, keys if multi else keys[0],
-                               meta["aggs"])
+    full = aggregate_clustered(source, keys, meta["aggs"])
     if full.num_rows:
         full = _drop_null_keys(full, keys)
     if multi and full.num_rows:
@@ -185,10 +193,9 @@ def _full_resync(view_dir: str, meta: dict, now: int) -> dict:
     present = (set(full[ukey].to_pylist()) if full.num_rows
                else set())
     vrows = gather_small(
-        decode_dataset(view_dir, columns=keys),
-        pa.table({k: pa.array([], pa.int64()) for k in keys}))
-    if multi and vrows.num_rows:
-        vrows = _with_vkey(vrows, keys)
+        decode_dataset(view_dir, columns=[ukey]),
+        pa.table({ukey: pa.array([], pa.string() if multi
+                                 else pa.int64())}))
     have = (set(vrows[ukey].to_pylist()) if vrows.num_rows
             else set())
     gone = [v for v in have if v not in present]
@@ -198,6 +205,9 @@ def _full_resync(view_dir: str, meta: dict, now: int) -> dict:
                         int(meta.get("target_rows", 500_000)),
                         label=f"r{now:06d}")
         upsert_rows(view_dir, rd.from_arrow(inc), ukey,
+                    opts=_view_opts(keys,
+                                    int(meta.get("target_rows",
+                                                 500_000))),
                     upsert_id=f"view-resync-{now}")
         upserted = full.num_rows
     if gone:
@@ -272,8 +282,8 @@ def refresh_agg_view(
             "cheaper path for a window this wide")
 
     vals = affected.to_pylist()
-    new_agg = aggregate_clustered(source, keys if multi else primary,
-                                  meta["aggs"], key_values=vals)
+    new_agg = aggregate_clustered(source, keys, meta["aggs"],
+                                  key_values=vals)
     if new_agg.num_rows:
         new_agg = _drop_null_keys(new_agg, keys)
     if multi and new_agg.num_rows:
@@ -282,9 +292,11 @@ def refresh_agg_view(
                else set())
     if multi:
         # gone groups: the view's current groups whose PRIMARY is in
-        # the affected set minus the recomputed ones.  The bloom-pruned
-        # decode may over-select partitions; the exact is_in filter
-        # runs in-task so the gather stays O(affected groups)
+        # the affected set minus the recomputed ones.  The read prunes
+        # by the primary's min/max envelope (which EVERY partition
+        # records — no bloom-key dependency) and exact-filters in-task
+        # to the affected set, projecting the STORED _vkey, so the
+        # gather stays O(affected groups)
         from .encode_pipeline import decode_dataset
 
         vset = pa.array(vals)
@@ -293,11 +305,12 @@ def refresh_agg_view(
             b = b.filter(pc.is_in(
                 b[primary],
                 value_set=vset.cast(b.schema.field(primary).type)))
-            return _with_vkey(b, keys).select([_VKEY])
+            return b.select([_VKEY])
 
         cur = gather_small(
-            decode_dataset(view_dir, key_values=vals,
-                           columns=keys)
+            decode_dataset(view_dir,
+                           key_range=(primary, min(vals), max(vals)),
+                           columns=[primary, _VKEY])
             .map_batches(cur_groups, batch_format="pyarrow"),
             pa.table({_VKEY: pa.array([], pa.string())}))
         have = set(cur[_VKEY].to_pylist())
@@ -311,6 +324,9 @@ def refresh_agg_view(
                                                    500_000)),
                         label=f"r{now:06d}")
         upsert_rows(view_dir, rd.from_arrow(inc), ukey,
+                    opts=_view_opts(keys,
+                                    int(meta.get("target_rows",
+                                                 500_000))),
                     upsert_id=f"view-{cursor}-{now}")
         upserted = new_agg.num_rows
     if gone:

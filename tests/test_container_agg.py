@@ -163,6 +163,8 @@ def test_multi_key_group_by(tmp_path, ray_session):
     np.testing.assert_allclose(got["v_sum"], want["v_sum"], rtol=1e-12)
     assert got["v_count"].tolist() == want["v_count"].tolist()
     np.testing.assert_allclose(got["v_min"], want["v_min"], rtol=0)
+    np.testing.assert_allclose(got["v_mean"], want["v_mean"],
+                               rtol=1e-12)
     # key_values restriction works on the PRIMARY key in multi-key mode
     some = aggregate_clustered(out, ["k1", "k2"], {"v": ["count"]},
                                key_values=[3, 7]).to_pandas()

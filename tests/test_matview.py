@@ -271,3 +271,37 @@ def test_multikey_group_vanishes_but_primary_survives(tmp_path,
 def _mk_view_df_cols(view):
     df = pd.DataFrame(decode_dataset(view).take_all())
     return df.drop(columns=["_vbucket", "_vkey"])
+
+
+def test_multikey_view_survives_full_turnover(tmp_path, ray_session):
+    """Code-review regression: after a refresh touches EVERY group
+    (all view rows migrate into refresh-written partitions), the NEXT
+    multi-key refresh must still work — gone-detection reads prune by
+    the primary's min/max envelope, never by a bloom key that
+    refresh-written partitions might lack."""
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+    from parquet2_ray.pipelines.update_pipeline import update_rows
+
+    src = str(tmp_path / "tos")
+    t = pa.table({
+        "uid": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "cat": pa.array(["x", "y", "x", "y", "x"]),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        "eid": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "grp": pa.array(["a"] * 5),
+    })
+    encode_dataset(rd.from_arrow(t), src, EncodeOptions(
+        group_col="grp", weight_col=None, sort_key="uid"))
+    view = str(tmp_path / "tov")
+    create_agg_view(src, view, ["uid", "cat"], {"v": ["sum"]})
+    # wide refresh: every group's value changes → full turnover
+    update_rows(src, "eid", {"v": 100.0}, lo=10, hi=14)
+    assert refresh_agg_view(view)["refreshed"]
+    # second data-bearing refresh incl. a vanished composite group
+    delete_rows(src, "eid", values=[14])   # (3, x) vanishes
+    rr = refresh_agg_view(view)
+    assert rr["refreshed"] and rr["deleted_groups"] == 1
+    df = _mk_view_df_cols(view)
+    assert sorted(map(tuple, df[["uid", "cat"]].values.tolist())) == \
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    assert df["v_sum"].tolist() == [100.0] * 4
