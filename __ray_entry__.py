@@ -1318,7 +1318,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     harder by q_asof_join/q_range_join's pushed scans and by
     q_lookup_rows) and q_group_source_stats (plain groupby aggregate,
     subsumed by q_stats_lineitem + q_top_tokens' partial-agg folds) to
-    free slots for q_pack_sequences (P23) and q_lookup_rows (P25)."""
+    free slots for q_pack_sequences (P23) and q_lookup_rows (P25).
+    Continuation 9 retired q_window_hopping (tumbling's machinery one
+    np.repeat apart; stays pytest-covered and bench-timed) for
+    q_text_search (P67 inverted index → pruned fetch) and
+    q_rolling_mean (window family keeps 4 green rows; also still
+    bench-timed) for q_agg_view (P70 materialized-view lifecycle:
+    create → source append → CDC refresh → decode vs plain GROUP BY);
+    q_ann_ivf widened to ALSO run the persisted P69 index and fail
+    unless bit-identical with the transient path."""
     return {
         "q_tokens_flagship": q_tokens_flagship,
         "q_roundtrip_documents": q_roundtrip_documents,
