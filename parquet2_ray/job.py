@@ -203,6 +203,10 @@ def cmd_search(args) -> dict:
     )
 
     cols = args.columns.split(",") if args.columns else None
+    if args.explain:
+        from .pipelines.textindex_pipeline import explain_terms
+
+        return explain_terms(args.index, args.terms)
     if args.ranked:
         ds = search_container_ranked(args.container, args.index,
                                      args.terms, k=args.k,
@@ -865,6 +869,8 @@ def main(argv: list[str] | None = None) -> int:
                       help="BM25 top-k instead of boolean matching")
     srch.add_argument("--k", type=int, default=10,
                       help="result count for --ranked")
+    srch.add_argument("--explain", action="store_true",
+                      help="per-term dfs + fetch-mass estimate only")
 
     ddp = sub.add_parser("dedup")
     ddp.add_argument("--input", required=True)

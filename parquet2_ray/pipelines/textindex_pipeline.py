@@ -657,6 +657,34 @@ def _fetch_task(index_dir: str, shard: int, hs: np.ndarray,
     return out
 
 
+def explain_terms(index_dir: str, terms) -> dict:
+    """EXPLAIN for a text query: per-term document frequency (count
+    phase only — no postings move), the rarest term an AND would seed
+    from, and the fetch mass each mode would pay.  The planning
+    surface for choosing terms/mode before paying the fetch."""
+    meta = _index_meta(index_dir)
+    nshards = int(meta["nshards"])
+    terms = list(terms)
+    hs = term_hashes(terms)
+    shards = shard_of(np.unique(hs), nshards)
+    uh = np.unique(hs)
+    by_shard = {int(s): uh[shards == s] for s in np.unique(shards)}
+    counts: dict[int, int] = {}
+    for c in ray.get([_count_task.remote(index_dir, s, shs)
+                      for s, shs in by_shard.items()]):
+        counts.update(c)
+    dfs = {t: int(counts.get(int(h), 0))
+           for t, h in zip(terms, hs)}
+    rarest = min(dfs, key=dfs.get) if dfs else None
+    return {
+        "terms": dfs,
+        "ndocs": int(meta.get("ndocs", 0)) or None,
+        "rarest": rarest,
+        "and_fetch_mass": dfs.get(rarest, 0),
+        "or_fetch_mass": int(sum(dfs.values())),
+    }
+
+
 def probe_text_index(
     index_dir: str,
     terms,

@@ -395,3 +395,16 @@ def test_refresh_meta_counters_crash_safe(tmp_path, ray_session):
     mr = _index_meta(ref)
     assert m2["ndocs"] == mr["ndocs"]
     assert m2["total_tokens"] == mr["total_tokens"]
+
+
+def test_explain_terms(index, ray_session):
+    from parquet2_ray.pipelines.textindex_pipeline import explain_terms
+
+    info = explain_terms(index, ["alpha", "beta", "zzz"])
+    sets = _ref_sets()
+    assert info["terms"] == {
+        t: sum(1 for s in sets.values() if t in s)
+        for t in ("alpha", "beta", "zzz")}
+    assert info["rarest"] == "zzz"
+    assert info["and_fetch_mass"] == 0
+    assert info["or_fetch_mass"] == sum(info["terms"].values())
