@@ -45,6 +45,7 @@ def aggregate_clustered(
     key: "str | list[str]",
     aggs: dict[str, list[str]],
     key_values=None,
+    as_of: int | None = None,
 ) -> pa.Table:
     """Group-by ``key`` (one column or a list — multi-key GROUP BY)
     with per-column aggregates over a container; returns the complete
@@ -61,6 +62,9 @@ def aggregate_clustered(
     ``aggs``: ``{column: ["sum", "mean", ...]}``.  Output columns are
     named ``{column}_{fn}`` plus the key column(s).
 
+    ``as_of``: aggregate the snapshot at that transaction (time
+    travel / pinned-snapshot refresh) instead of the current state.
+
     ``key_values``: restrict the aggregate to these key values — the
     incremental-refresh shape (P70 materialized views): partitions are
     bloom/min-max PRUNED to the requested keys and each decoded table
@@ -74,7 +78,7 @@ def aggregate_clustered(
         for fn in fns:
             if fn not in ("sum", "count", "min", "max", "mean"):
                 raise ValueError(f"unsupported aggregate {fn!r} on {col!r}")
-    records = mf.load_manifest(container_dir)
+    records = mf.load_manifest(container_dir, as_of=as_of)
     if not records:
         raise FileNotFoundError(
             f"no committed partitions under {container_dir}")

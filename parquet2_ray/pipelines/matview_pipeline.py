@@ -185,7 +185,7 @@ def _full_resync(view_dir: str, meta: dict, now: int) -> dict:
     keys = _keylist(key)
     multi = len(keys) > 1
     ukey = _VKEY if multi else keys[0]
-    full = aggregate_clustered(source, keys, meta["aggs"])
+    full = aggregate_clustered(source, keys, meta["aggs"], as_of=now)
     if full.num_rows:
         full = _drop_null_keys(full, keys)
     if multi and full.num_rows:
@@ -223,10 +223,14 @@ def _full_resync(view_dir: str, meta: dict, now: int) -> dict:
 def refresh_agg_view(
     view_dir: str,
     max_affected: int = 2_000_000,
+    to_txn: int | None = None,
 ) -> dict:
-    """Converge the view to the source's current snapshot by
-    re-aggregating only the groups the CDC window touched.  Idempotent
-    and crash-safe: the cursor file advances last."""
+    """Converge the view to the source's snapshot at ``to_txn``
+    (default: the latest transaction, PINNED once at entry — a
+    concurrent append committing mid-refresh lands in the NEXT window
+    instead of leaking into this one) by re-aggregating only the
+    groups the CDC window touched.  Idempotent and crash-safe: the
+    cursor file advances last."""
     from ..stages.dedup import gather_small
     from .container_agg import aggregate_clustered
     from .delete_pipeline import delete_rows
@@ -240,17 +244,19 @@ def refresh_agg_view(
     primary = keys[0]
     ukey = _VKEY if multi else primary
     cursor = int(meta["cursor"])
-    now = _source_txn(source)
+    now = int(to_txn) if to_txn is not None else _source_txn(source)
     if now <= cursor:
         return {"refreshed": False, "cursor": cursor, "affected": 0}
 
     # the CDC diff cancels rows whose PROJECTED content is unchanged —
     # projecting only the key would hide UPDATEs (key identical, value
     # changed), so the aggregated value columns (and every key) ride
-    # along; pairing runs on the PRIMARY key
+    # along; pairing runs on the PRIMARY key.  The window is PINNED to
+    # [cursor, now]: both the diff and the recompute below read the
+    # `now` snapshot, so the refresh is atomic w.r.t. concurrent DML
     try:
         feed = row_changes(
-            source, since_txn=cursor, key=primary,
+            source, since_txn=cursor, key=primary, to_txn=now,
             columns=list(dict.fromkeys(keys + list(meta["aggs"]))))
     except RuntimeError:
         # the cursor snapshot was hollowed by a retention sweep — no
@@ -283,7 +289,7 @@ def refresh_agg_view(
 
     vals = affected.to_pylist()
     new_agg = aggregate_clustered(source, keys, meta["aggs"],
-                                  key_values=vals)
+                                  key_values=vals, as_of=now)
     if new_agg.num_rows:
         new_agg = _drop_null_keys(new_agg, keys)
     if multi and new_agg.num_rows:

@@ -79,11 +79,21 @@ def list_sidecars(container_dir: str) -> list[dict]:
     return _load(container_dir)
 
 
-def refresh_sidecars(container_dir: str) -> dict:
+def refresh_sidecars(container_dir: str,
+                     to_txn: int | None = None) -> dict:
     """Converge every registered sidecar; returns per-path results.
     A sidecar whose files are gone reports an error entry instead of
     aborting the rest (it stays registered — deletion is explicit via
-    ``unregister_sidecar``)."""
+    ``unregister_sidecar``).
+
+    The target transaction is PINNED once (``to_txn`` or the source's
+    latest at entry) and passed to every refresh, so ALL sidecars land
+    on the SAME source snapshot even when appends commit concurrently
+    — cross-sidecar consistency, not just per-sidecar convergence."""
+    pin = (int(to_txn) if to_txn is not None
+           else max((mf.record_txn(r) for r in
+                     mf.load_manifest(container_dir).values()),
+                    default=0))
     results: dict[str, dict] = {}
     for e in _load(container_dir):
         path = e["path"]
@@ -91,15 +101,15 @@ def refresh_sidecars(container_dir: str) -> dict:
             if e["kind"] == "text_index":
                 from .textindex_pipeline import refresh_text_index
 
-                results[path] = refresh_text_index(path)
+                results[path] = refresh_text_index(path, to_txn=pin)
             elif e["kind"] == "vector_index":
                 from .vecindex_pipeline import refresh_vector_index
 
-                results[path] = refresh_vector_index(path)
+                results[path] = refresh_vector_index(path, to_txn=pin)
             else:
                 from .matview_pipeline import refresh_agg_view
 
-                results[path] = refresh_agg_view(path)
+                results[path] = refresh_agg_view(path, to_txn=pin)
         except Exception as err:  # noqa: BLE001 — one bad sidecar must
             # not abort the container's maintenance pass; the error is
             # surfaced in the result for the operator to act on

@@ -363,7 +363,7 @@ def index_container_text(
     return stats
 
 
-def refresh_text_index(index_dir: str) -> dict:
+def refresh_text_index(index_dir: str, to_txn: int | None = None) -> dict:
     """Converge a container-bound index to the container's current
     snapshot by consuming its CDC feed (P56) — the same convergence
     contract as replicas (P66) and materialized views (P70).
@@ -386,12 +386,14 @@ def refresh_text_index(index_dir: str) -> dict:
     source, cursor = meta["source"], int(meta["cursor"])
     id_col, text_col = meta["id_col"], meta["text_col"]
     nshards = int(meta["nshards"])
-    now = _source_txn(source)
+    now = int(to_txn) if to_txn is not None else _source_txn(source)
     if now <= cursor:
         return {"refreshed": False, "cursor": cursor}
     try:
+        # window pinned to [cursor, now]: a concurrent append lands in
+        # the NEXT refresh instead of straddling this one
         feed = row_changes(source, since_txn=cursor, key=id_col,
-                           columns=[id_col, text_col])
+                           to_txn=now, columns=[id_col, text_col])
     except RuntimeError:
         # cursor snapshot swept — no diff window; rebuild in place
         stats = index_container_text(source, index_dir,

@@ -311,7 +311,7 @@ def _purge_cell_task(index_dir: str, key: int, subshards: int,
     return kept.num_rows - t.num_rows
 
 
-def refresh_vector_index(index_dir: str) -> dict:
+def refresh_vector_index(index_dir: str, to_txn: int | None = None) -> dict:
     """Converge the index to its source container's current snapshot
     from the container's CDC feed (P56) — the same convergence
     contract as replicas (P66), materialized views (P70) and the text
@@ -334,13 +334,15 @@ def refresh_vector_index(index_dir: str) -> dict:
     emb_col, id_col = meta["emb_col"], meta["id_col"]
     from ..state import manifest as mf
 
-    now = max((mf.record_txn(r)
-               for r in mf.load_manifest(source).values()), default=0)
+    now = (int(to_txn) if to_txn is not None else
+           max((mf.record_txn(r)
+                for r in mf.load_manifest(source).values()), default=0))
     if now <= cursor:
         return {"refreshed": False, "cursor": cursor}
     try:
+        # window pinned to [cursor, now] (see refresh_text_index)
         feed = row_changes(source, since_txn=cursor, key=id_col,
-                           columns=[id_col, emb_col])
+                           to_txn=now, columns=[id_col, emb_col])
     except RuntimeError:
         stats = build_vector_index(
             source, index_dir, emb_col=emb_col, id_col=id_col,

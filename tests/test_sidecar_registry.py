@@ -125,3 +125,64 @@ def test_refresh_reports_broken_sidecar_without_aborting(bound,
     res = refresh_sidecars(src)
     assert "error" in res[tidx]
     assert res[view].get("refreshed") is not None  # others still ran
+
+
+def test_pinned_refresh_is_snapshot_consistent(bound, tmp_path,
+                                               ray_session):
+    """refresh_sidecars pins ONE source transaction: DML committed
+    after the pin must not leak into this refresh — every sidecar
+    lands on the pinned snapshot, then a later unpinned refresh
+    catches up."""
+    from parquet2_ray.pipelines.append_pipeline import append_dataset
+    from parquet2_ray.pipelines.container_agg import aggregate_clustered
+    from parquet2_ray.pipelines.matview_pipeline import view_status
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        probe_text_index,
+    )
+    from parquet2_ray.state import manifest as mf
+
+    src, tidx, vidx, view = bound
+    t1_rows = _table().slice(0, 5)
+    inc1 = pa.table({
+        "doc_id": pa.array([900], pa.int64()),
+        "text": pa.array(["pinme common"]),
+        "embedding": t1_rows["embedding"].slice(0, 1),
+        "v": pa.array([1.0]),
+        "grp": pa.array(["a"])})
+    append_dataset(rd.from_arrow(inc1), src, append_id="pin-1")
+    pin = max(mf.record_txn(r)
+              for r in mf.load_manifest(src).values())
+    # a second append commits AFTER the pin
+    inc2 = pa.table({
+        "doc_id": pa.array([901], pa.int64()),
+        "text": pa.array(["latecomer common"]),
+        "embedding": t1_rows["embedding"].slice(1, 1),
+        "v": pa.array([50.0]),
+        "grp": pa.array(["a"])})
+    append_dataset(rd.from_arrow(inc2), src, append_id="pin-2")
+
+    res = refresh_sidecars(src, to_txn=pin)
+    for path, r in res.items():
+        assert r.get("refreshed"), (path, r)
+        assert r["cursor"] == pin
+    # text index: doc 900 searchable, 901 NOT yet
+    assert 900 in list(probe_text_index(tidx, ["pinme"]))
+    assert 901 not in list(probe_text_index(tidx, ["common"]))
+    # view: equals the aggregate AS OF the pin (doc 901's v=50 absent)
+    full_pin = (aggregate_clustered(src, "grp",
+                                    {"v": ["sum", "count"]},
+                                    as_of=pin)
+                .to_pandas().sort_values("grp")
+                .reset_index(drop=True))
+    vdf = (pd.DataFrame(decode_dataset(view).take_all())
+           .drop(columns=["_vbucket"]).sort_values("grp")
+           .reset_index(drop=True)[full_pin.columns.tolist()])
+    pd.testing.assert_frame_equal(vdf, full_pin)
+    assert view_status(view)["behind_txns"] > 0   # knows it's behind
+
+    # unpinned refresh catches up to current
+    res2 = refresh_sidecars(src)
+    for path, r in res2.items():
+        assert r.get("refreshed"), (path, r)
+    assert 901 in list(probe_text_index(tidx, ["common"]))
+    assert view_status(view)["behind_txns"] == 0
