@@ -392,7 +392,7 @@ def cmd_sidecars(args) -> dict:
     if args.unregister:
         return unregister_sidecar(args.container, args.unregister)
     if args.refresh:
-        return refresh_sidecars(args.container)
+        return refresh_sidecars(args.container, to_txn=args.to_txn)
     return {"sidecars": list_sidecars(args.container)}
 
 
@@ -734,6 +734,9 @@ def main(argv: list[str] | None = None) -> int:
                          help="list/refresh registered sidecars (P72)")
     sdc.add_argument("--container", required=True)
     sdc.add_argument("--refresh", action="store_true")
+    sdc.add_argument("--to-txn", type=int, default=None,
+                     help="pin every sidecar to this source txn "
+                          "(default: latest, resolved once)")
     sdc.add_argument("--unregister", default=None,
                      help="sidecar path to drop from the registry")
 
