@@ -2,10 +2,13 @@
 
 The corpus-search shape: "fetch every document containing these terms
 out of 100 TB" must not scan text.  The index is a sidecar directory of
-``nshards`` parquet posting files — sorted ``(term_hash uint64,
-doc_id)`` pairs, one row per DISTINCT (term, document) — built with ONE
-``groupby(shard)`` exchange of the tokenized projection and probed with
-O(terms) column-projected GETs + ``searchsorted``.
+``nshards`` parquet posting files — sorted ``(term_hash uint64, doc_id,
+tf)`` rows, one per DISTINCT (term, document) with the in-document term
+frequency (P73) — plus per-shard ``doclens-*`` files (doc_hash → token
+length), BOTH landed by ONE kind-tagged ``groupby(shard)`` exchange of
+the tokenized projection and probed with O(terms) column-projected GETs
++ ``searchsorted``.  Boolean retrieval uses the two-phase probe below;
+``ranked_search_index`` answers BM25 top-k from the same files.
 
 Search is two-phase so the driver never holds a stop-word posting list:
 
@@ -58,6 +61,7 @@ __all__ = [
     "refresh_text_index",
     "append_text_index",
     "probe_text_index",
+    "explain_terms",
     "search_container",
     "ranked_search_index",
     "search_container_ranked",
