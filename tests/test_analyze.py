@@ -182,3 +182,16 @@ def test_incremental_new_column_refused(tmp_path, ray_session):
                    append_id="an-newcol")
     with pytest.raises(ValueError, match="previous analyze"):
         analyze_container(out, columns=["id", "val"], incremental=True)
+
+
+def test_analyze_stats_doc_on_container(container, ray_session):
+    """The stats document round-trips through fsio (atomic write +
+    read) and the sketch payloads survive the b64/zstd cycle —
+    loading after an incremental no-op fold returns identical
+    estimates."""
+    d1 = analyze_container(container)
+    d2 = analyze_container(container, incremental=True)  # no new parts
+    for c in ("id", "val"):
+        assert d1["columns"][c]["ndv"] == d2["columns"][c]["ndv"]
+        assert d1["columns"][c]["quantiles"] == \
+            d2["columns"][c]["quantiles"]

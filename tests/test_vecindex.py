@@ -164,3 +164,14 @@ def test_append_moved_embedding_purges_old_cell(container, tmp_path,
             tt = pq.read_table(f"{idx}/{name}")
             hits += int((tt["vec_id"].to_numpy() == 20).sum())
     assert hits == 1
+
+
+def test_vec_index_on_object_store_uri(container, tmp_path,
+                                       ray_session):
+    """Index files commit through fsio: a file:// URI exercises the
+    pyarrow-fs write/read/list path (the object-store route)."""
+    idx = "file://" + str(tmp_path / "fsvidx")
+    build_vector_index(container, idx, n_centroids=4, subshards=2)
+    q, qids = _queries()
+    exact = ann_topk(rd.from_arrow(_emb_table()), q, qids, k=5)
+    assert ann_search_index(idx, q, qids, k=5, nprobe=4).equals(exact)
