@@ -61,14 +61,22 @@ def cmd_encode(args) -> dict:
         target_weight=args.target_weight,
         compression=args.compression,
     )
+    inp = args.input
+    fmt = getattr(args, "input_format", "parquet")
+    if fmt != "parquet":
+        # raw-crawl formats (jsonl/csv/arrow) route through a Dataset
+        from .sources.readers import read_corpus
+
+        inp = read_corpus(args.input, fmt=fmt)
     if getattr(args, "append", False):
         from .pipelines.append_pipeline import append_dataset
 
         return append_dataset(
-            args.input, args.output, opts,
-            append_id=getattr(args, "append_id", None),
+            inp, args.output, opts,
+            append_id=getattr(args, "append_id", None)
+            or (f"cli-{fmt}-{args.input}" if fmt != "parquet" else None),
             evolve_schema=getattr(args, "evolve_schema", False))
-    return encode_dataset(args.input, args.output, opts)
+    return encode_dataset(inp, args.output, opts)
 
 
 def cmd_decode(args) -> dict:
@@ -650,6 +658,10 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--sort-key", default="doc_id")
     enc.add_argument("--target-weight", type=int, default=4_000_000)
     enc.add_argument("--compression", default=None)
+    enc.add_argument("--input-format", default="parquet",
+                     choices=["parquet", "jsonl", "csv", "arrow"],
+                     help="raw-crawl ingest formats route through a "
+                          "Dataset read (P77)")
     enc.add_argument("--append", action="store_true",
                      help="incremental ingest: add the input's partitions "
                           "to an EXISTING container after its committed "

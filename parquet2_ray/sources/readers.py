@@ -154,3 +154,57 @@ def resolve_input_files(
         else:
             raise FileNotFoundError(f"input path does not exist: {spec!r}")
     return resolved_fs, out
+
+
+def read_corpus(paths, fmt: str = "parquet",
+                columns: list[str] | None = None) -> rd.Dataset:
+    """Multi-format corpus ingest (P77): the raw-crawl formats a
+    training pipeline actually receives, each as a streamed Ray
+    Dataset ready for ``encode_dataset`` / ``prepare_training_data``:
+
+    - ``parquet`` — the fast path (column projection pushed to scan;
+      prefer passing the PATH straight to encode_dataset, which keeps
+      the fused read+split plan);
+    - ``jsonl`` — newline-delimited JSON, the dominant crawl format
+      (Common Crawl derivatives, Dolma, RedPajama drops);
+    - ``csv`` — tabular exports;
+    - ``arrow`` / ``ipc`` / ``feather`` — Arrow IPC stream/file dumps.
+
+    Non-parquet formats have no fused-scan path — they route through
+    the ordinary Dataset branch of the encode plan (one extra pass of
+    block materialization).  Format is by declaration, not sniffing:
+    a mislabeled file should fail loudly, not half-parse."""
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        ds = rd.read_parquet(paths, columns=columns)
+        return ds
+    if fmt in ("jsonl", "json"):
+        ds = rd.read_json(paths)
+    elif fmt == "csv":
+        ds = rd.read_csv(paths)
+    elif fmt in ("arrow", "ipc", "feather"):
+        import pyarrow.ipc as ipc
+
+        def _load(p: str):
+            from ..state import fsio
+
+            fh, _size = fsio.open_input(p)
+            try:
+                with ipc.open_file(fh) as r:
+                    return r.read_all()
+            finally:
+                fh.close()
+
+        plist = [paths] if isinstance(paths, str) else list(paths)
+        tables = [_load(p) for p in plist]
+        import pyarrow as _pa
+
+        ds = rd.from_arrow(_pa.concat_tables(
+            tables, promote_options="permissive"))
+    else:
+        raise ValueError(
+            f"unknown corpus format {fmt!r}; one of parquet/jsonl/"
+            "csv/arrow")
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
