@@ -253,6 +253,17 @@ def cmd_dedup(args) -> dict:
     return {"output": args.output, "rows": rows}
 
 
+def _prepare_input(args):
+    fmt = getattr(args, "input_format", "parquet")
+    if fmt != "parquet":
+        from .sources.readers import read_corpus
+
+        return read_corpus(args.input, fmt=fmt)
+    import ray.data as rd
+
+    return rd.read_parquet(args.input)
+
+
 def cmd_prepare(args) -> dict:
     """Full training-data preparation: decontaminate → scrub → dedup →
     gates → tokenize → pack → encode container."""
@@ -264,7 +275,7 @@ def cmd_prepare(args) -> dict:
 
     from .pipelines.prepare_pipeline import prepare_training_data
 
-    ds = rd.read_parquet(args.input)
+    ds = _prepare_input(args)
     bench = lm_ref = None
     if args.benchmark or args.lm_ref:
         import pyarrow.parquet as pq
@@ -903,6 +914,9 @@ def main(argv: list[str] | None = None) -> int:
     prep.add_argument("--input", required=True)
     prep.add_argument("--output", required=True)
     prep.add_argument("--max-len", type=int, default=2048)
+    prep.add_argument("--input-format", default="parquet",
+                      choices=["parquet", "jsonl", "csv", "arrow"],
+                      help="raw-crawl ingest (P77)")
     prep.add_argument("--no-scrub", action="store_true")
     prep.add_argument("--benchmark", default=None,
                       help="parquet file of eval texts (column 'text'); "
