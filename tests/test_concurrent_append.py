@@ -10,6 +10,13 @@ The claim protocol's contract, each piece pinned here:
 - maintenance-op txn allocation skips claimed-but-uncommitted stamps;
 - duplicate submission of the SAME increment (same append_id) from two
   workers is idempotent — one logical append.
+
+Load sensitivity note: the two threaded-race tests drive real
+``append_dataset`` calls through one shared Ray session; when the BOX
+is oversubscribed (a second Ray instance running concurrently with the
+full suite) their timing windows can flake.  They pass 10/10 in
+isolation and in clean full-suite runs — rerun before suspecting the
+claim protocol.
 """
 
 from __future__ import annotations
