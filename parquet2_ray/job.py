@@ -188,6 +188,10 @@ def cmd_index_text(args) -> dict:
         refresh_text_index,
     )
 
+    if args.stoplist is not None:
+        from .pipelines.textindex_pipeline import apply_stoplist
+
+        return apply_stoplist(args.index, max_df=args.stoplist)
     if args.refresh:
         return refresh_text_index(args.index)
     if args.append:
@@ -879,6 +883,9 @@ def main(argv: list[str] | None = None) -> int:
     tix.add_argument("--refresh", action="store_true",
                      help="converge a bound index via the container's "
                           "CDC feed (P71)")
+    tix.add_argument("--stoplist", type=float, default=None,
+                     help="drop terms with df > this fraction of the "
+                          "corpus (stop-word pruning)")
 
     srch = sub.add_parser("search",
                           help="full-text search a container via its index")

@@ -61,6 +61,7 @@ __all__ = [
     "refresh_text_index",
     "append_text_index",
     "probe_text_index",
+    "apply_stoplist",
     "explain_terms",
     "search_container",
     "ranked_search_index",
@@ -713,6 +714,16 @@ def probe_text_index(
     meta = _index_meta(index_dir)
     nshards = int(meta["nshards"])
     hs = np.unique(term_hashes(terms))
+    dropped = set(meta.get("dropped_terms", []))
+    if dropped:
+        bad = [t for t, h in zip(terms, term_hashes(terms))
+               if int(h) in dropped]
+        if bad:
+            raise ValueError(
+                f"term(s) {bad} were stoplisted at build/maintenance "
+                f"(df > {meta.get('stoplist_max_df')} of the corpus) "
+                "— a boolean query on them is unanswerable from this "
+                "index; drop them from the query")
     shards = shard_of(hs, nshards)
     by_shard = {int(s): hs[shards == s] for s in np.unique(shards)}
 
@@ -850,6 +861,15 @@ def ranked_search_index(
         raise ValueError(f"{index_dir}: index predates ranked search "
                          "(no ndocs in meta) — rebuild it")
     avgdl = max(1.0, float(meta.get("total_tokens", 0)) / n_docs)
+    dropped = set(meta.get("dropped_terms", []))
+    if dropped:
+        # stoplisted terms contribute ~zero idf by construction
+        terms = [t for t, h in zip(terms, term_hashes(terms))
+                 if int(h) not in dropped]
+        if not terms:
+            return pa.table({"doc": pa.array([]),
+                             "score": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int64())})
     hs = np.unique(term_hashes(terms))
     shards = shard_of(hs, nshards)
     by_shard = {int(s): hs[shards == s] for s in np.unique(shards)}
@@ -954,3 +974,69 @@ def search_container_ranked(
     rows = lookup_rows(container_dir, id_col,
                        ranked["doc"].to_pylist(), columns=read_cols)
     return rows.map_batches(attach, batch_format="pyarrow")
+
+
+@ray.remote
+def _stoplist_shard_task(index_dir: str, shard: int,
+                         max_df_count: int) -> list:
+    """Drop this shard's terms with df > max_df_count from its posting
+    file; returns the dropped term hashes (a term lives entirely in
+    ONE shard, so per-shard df IS global df)."""
+    path = _shard_path(index_dir, shard)
+    t = _read_shard_file(path)
+    h = t["h"].to_numpy()
+    if h.size == 0:
+        return []
+    # df per term over the sorted hash column
+    new = np.empty(h.size, dtype=bool)
+    new[0] = True
+    new[1:] = h[1:] != h[:-1]
+    starts = np.flatnonzero(new)
+    dfs = np.diff(np.append(starts, h.size))
+    heavy = starts[dfs > max_df_count]
+    if heavy.size == 0:
+        return []
+    heavy_hashes = h[heavy]
+    keep = ~np.isin(h, heavy_hashes)
+    _write_shard_file(path, h[keep],
+                      t["doc"].to_numpy(zero_copy_only=False)[keep],
+                      t.schema.field("doc").type,
+                      t["tf"].to_numpy()[keep])
+    return [int(x) for x in heavy_hashes]
+
+
+def apply_stoplist(index_dir: str, max_df: float = 0.5) -> dict:
+    """Stop-word pruning (the 100 TB index-size mitigation): drop every
+    term present in more than ``max_df`` of the corpus's documents from
+    the posting files — the Zipf head is a handful of terms carrying a
+    huge share of the postings, and a boolean query on one would be
+    guard-rejected anyway (``max_postings``).
+
+    Dropped term hashes are recorded in the meta (the Zipf head is
+    SMALL, so the list is bounded); ``probe_text_index`` raises a
+    clear error for a stoplisted term instead of silently returning
+    nothing, and BM25 skips them (their idf ≈ 0 contribution).
+    Appends/refreshes may partially reintroduce a dropped term until
+    the stoplist is re-applied — ``apply_stoplist`` is idempotent and
+    ``maintain``-friendly; re-run it after heavy ingest."""
+    if not (0.0 < max_df <= 1.0):
+        raise ValueError("max_df must be in (0, 1]")
+    meta = _index_meta(index_dir)
+    ndocs = int(meta.get("ndocs", 0))
+    if ndocs <= 0:
+        raise ValueError(f"{index_dir}: index predates doc counting — "
+                         "rebuild it before applying a stoplist")
+    cutoff = int(max_df * ndocs)
+    dropped: set[int] = set(meta.get("dropped_terms", []))
+    before = len(dropped)
+    for part in ray.get([
+            _stoplist_shard_task.remote(index_dir, s, cutoff)
+            for s in range(int(meta["nshards"]))]):
+        dropped.update(part)
+    meta["dropped_terms"] = sorted(dropped)
+    meta["stoplist_max_df"] = max_df
+    fsio.atomic_write(_meta_path(index_dir),
+                      json.dumps(meta).encode(), fsync=False)
+    return {"dropped_terms": len(dropped),
+            "newly_dropped": len(dropped) - before,
+            "df_cutoff": cutoff}

@@ -408,3 +408,36 @@ def test_explain_terms(index, ray_session):
     assert info["rarest"] == "zzz"
     assert info["and_fetch_mass"] == 0
     assert info["or_fetch_mass"] == sum(info["terms"].values())
+
+
+# ------------------------- stoplist pruning -------------------------
+
+def test_stoplist_drops_heavy_terms(tmp_path, ray_session):
+    from parquet2_ray.pipelines.textindex_pipeline import (
+        apply_stoplist,
+        probe_text_index,
+        ranked_search_index,
+    )
+
+    # 'common' in every doc; the rest are selective
+    df = pd.DataFrame({
+        "doc_id": list(range(1, 9)),
+        "text": [f"common w{i % 4} extra{i}" for i in range(8)],
+    })
+    d = str(tmp_path / "stidx")
+    build_text_index(rd.from_pandas(df), d, nshards=4)
+    r = apply_stoplist(d, max_df=0.5)
+    assert r["dropped_terms"] == 1   # only 'common' exceeds 50%
+    # boolean probe on the stoplisted term raises clearly
+    with pytest.raises(ValueError, match="stoplisted"):
+        probe_text_index(d, ["common", "w1"])
+    # selective terms unaffected
+    assert list(probe_text_index(d, ["w1"])) == [2, 6]
+    # ranked search silently skips the stoplisted term
+    got = ranked_search_index(d, ["common", "w1"], k=5)
+    assert set(got["doc"].to_pylist()) == {2, 6}
+    # all-stoplisted ranked query → empty, not an error
+    assert ranked_search_index(d, ["common"], k=5).num_rows == 0
+    # idempotent re-apply
+    r2 = apply_stoplist(d, max_df=0.5)
+    assert r2["newly_dropped"] == 0
