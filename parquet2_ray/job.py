@@ -74,9 +74,41 @@ def cmd_encode(args) -> dict:
         return append_dataset(
             inp, args.output, opts,
             append_id=getattr(args, "append_id", None)
-            or (f"cli-{fmt}-{args.input}" if fmt != "parquet" else None),
+            or (_dataset_append_id(args.input, fmt)
+                if fmt != "parquet" else None),
             evolve_schema=getattr(args, "evolve_schema", False))
     return encode_dataset(inp, args.output, opts)
+
+
+_CORPUS_SUFFIXES = {
+    "jsonl": (".jsonl", ".json"), "json": (".jsonl", ".json"),
+    "csv": (".csv",),
+    "arrow": (".arrow", ".ipc", ".feather"),
+    "ipc": (".arrow", ".ipc", ".feather"),
+    "feather": (".arrow", ".ipc", ".feather"),
+}
+
+
+def _dataset_append_id(path: str, fmt: str) -> str:
+    """Identity of a Dataset-routed (non-parquet) increment: sha256 over
+    the resolved (file, size, mtime) stats.  A path-only id let a re-run
+    after the file's CONTENT changed at the same path resume the stale
+    reservation and silently skip the new rows (ADVICE r4 medium);
+    hashing stats mirrors ``_input_append_id`` for parquet inputs, plus
+    mtime since raw-crawl drops are commonly rewritten in place."""
+    import hashlib
+
+    from .sources.readers import resolve_input_files
+
+    fs, files = resolve_input_files(
+        path, None, suffixes=_CORPUS_SUFFIXES.get(fmt, ()))
+    h = hashlib.sha256(f"cli-{fmt}".encode())
+    for f, info in zip(files, fs.get_file_info(files)):
+        mt = getattr(info, "mtime_ns", None) or getattr(info, "mtime", None)
+        for part in (f, str(info.size or 0), str(mt)):
+            h.update(part.encode())
+            h.update(b"\0")
+    return h.hexdigest()[:32]
 
 
 def cmd_decode(args) -> dict:
@@ -199,7 +231,10 @@ def cmd_index_text(args) -> dict:
 
         ds = decode_dataset(args.container,
                             columns=[args.id_col, args.text_col])
-        return append_text_index(ds, args.index)
+        # the CLI fold decodes the FULL container, so already-indexed
+        # ids are expected — identical re-ingest is idempotent
+        return append_text_index(ds, args.index,
+                                 on_existing=args.on_existing)
     return index_container_text(args.container, args.index,
                                 text_col=args.text_col,
                                 id_col=args.id_col,
@@ -886,6 +921,11 @@ def main(argv: list[str] | None = None) -> int:
     tix.add_argument("--stoplist", type=float, default=None,
                      help="drop terms with df > this fraction of the "
                           "corpus (stop-word pruning)")
+    tix.add_argument("--on-existing", default="unchecked",
+                     choices=["error", "replace", "unchecked"],
+                     help="--append behavior for already-indexed ids "
+                          "(the CLI fold re-reads the full container, "
+                          "so 'unchecked' is the default here)")
 
     srch = sub.add_parser("search",
                           help="full-text search a container via its index")

@@ -100,10 +100,19 @@ def _compute(spec: list, col: pa.ChunkedArray | pa.Array) -> pa.Array:
                 {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[t.unit])
         col = col.cast(pa.int64())
     else:
+        # floor_div/mod are integer ops; a float source would hit
+        # numpy-truncation-vs-SQL-rounding divergence from the
+        # generated_sql oracle, so reject it loudly (ADVICE r4)
+        if not (pa.types.is_integer(col.type)
+                or pa.types.is_timestamp(col.type)):
+            raise TypeError(
+                f"generated column op {op!r} needs an integer or "
+                f"timestamp source, got {col.type}")
         col = col.cast(pa.int64())
     vals = col.to_numpy(zero_copy_only=False)
     mask = col.is_null().to_numpy(zero_copy_only=False) \
         if col.null_count else None
+    # nulls surface as NaN in the numpy view (masked out below)
     safe = np.where(np.isnan(vals), 0, vals) if vals.dtype.kind == "f" \
         else vals
     safe = safe.astype(np.int64)

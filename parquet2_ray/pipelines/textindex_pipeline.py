@@ -486,6 +486,11 @@ def refresh_text_index(index_dir: str, to_txn: int | None = None) -> dict:
     meta["ndocs"] = sum(v[0] for v in meta["doclen_shards"].values())
     meta["total_tokens"] = sum(v[1] for v in
                                meta["doclen_shards"].values())
+    # purges/additions change the posting count by an amount only a
+    # full rescan could recover — drop the stat rather than let it
+    # drift (same discipline as append's meta.pop('terms'); ADVICE r4)
+    meta.pop("postings", None)
+    meta.pop("terms", None)
     meta["cursor"] = now
     fsio.atomic_write(_meta_path(index_dir),
                       json.dumps(meta).encode(), fsync=False)
@@ -543,17 +548,82 @@ def _purge_shard_task(index_dir: str, shard: int,
                         e64, ei, ei, e64, ei, pa.int64())
 
 
+@ray.remote
+def _doclen_probe_task(index_dir: str, shard: int,
+                       hs: np.ndarray) -> np.ndarray:
+    """Which of the probe hashes are already indexed in this shard's
+    doclen sidecar (KB-sized; postings never read)."""
+    h, _ = _read_doclen_file(_doclen_path(index_dir, shard))
+    return hs[np.isin(hs, h)] if h.size else hs[:0]
+
+
 def append_text_index(
     ds: rd.Dataset,
     index_dir: str,
+    on_existing: str = "error",
 ) -> dict:
     """Fold new documents into an existing index (the daily-ingest
     shape, mirroring ``append_hash_index``): one exchange of the
     increment's projection, then a per-shard sorted merge + atomic
     rewrite.  Bytes rewritten: only the shards the increment hashes
-    into."""
+    into.
+
+    Append is INSERT-ONLY by contract: a re-ingested document whose
+    text changed would leave its old content's postings in place (and
+    the MAX-merge can never lower a tf) — only the refresh/rebuild
+    paths purge old content.  ``on_existing`` guards that assumption
+    (ADVICE r4):
+
+    - ``"error"`` (default): probe the doclen sidecars for the
+      increment's ids and raise if any are already indexed;
+    - ``"replace"``: purge already-present ids from every shard first
+      (the refresh purge path), then add — correct for re-ingested
+      changed documents at the cost of a full purge sweep;
+    - ``"unchecked"``: skip the probe; the caller guarantees fresh ids
+      (e.g. monotonically assigned).  Identical re-ingests are safe
+      here — the pair merge and doclen replace are idempotent.
+    """
+    if on_existing not in ("error", "replace", "unchecked"):
+        raise ValueError(f"on_existing={on_existing!r}; one of "
+                         "error/replace/unchecked")
     meta = _index_meta(index_dir)
     nshards = int(meta["nshards"])
+    if on_existing != "unchecked":
+        from ..functions.hashing import column_hashes
+        from ..stages.dedup import gather_small
+
+        id_col = meta["id_col"]
+        ids_tbl = gather_small(
+            ds.select_columns([id_col]),
+            pa.table({id_col: pa.array([], pa.int64())}))
+        inc_ids = np.unique(
+            ids_tbl[id_col].to_numpy(zero_copy_only=False))
+        inc_h = (column_hashes(pa.array(inc_ids)) if inc_ids.size
+                 else np.empty(0, np.uint64))
+        shards = shard_of(inc_h, nshards) if inc_h.size else inc_h
+        present_h = np.concatenate([np.asarray(r) for r in ray.get([
+            _doclen_probe_task.remote(index_dir, int(s),
+                                      inc_h[shards == s])
+            for s in np.unique(shards)])] or
+            [np.empty(0, np.uint64)])
+        if present_h.size:
+            present_ids = inc_ids[np.isin(inc_h, present_h)]
+            if on_existing == "error":
+                raise ValueError(
+                    f"append_text_index: {present_ids.size} increment "
+                    f"id(s) already indexed (e.g. "
+                    f"{present_ids[:5].tolist()}); append is "
+                    "insert-only — use on_existing='replace' or "
+                    "refresh_text_index for changed documents")
+            purge_ref = ray.put((present_ids, np.unique(present_h)))
+            _ensure_doclen_stats(meta, index_dir)
+            for s, (adocs, atok) in zip(range(nshards), ray.get([
+                    _purge_shard_task.remote(index_dir, s, purge_ref)
+                    for s in range(nshards)])):
+                meta["doclen_shards"][str(s)] = [adocs, atok]
+            # purged posting count is unknown without a rescan — the
+            # running total goes stale, drop it (the 'terms' rule)
+            meta.pop("postings", None)
     proj = ds.map_batches(
         lambda b: _posting_batch(b, meta["text_col"], meta["id_col"],
                                  nshards),
@@ -602,7 +672,8 @@ def append_text_index(
               .map_groups(merge_shard, batch_format="pyarrow"))
     rows = merged.take_all()
     added = sum(int(r["dn"]) for r in rows)
-    meta["postings"] = int(meta["postings"]) + added
+    if "postings" in meta:   # absent after a purge path dropped it
+        meta["postings"] = int(meta["postings"]) + added
     _ensure_doclen_stats(meta, index_dir)
     for r in rows:
         meta["doclen_shards"][str(int(r["shard"]))] = \

@@ -168,7 +168,11 @@ def read_corpus(paths, fmt: str = "parquet",
     - ``jsonl`` — newline-delimited JSON, the dominant crawl format
       (Common Crawl derivatives, Dolma, RedPajama drops);
     - ``csv`` — tabular exports;
-    - ``arrow`` / ``ipc`` / ``feather`` — Arrow IPC stream/file dumps.
+    - ``arrow`` / ``ipc`` / ``feather`` — Arrow IPC stream/file dumps
+      (file format tried first, stream format as fallback).  NOTE:
+      unlike the other formats these are materialized table-at-a-time
+      on the driver before entering the Dataset — IPC dumps are
+      assumed to be hand-off-sized, not corpus-sized.
 
     Non-parquet formats have no fused-scan path — they route through
     the ordinary Dataset branch of the encode plan (one extra pass of
@@ -190,8 +194,15 @@ def read_corpus(paths, fmt: str = "parquet",
 
             fh, _size = fsio.open_input(p)
             try:
-                with ipc.open_file(fh) as r:
-                    return r.read_all()
+                try:
+                    with ipc.open_file(fh) as r:
+                        return r.read_all()
+                except pa.ArrowInvalid:
+                    # stream-format dump (no file footer/magic) — the
+                    # fmt aliases advertise both framings (ADVICE r4)
+                    fh.seek(0)
+                    with ipc.open_stream(fh) as r:
+                        return r.read_all()
             finally:
                 fh.close()
 

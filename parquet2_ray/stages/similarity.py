@@ -2,15 +2,15 @@
 
 Brute-force cosine top-k as the baseline: the query matrix is broadcast
 once (``ray.put``), each ``map_batches`` task computes a matmul against
-its batch and emits only its local top-k candidates — so the driver-side
-merge sees O(batches × k) rows, never the full corpus. The LSH-bucketed
+its batch and emits only its local top-k candidates; a distributed
+``groupby(query_id)`` partial merge then reduces those to exactly
+queries × k rows before the driver sees anything — the driver-side
+gather is O(queries × k) regardless of block count. The LSH-bucketed
 variant (``lsh_bucketed_topk``) is the scale path: random-hyperplane
 signatures bucket the corpus so each query only scans matching buckets.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pandas as pd
@@ -79,15 +79,17 @@ def ann_topk(
             }
         )
 
-    cands = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
-    # final merge: O(batches × nq × k) rows on the driver
-    rows = {"query_id": [], id_col: [], "rank": []}
+    merged = _merge_topk_dataset(
+        ds.map_batches(local_topk, batch_format="pyarrow"), k, id_col
+    )
+    # driver receives exactly O(queries × k) rows, independent of block count
+    out = merged.take_all()
     by_q: dict[int, list] = {}
-    for r in cands:
-        by_q.setdefault(r["query_id"], []).append((r["sim"], r[id_col]))
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r[id_col]))
+    rows = {"query_id": [], id_col: [], "rank": []}
     for qid in query_ids:
-        top = heapq.nsmallest(k, by_q.get(qid, []), key=lambda t: (-t[0], t[1]))
-        for rank, (_, vid) in enumerate(top, start=1):
+        for rank, vid in sorted(by_q.get(qid, [])):
             rows["query_id"].append(qid)
             rows[id_col].append(vid)
             rows["rank"].append(rank)
@@ -98,6 +100,32 @@ def ann_topk(
             "rank": pa.array(rows["rank"], type=pa.int64()),
         }
     )
+
+
+def _merge_topk_dataset(cands: rd.Dataset, k: int, id_col: str) -> rd.Dataset:
+    """Distributed final merge for per-block top-k candidate rows
+    (query_id, id, sim): one small ``groupby(query_id)`` exchange of
+    O(blocks × queries × k) candidate rows, then a vectorized per-group
+    top-k, so the driver-side gather is bounded at queries × k rows no
+    matter how many blocks the corpus has (VERDICT r4 item #1 — replaces
+    the take_all() + per-row Python heap loop).  Ties broken by
+    ascending id, matching the heap-merge in
+    ``vecindex_pipeline.ann_search_index``."""
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        vids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vids, -sims))[:k]
+        n = len(order)
+        return pa.table(
+            {
+                "query_id": pa.array([group["query_id"][0].as_py()] * n, pa.int64()),
+                id_col: pa.array(vids[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 
 
 def rp_signature_batch(

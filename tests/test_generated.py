@@ -72,6 +72,16 @@ def test_apply_semantics(ray_session):
     assert out2["bucket"].to_pylist() == [0, 0, 20, None, -10]
 
 
+def test_float_source_rejected(ray_session):
+    """ADVICE r4: floor_div/mod on a float source would diverge from
+    the SQL oracle (truncation vs rounding) — reject loudly."""
+    b = pa.table({"f": pa.array([1.5, 2.25], pa.float64())})
+    with pytest.raises(TypeError, match="integer or timestamp"):
+        apply_generated(b, {"bucket": ["floor_div", "f", 10]})
+    with pytest.raises(TypeError, match="integer or timestamp"):
+        apply_generated(b, {"shard": ["mod", "f", 4]})
+
+
 def test_append_and_upsert_enforce(tmp_path, ray_session):
     from parquet2_ray.pipelines.append_pipeline import append_dataset
     from parquet2_ray.pipelines.upsert_pipeline import upsert_rows

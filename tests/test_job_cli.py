@@ -89,6 +89,44 @@ def test_job_encode_append(tmp_path, capsys):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_job_append_jsonl_rewritten_in_place(tmp_path, capsys):
+    """ADVICE r4 medium: a Dataset-routed (non-parquet) append whose
+    input file was REWRITTEN at the same path must get a fresh
+    append_id (stat-derived), not resume the stale reservation and
+    silently drop the new rows."""
+    import pandas as pd
+
+    def write_jsonl(path, lo, hi):
+        df = pd.DataFrame({
+            "doc_id": range(lo, hi),
+            "text": [f"doc {i} body" for i in range(lo, hi)],
+            "n_chars": [50] * (hi - lo),
+            "source": ["web"] * (hi - lo),
+        })
+        with open(path, "w") as f:
+            for r in df.to_dict("records"):
+                f.write(json.dumps(r) + "\n")
+
+    src = tmp_path / "day.jsonl"
+    cont = str(tmp_path / "cont")
+    write_jsonl(src, 0, 100)
+    assert main(["encode", "--input", str(src), "--output", cont,
+                 "--input-format", "jsonl", "--group-col", "source",
+                 "--weight-col", "n_chars", "--sort-key", "doc_id",
+                 "--target-weight", "100000", "--append"]) == 0
+    capsys.readouterr()
+    # same path, same row count (so the resumed plan's partition count
+    # would match), different content — must append, not skip
+    write_jsonl(src, 100, 200)
+    assert main(["encode", "--input", str(src), "--output", cont,
+                 "--input-format", "jsonl", "--group-col", "source",
+                 "--weight-col", "n_chars", "--sort-key", "doc_id",
+                 "--target-weight", "100000", "--append"]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["container"]["n_rows"] == 200
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_job_compact(tmp_path, capsys):
     from parquet2_ray.sources.tokens import make_tokens_table
 

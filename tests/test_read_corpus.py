@@ -74,6 +74,21 @@ def test_arrow_ipc_roundtrip(tmp_path, ray_session):
         df.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_arrow_ipc_stream_format(tmp_path, ray_session):
+    """ADVICE r4: the 'ipc' alias advertises stream/file dumps — a
+    stream-format file (no footer) must load via the fallback."""
+    df = _df(60)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    sp = str(tmp_path / "c.ipc")
+    with ipc.new_stream(sp, t.schema) as w:
+        w.write_table(t)
+    got = pd.DataFrame(read_corpus(sp, fmt="ipc").take_all()) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[df.columns.tolist()],
+        df.sort_values("doc_id").reset_index(drop=True))
+
+
 def test_unknown_format_rejected(ray_session):
     with pytest.raises(ValueError, match="unknown corpus format"):
         read_corpus("/tmp/x", fmt="orc")

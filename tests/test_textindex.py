@@ -116,9 +116,32 @@ def test_append_equals_full_build(tmp_path, ray_session):
 def test_append_is_idempotent(tmp_path, ray_session):
     d = str(tmp_path / "idem")
     build_text_index(rd.from_pandas(DOCS), d, nshards=8)
-    r = append_text_index(rd.from_pandas(DOCS.iloc[1:2]), d)
+    r = append_text_index(rd.from_pandas(DOCS.iloc[1:2]), d,
+                          on_existing="unchecked")
     assert r["added_postings"] == 0  # all (term, doc) pairs existed
     assert list(probe_text_index(d, ["beta"])) == _ref(["beta"], "and")
+
+
+def test_append_guards_existing_ids(tmp_path, ray_session):
+    """ADVICE r4: append is insert-only — a re-ingested id must be
+    detected (default error) or routed through the purge path
+    (on_existing='replace'), never left with stale postings."""
+    import pytest
+
+    d = str(tmp_path / "guard")
+    build_text_index(rd.from_pandas(DOCS), d, nshards=8)
+    changed = DOCS.iloc[1:2].assign(text="zeta omega")
+    with pytest.raises(ValueError, match="already indexed"):
+        append_text_index(rd.from_pandas(changed), d)
+    # replace: the old content's postings are purged, new ones added
+    append_text_index(rd.from_pandas(changed), d,
+                      on_existing="replace")
+    doc = int(DOCS.iloc[1]["doc_id"])
+    assert doc not in set(probe_text_index(d, ["beta"]))
+    assert list(probe_text_index(d, ["zeta"])) == [doc]
+    # other documents untouched
+    ref_beta = [i for i in _ref(["beta"], "and") if i != doc]
+    assert list(probe_text_index(d, ["beta"])) == ref_beta
 
 
 def test_rebuild_clears_stale_postings(tmp_path, ray_session):
@@ -173,7 +196,8 @@ def test_string_doc_ids(tmp_path, ray_session):
     got = probe_text_index(d, ["beta", "gamma"])
     want = [f"doc-{i}" for i in _ref(["beta", "gamma"], "and")]
     assert sorted(got) == want
-    append_text_index(rd.from_pandas(df.iloc[:2]), d)  # idempotent
+    append_text_index(rd.from_pandas(df.iloc[:2]), d,
+                      on_existing="unchecked")  # idempotent
     assert sorted(probe_text_index(d, ["beta", "gamma"])) == want
 
 
