@@ -66,15 +66,20 @@ _DICT_CODECS = {"dict_rle", "dict_binary", "dict_flba"}
 
 
 def parquet_write_args_for(codecs: dict[str, str]) -> dict:
-    """pyarrow ``write_table`` kwargs matching our codec selections."""
+    """pyarrow ``write_table`` kwargs matching our codec selections.
+    Every interchange file carries a ColumnIndex/OffsetIndex so
+    downstream readers (including ``page_index.read_parquet_indexed``)
+    can prune at page granularity."""
+    out = {"write_page_index": True}
     dict_cols = sorted(c for c, k in codecs.items() if k in _DICT_CODECS)
     if dict_cols:
-        return {"use_dictionary": dict_cols}
+        out["use_dictionary"] = dict_cols
+        return out
     enc = {c: _TO_PARQUET_ENCODING[k] for c, k in codecs.items()
            if k in _TO_PARQUET_ENCODING}
     if enc:
-        return {"use_dictionary": False, "column_encoding": enc}
-    return {}
+        out.update({"use_dictionary": False, "column_encoding": enc})
+    return out
 
 
 def container_to_parquet(

@@ -157,7 +157,8 @@ def resolve_input_files(
 
 
 def read_corpus(paths, fmt: str = "parquet",
-                columns: list[str] | None = None) -> rd.Dataset:
+                columns: list[str] | None = None,
+                predicates=None) -> rd.Dataset:
     """Multi-format corpus ingest (P77): the raw-crawl formats a
     training pipeline actually receives, each as a streamed Ray
     Dataset ready for ``encode_dataset`` / ``prepare_training_data``:
@@ -177,9 +178,23 @@ def read_corpus(paths, fmt: str = "parquet",
     Non-parquet formats have no fused-scan path — they route through
     the ordinary Dataset branch of the encode plan (one extra pass of
     block materialization).  Format is by declaration, not sniffing:
-    a mislabeled file should fail loudly, not half-parse."""
+    a mislabeled file should fail loudly, not half-parse.
+
+    ``predicates`` — optional list of ``(column, lo, hi)`` inclusive
+    range conjuncts.  For parquet inputs these route through the
+    page-index scan (``page_index.read_parquet_indexed``): files
+    written with a ColumnIndex/OffsetIndex prune down to surviving
+    PAGES (byte-ranged reads), others fall back to row-group reads —
+    either way the result is exactly the matching rows.  Non-parquet
+    formats apply the same predicate as a post-read filter."""
     fmt = fmt.lower()
     if fmt == "parquet":
+        if predicates:
+            from .page_index import read_parquet_indexed
+
+            _, files = resolve_input_files(paths)
+            return read_parquet_indexed(files, columns=columns,
+                                        predicates=predicates)
         ds = rd.read_parquet(paths, columns=columns)
         return ds
     if fmt in ("jsonl", "json"):
@@ -216,6 +231,15 @@ def read_corpus(paths, fmt: str = "parquet",
         raise ValueError(
             f"unknown corpus format {fmt!r}; one of parquet/jsonl/"
             "csv/arrow")
+    if predicates:
+        preds = list(predicates)
+
+        def _pred_filter(batch: pa.Table) -> pa.Table:
+            from .page_index import _residual_filter
+
+            return _residual_filter(batch, preds)
+
+        ds = ds.map_batches(_pred_filter, batch_format="pyarrow")
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds

@@ -16,7 +16,7 @@ def test_write_args_mapping():
     # dict columns present → dictionary wins (pyarrow can't mix
     # column_encoding with use_dictionary lists)
     args = parquet_write_args_for({"a": "dict_rle", "b": "delta_binary_packed"})
-    assert args == {"use_dictionary": ["a"]}
+    assert args == {"use_dictionary": ["a"], "write_page_index": True}
     # no dict columns → explicit standard encodings
     args = parquet_write_args_for(
         {"a": "delta_binary_packed", "b": "fsst", "c": "delta_byte_array"})
@@ -24,7 +24,9 @@ def test_write_args_mapping():
     assert args["column_encoding"] == {
         "a": "DELTA_BINARY_PACKED", "b": "PLAIN", "c": "DELTA_BYTE_ARRAY"}
     # composite codecs (list/struct/decimal) have no mapping → defaults
-    assert parquet_write_args_for({"a": "list"}) == {}
+    # (page index always on, so interchange files are page-prunable)
+    assert parquet_write_args_for({"a": "list"}) == {
+        "write_page_index": True}
 
 
 @pytest.mark.usefixtures("ray_session")
