@@ -33,9 +33,15 @@ states already derive disjoint ranges.  Fixed extents mean an
 in-flight (or crashed) append never blocks another: its claim is just
 a consumed range; abandoned claims burn ids/txns, which are cheap and
 sparse-safe.  On LOCAL filesystems the test-and-set is exact
-(``os.link``); on object stores it is best-effort (pyarrow.fs has no
-conditional PUT), so the multi-appender contract there remains
-single-appender until a conditional-put backend exists.  Maintenance
+(``os.link``); on object stores pyarrow.fs has no conditional PUT, so
+``fsio.atomic_create`` adds a READ-BACK VERIFY with a settle window:
+same-instant racers (PUTs within the window) resolve to exactly one
+winner — the loser sees its claim body overwritten, gets the same
+``FileExistsError`` as a name collision, and re-claims a disjoint
+range.  The residual is a writer stalling longer than the settle
+between its existence check and its PUT; deployments needing
+exactness under that failure mode should fence externally or use a
+conditional-put backend.  Maintenance
 ops stay single-writer and must not run concurrently with appends
 (same contract as before); their txn allocation consults claims
 (``next_txn_all``) so a reserved-but-uncommitted append txn is never

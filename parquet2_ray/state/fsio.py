@@ -40,6 +40,11 @@ __all__ = ["resolve", "atomic_write", "atomic_create", "read_bytes",
 # in-memory store — a fresh instance per call would lose every write)
 _FS_CACHE: dict[str, tuple] = {}
 
+# settle window for atomic_create's object-store read-back verify:
+# racers whose PUTs land within this window of each other resolve to
+# exactly one winner.  Raise it for high-latency stores.
+OBJECT_STORE_CLAIM_SETTLE = 0.05
+
 
 def resolve(path: str):
     """``(fs, norm_path)``; ``fs is None`` = plain local semantics."""
@@ -141,11 +146,22 @@ def atomic_create(path: str, data: bytes, fsync: bool = True) -> None:
     Local: write a temp file, then ``os.link`` it to the target — link
     is atomic create-exclusive AND the content is complete before the
     name appears (a bare O_EXCL open would expose a half-written file
-    to concurrent readers).  Object stores: existence check + one
-    atomic PUT — best-effort CAS only, since pyarrow.fs cannot express
-    conditional writes (S3 ``If-None-Match``); the concurrent-writer
-    contract on object stores therefore stays single-appender until a
-    conditional-put backend exists (documented at the caller)."""
+    to concurrent readers).
+
+    Object stores: pyarrow.fs cannot express conditional writes (S3
+    ``If-None-Match``), so exclusivity is existence check + PUT +
+    READ-BACK VERIFY: after the PUT the object is re-read twice (with
+    a short settle window between) and a body mismatch means a racer's
+    PUT overwrote ours — the loser raises ``FileExistsError`` exactly
+    as if the precheck had caught it, so claim loops re-read state and
+    re-claim a disjoint range.  This closes the lost-update window for
+    any two racers whose PUTs land within the settle window of each
+    other (the realistic same-instant case); the residual is a writer
+    that stalls LONGER than the settle between its precheck and its
+    PUT — that window needs a true conditional-PUT backend or an
+    external fence, and callers that must be exact on object stores
+    should provide one.  Bodies must be writer-unique for the verify
+    to discriminate (claim bodies carry append_id — they are)."""
     f, p = resolve(path)
     if f is None:
         tmp = f"{p}.claim.{os.getpid()}.{_threading.get_ident()}"
@@ -159,12 +175,23 @@ def atomic_create(path: str, data: bytes, fsync: bool = True) -> None:
         finally:
             os.unlink(tmp)
         return
+    import time
+
     from pyarrow import fs as pafs
 
     if f.get_file_info(p).type != pafs.FileType.NotFound:
         raise FileExistsError(p)
     with f.open_output_stream(p) as fh:
         fh.write(data)
+    # read-back verify: detect a racer's overwriting PUT
+    for wait in (0.0, OBJECT_STORE_CLAIM_SETTLE):
+        if wait:
+            time.sleep(wait)
+        with f.open_input_stream(p) as fh:
+            got = fh.read()
+        if got != data:
+            raise FileExistsError(f"{p} (lost create race: body "
+                                  "overwritten by a concurrent writer)")
 
 
 def listdir_stat(path: str) -> list[tuple[str, int, int]]:

@@ -155,6 +155,75 @@ def test_atomic_create_is_exclusive(tmp_path):
     assert not [n for n in os.listdir(tmp_path) if ".claim." in n]
 
 
+def test_atomic_create_object_store_readback_detects_overwrite():
+    """VERDICT r4 #3: on an object store (no conditional PUT) the
+    read-back verify must detect a racer's PUT landing after ours —
+    deterministically injected at the settle point."""
+    import time as _time
+
+    import parquet2_ray.state.fsio as fsio_mod
+
+    fsio.ensure_dir("mock://racebox/c1")
+    path = "mock://racebox/c1/claim-0.json"
+    rival = json.dumps({"append_id": "rival"}).encode()
+    mine = json.dumps({"append_id": "me"}).encode()
+    real_sleep = _time.sleep
+
+    def overwrite_at_settle(secs):
+        # the rival's PUT lands inside our settle window
+        f, p = fsio_mod.resolve(path)
+        with f.open_output_stream(p) as fh:
+            fh.write(rival)
+        real_sleep(0)
+
+    orig = _time.sleep
+    _time.sleep = overwrite_at_settle
+    try:
+        with pytest.raises(FileExistsError, match="lost create race"):
+            fsio.atomic_create(path, mine, fsync=False)
+    finally:
+        _time.sleep = orig
+    # the rival's claim is what survives, untouched
+    assert fsio.read_bytes(path) == rival
+
+
+def test_atomic_create_object_store_exclusive_threads():
+    """Two same-instant racers on a mock object store: exactly one
+    wins, the loser re-claims — both survive with disjoint claims
+    (the VERDICT done-criterion shape, at the fsio level)."""
+    fsio.ensure_dir("mock://racebox/c2")
+    outcomes: dict[int, str] = {}
+    barrier = threading.Barrier(2)
+
+    def attempt(i):
+        barrier.wait()
+        base = 0
+        while True:
+            try:
+                fsio.atomic_create(
+                    f"mock://racebox/c2/claim-{base}.json",
+                    json.dumps({"w": i, "base": base}).encode(),
+                    fsync=False)
+                outcomes[i] = f"claim-{base}.json"
+                return
+            except FileExistsError:
+                base += 1          # lost: re-claim the next range
+
+    ts = [threading.Thread(target=attempt, args=(i,))
+          for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # both racers survived, on DISJOINT claims
+    assert len(outcomes) == 2
+    assert outcomes[0] != outcomes[1]
+    # each surviving claim body names exactly its owner
+    for i, name in outcomes.items():
+        body = json.loads(fsio.read_bytes(f"mock://racebox/c2/{name}"))
+        assert body["w"] == i
+
+
 def test_crashed_claim_never_blocks_others(container, tmp_path):
     """A claim with zero committed records (crash right after claiming)
     consumes its range but blocks nothing; the crashed append later
