@@ -798,15 +798,19 @@ def q_rolling_mean(sf_dir: str):
 
 
 def q_value_quantiles(sf_dir: str):
-    """Exact per-event_type value quantiles (quantile_cont definition):
-    one groupby on the group key, np.sort + linear interpolation in the
-    group task."""
-    from parquet2_ray.stages.window import grouped_quantiles
+    """Per-event_type value quantiles (quantile_cont definition)
+    through the scale-safe auto router: groups under the threshold run
+    the exact path (np.sort + linear interpolation — what the SQL
+    oracle computes, and what every sf's test groups use); a group
+    above it would route through the mergeable digest instead of
+    shuffling its full value set to one task."""
+    from parquet2_ray.stages.window import grouped_quantiles_auto
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
-    return grouped_quantiles(ds, group_col="event_type", value_col="value",
-                             qs=(0.25, 0.5, 0.95))
+    return grouped_quantiles_auto(ds, group_col="event_type",
+                                  value_col="value",
+                                  qs=(0.25, 0.5, 0.95))
 
 
 def q_distinct_users(sf_dir: str):

@@ -423,13 +423,22 @@ def refresh_vector_index(index_dir: str, to_txn: int | None = None) -> dict:
 @ray.remote
 def _score_file(index_dir: str, cell: int, sub: int, qn: np.ndarray,
                 qidx: np.ndarray, k: int, id_col: str,
-                emb_col: str) -> list:
+                emb_col: str, gone=None) -> list:
     """Local top-k of one cell file for the queries probing that cell.
-    Returns [(query_index, sim, vec_id)] — ≤ len(qidx)×k tuples."""
+    Returns [(query_index, sim, vec_id)] — ≤ len(qidx)×k tuples.
+    ``gone`` (ids deleted since the index cursor, broadcast once) is
+    masked BEFORE the top-k so the merge still yields k live ids."""
     path = _cell_path(index_dir, cell, sub)
     if not fsio.exists(path):
         return []
     t = pq.read_table(pa.BufferReader(fsio.read_bytes(path)))
+    if gone is not None and len(gone):
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.invert(pc.is_in(
+            t[id_col], value_set=pa.array(gone))))
+        if t.num_rows == 0:
+            return []
     m = _normalize(_matrix(t[emb_col]))
     ids = t[id_col].to_numpy(zero_copy_only=False)
     sims = m @ qn[qidx].T          # (rows, probing queries)
@@ -444,18 +453,67 @@ def _score_file(index_dir: str, cell: int, sub: int, qn: np.ndarray,
     return out
 
 
+def _pending_deletes(meta: dict, index_dir: str) -> np.ndarray:
+    """Ids deleted/updated in the source container AFTER the index's
+    cursor (the refresh lag) — an id-only projection of the CDC feed,
+    O(churned partitions), empty when the index is current.  A swept
+    diff window returns empty with a best-effort warning: maintenance
+    sweeps only run after the sidecar refresh pass, so a swept window
+    implies the index already converged past those deletes."""
+    if "source" not in meta:
+        return np.empty(0, dtype=object)
+    from ..state import manifest as mf
+    from .history_pipeline import row_changes
+
+    source, cursor = meta["source"], int(meta["cursor"])
+    now = max((mf.record_txn(r)
+               for r in mf.load_manifest(source).values()), default=0)
+    if now <= cursor:
+        return np.empty(0, dtype=object)
+    id_col = meta["id_col"]
+    try:
+        feed = row_changes(source, since_txn=cursor, key=id_col,
+                           to_txn=now, columns=[id_col])
+    except RuntimeError:
+        return np.empty(0, dtype=object)
+
+    def gone_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(b["_change_type"],
+                     value_set=pa.array(["delete", "update_pre"]))
+        return pa.table({id_col: b.filter(m)[id_col]})
+
+    from ..stages.dedup import gather_small
+
+    t = gather_small(
+        feed.map_batches(gone_batch, batch_format="pyarrow"),
+        pa.table({id_col: pa.array([], pa.int64())}))
+    return np.unique(t[id_col].to_numpy(zero_copy_only=False))
+
+
 def ann_search_index(
     index_dir: str,
     queries: np.ndarray,
     query_ids: list[int],
     k: int = 10,
     nprobe: int = 4,
+    check_deletes: bool = True,
 ) -> pa.Table:
     """Cosine top-k against the persisted index; the container is never
     read.  Output schema and determinism match ``ann_topk``:
     (query_id, vec_id, rank), ties broken by ascending vec_id;
-    ``nprobe == n_centroids`` reproduces the exact result."""
+    ``nprobe == n_centroids`` reproduces the exact result.
+
+    ``check_deletes`` (VERDICT r4 #7): a container-bound index lags its
+    source between refreshes, so ids deleted SINCE the cursor are
+    masked inside each score task before the local top-k — a search
+    after a delete never returns the deleted id, and the mask costs
+    nothing when the index is current (cursor == source txn)."""
     meta, cent = _load_meta(index_dir)
+    gone = (_pending_deletes(meta, index_dir) if check_deletes
+            else np.empty(0, dtype=object))
+    gone_ref = ray.put(gone) if gone.size else None
     subshards = int(meta["subshards"])
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probe = min(nprobe, cent.shape[0])
@@ -479,7 +537,7 @@ def ann_search_index(
         for sub in range(subshards):
             refs.append(_score_file.remote(
                 index_dir, c, sub, qn, qidx, k,
-                meta["id_col"], meta["emb_col"]))
+                meta["id_col"], meta["emb_col"], gone_ref))
 
     by_q: dict[int, list] = {}
     for part in ray.get(refs):

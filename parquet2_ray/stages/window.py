@@ -32,7 +32,8 @@ import ray.data as rd
 
 __all__ = ["tumbling_window", "hopping_window", "sessionize",
            "distinct_count", "approx_distinct_count",
-           "grouped_quantiles", "approx_quantiles", "rolling_mean"]
+           "grouped_quantiles", "approx_quantiles",
+           "grouped_quantiles_auto", "rolling_mean"]
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -389,6 +390,72 @@ def grouped_quantiles(
     return (ds.select_columns([group_col, value_col])
               .groupby(group_col)
               .map_groups(quant, batch_format="pyarrow"))
+
+
+def grouped_quantiles_auto(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = (0.5,),
+    max_exact_group: int = 5_000_000,
+    compression: int = 512,
+) -> rd.Dataset:
+    """Scale-safe per-group quantiles (VERDICT r4 #5): EXACT for every
+    group that fits one task's heap, the mergeable P24 digest for
+    groups above ``max_exact_group`` rows — same output schema either
+    way, so callers see one operator.
+
+    Plan: a combiner-style partial count (per-batch ``value_counts`` →
+    one tiny groupby of O(distinct groups) rows) finds oversized
+    groups; the projection is then split by an ``is_in`` filter against
+    the broadcast big-group set and each side runs its native path.
+    The projected input executes twice (count pass + quantile pass) —
+    two 2-column scans, still far cheaper than shuffling a 10^7-row
+    group's values to a single ``map_groups`` task and sorting them in
+    one heap, which is how the exact path dies at scale.  Rank error on
+    the digest side ≈ 2/compression (see :func:`approx_quantiles`);
+    groups under the threshold are bit-identical to
+    :func:`grouped_quantiles`."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    pruned = ds.select_columns([group_col, value_col])
+
+    def pcount(b: pa.Table) -> pa.Table:
+        gtype = b.schema.field(group_col).type
+        b = b.filter(pc.and_(pc.is_valid(b[group_col]),
+                             pc.is_valid(b[value_col])))
+        if b.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "_n": pa.array([], pa.int64())})
+        vc = pc.value_counts(b[group_col].combine_chunks())
+        return pa.table({group_col: vc.field("values"),
+                         "_n": vc.field("counts")})
+
+    counts = (pruned.map_batches(pcount, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(Sum("_n", alias_name="_n")).take_all())
+    big = sorted(r[group_col] for r in counts
+                 if int(r["_n"]) > max_exact_group)
+    if not big:
+        return grouped_quantiles(ds, group_col, value_col, qs)
+    big_arr = pa.array(big)
+
+    def small_side(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(
+            b[group_col], value_set=big_arr)))
+
+    def big_side(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[group_col], value_set=big_arr))
+
+    exact = grouped_quantiles(
+        pruned.map_batches(small_side, batch_format="pyarrow"),
+        group_col, value_col, qs)
+    approx = approx_quantiles(
+        pruned.map_batches(big_side, batch_format="pyarrow"),
+        group_col, value_col, qs, compression=compression)
+    return exact.union(approx)
 
 
 def rolling_mean(

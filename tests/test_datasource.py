@@ -157,3 +157,38 @@ def test_as_of_time_travel_read(tmp_path, ray_session):
     want = base.filter(pc.and_(pc.greater_equal(base["n_tok"], 100),
                                pc.less_equal(base["n_tok"], 500)))
     assert snap_rng.count() == want.num_rows
+
+
+def test_datasource_plans_through_checkpoint(container, ray_session,
+                                             monkeypatch):
+    """VERDICT r4 #8: P2RDatasource's planning goes through the
+    checkpoint-aware manifest loader — with a checkpoint present,
+    constructing the datasource (which loads + prunes the manifest)
+    reads ZERO per-partition record files, so a 50k-partition
+    container plans in O(1) GETs from Ray too."""
+    import os
+
+    from parquet2_ray.state import fsio
+    from parquet2_ray.state import manifest as mf
+
+    out, tbl = container
+    mf.write_manifest_checkpoint(out)
+    real = fsio.read_bytes
+    part_reads: list[str] = []
+
+    def counting(path):
+        if "_manifest" in path and \
+                os.path.basename(path).startswith("part-"):
+            part_reads.append(path)
+        return real(path)
+
+    ids = sorted(tbl["doc_id"].to_pylist())
+    lo, hi = ids[len(ids) // 4], ids[len(ids) // 2]
+    monkeypatch.setattr(fsio, "read_bytes", counting)
+    src = P2RDatasource(out, key_range=("doc_id", lo, hi))
+    assert part_reads == []
+    # and the pruned plan still reads correctly
+    monkeypatch.setattr(fsio, "read_bytes", real)
+    got = rd.read_datasource(src).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(
+        i for i in ids if lo <= i <= hi)

@@ -219,6 +219,45 @@ def test_vector_refresh_tracks_dml(vec_setup, ray_session):
     assert got.equals(_exact_topk(src, q, qids, 6))
 
 
+def test_vector_search_after_delete_without_refresh(vec_setup,
+                                                    ray_session):
+    """VERDICT r4 #7: between a delete and the next sidecar refresh the
+    index still holds the deleted vectors — the read-time delete mask
+    must keep them out of every result, and the merge must still
+    return k LIVE ids (the mask runs before the local top-k)."""
+    from parquet2_ray.pipelines.delete_pipeline import delete_rows
+    from parquet2_ray.pipelines.vecindex_pipeline import (
+        ann_search_index,
+        refresh_vector_index,
+    )
+
+    src, idx = vec_setup
+    t = _vec_table()
+    # query AT a soon-deleted vector: its self-match would be rank 1
+    q = np.stack([np.asarray(t["embedding"][7].as_py(), np.float64)])
+    qids = [900]
+    before = ann_search_index(idx, q, qids, k=5, nprobe=6)
+    assert before["vec_id"][0].as_py() == 7  # self is rank 1
+
+    delete_rows(src, "vec_id", lo=0, hi=9, mode="dv")
+    # NO refresh: the cell files still hold ids 0..9
+    got = ann_search_index(idx, q, qids, k=5, nprobe=6)
+    live = set(got["vec_id"].to_pylist())
+    assert not (live & set(range(10)))
+    assert len(live) == 5            # k live ids despite the mask
+    # matches the post-delete exact answer
+    want = _exact_topk(src, q, qids, k=5)
+    assert got.equals(want)
+    # check_deletes=False reproduces the stale (pre-refresh) behavior
+    stale = ann_search_index(idx, q, qids, k=5, nprobe=6,
+                             check_deletes=False)
+    assert stale["vec_id"][0].as_py() == 7
+    # after refresh the mask is a no-op and results are unchanged
+    refresh_vector_index(idx)
+    after = ann_search_index(idx, q, qids, k=5, nprobe=6)
+    assert after.equals(want)
+
+
 def test_vector_refresh_noop_and_idempotent(vec_setup, ray_session):
     import json
 
