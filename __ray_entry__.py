@@ -982,19 +982,24 @@ _SEARCH_TERMS = ["spark", "merge", "window"]
 
 
 def q_text_search(sf_dir: str):
-    """P67 full-text search: build the persisted inverted index (one
-    groupby(shard) exchange of distinct (term, doc) postings), probe it
-    two-phase (df counts → rarest-first fetch with shard-side
-    intersection), then fetch exactly the matching rows through
-    lookup_rows' bloom + page-index pruning.  The oracle is the literal
-    tokenizer in SQL: list_contains(regexp_split_to_array(lower(text),
-    '[^a-z0-9]+'), term) per term."""
+    """P67 full-text search + P73 BM25, one composite row: build the
+    persisted inverted index (one groupby(shard) exchange of distinct
+    (term, doc, tf) postings + doclen sidecars), probe it two-phase
+    (df counts → rarest-first fetch with shard-side intersection),
+    fetch exactly the matching rows through lookup_rows' bloom +
+    page-index pruning, then attach each match's BM25 score computed
+    by ``ranked_search_index`` from the SAME posting/doclen files
+    (widened r5 per VERDICT #6).  The oracle reproduces both the
+    literal tokenizer AND the Robertson/Spärck-Jones arithmetic in
+    SQL; scores are ROUND(…, 6) on both sides so last-ULP differences
+    between numpy and DuckDB float paths cannot flip the hash."""
     from parquet2_ray.pipelines.encode_pipeline import (
         EncodeOptions,
         encode_dataset,
     )
     from parquet2_ray.pipelines.textindex_pipeline import (
         build_text_index,
+        ranked_search_index,
         search_container,
     )
 
@@ -1009,9 +1014,24 @@ def q_text_search(sf_dir: str):
     build_text_index(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "text"]), idx)
-    return search_container(out, idx, _SEARCH_TERMS, mode="and",
-                            columns=["doc_id", "lang", "source",
-                                     "n_chars"])
+    res = search_container(out, idx, _SEARCH_TERMS, mode="and",
+                           columns=["doc_id", "lang", "source",
+                                    "n_chars"])
+    # score EVERY candidate (k = all): selection-boundary float noise
+    # can then never change which rows appear
+    ranked = ranked_search_index(idx, _SEARCH_TERMS, k=2**31 - 1)
+    smap = {int(d): round(float(s), 6)
+            for d, s in zip(ranked["doc"].to_pylist(),
+                            ranked["score"].to_pylist())}
+
+    def attach(b):
+        import pyarrow as pa
+
+        return b.append_column("bm25", pa.array(
+            [smap[int(x)] for x in b["doc_id"].to_pylist()],
+            pa.float64()))
+
+    return res.map_batches(attach, batch_format="pyarrow")
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1183,12 +1203,41 @@ def q_dedup_corpus(sf_dir: str):
 def q_simhash(sf_dir: str):
     """SimHash with the md5 token hasher — bit-exactly reproducible in
     SQL (64 per-bit majority votes over token-hash bits), so the
-    fingerprint op is value-hash-checked, not rows-only."""
+    fingerprint op is value-hash-checked, not rows-only.  Retired from
+    the driver slots r5 for q_update_rows (VERDICT #4: put the
+    pytest-only DML family under the oracle); stays pytest-pinned in
+    tests/test_ops.py."""
     from parquet2_ray.stages.dedup import simhash_batch
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(lambda b: simhash_batch(b, hasher="md5"),
                           batch_format="pandas")
+
+
+def q_update_rows(sf_dir: str):
+    """P63 UPDATE ... SET ... WHERE as a driver-oracled row (NEW r5,
+    VERDICT #4): encode the documents corpus, run a positional update
+    (SET lang='und' WHERE n_chars <= 400 — touched partitions are
+    found by manifest min/max stats, untouched ones proven untouched
+    without reading them), then decode the post-update snapshot.  The
+    oracle expresses the same end state as a CASE projection."""
+    from parquet2_ray.pipelines.encode_pipeline import (
+        EncodeOptions,
+        decode_dataset,
+        encode_dataset,
+    )
+    from parquet2_ray.pipelines.update_pipeline import update_rows
+
+    out = _out_dir(sf_dir, "documents_update")
+    encode_dataset(
+        f"{sf_dir}/documents.parquet", out,
+        EncodeOptions(group_col="source", weight_col="n_chars",
+                      sort_key="doc_id", target_weight=2_000_000),
+    )
+    update_rows(out, "n_chars", set={"lang": "und"}, lo=0, hi=400,
+                fsync=False)
+    return decode_dataset(out, columns=["doc_id", "lang", "n_chars",
+                                        "source"])
 
 
 def q_lang_id(sf_dir: str):
@@ -1368,7 +1417,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_codec_decimal": q_codec_decimal,
         "q_parquet_interop": q_parquet_interop,
         "q_decode_projected_range": q_decode_projected_range,
-        "q_simhash": q_simhash,
+        # q_simhash retired r5 for q_update_rows under the 50-row
+        # driver cap (VERDICT #4): the md5-simhash arithmetic stays
+        # pytest-pinned (test_ops.py), while q_update_rows puts the
+        # previously pytest-only DML family (P63) under the oracle
+        "q_update_rows": q_update_rows,
         "q_lang_id": q_lang_id,
         "q_ann_ivf": q_ann_ivf,
         "q_dedup_corpus": q_dedup_corpus,
@@ -1549,22 +1602,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text, lang, source, n_chars FROM documents "
         "WHERE doc_id NOT IN (SELECT doc_id FROM rm)"
     )
-    # 64 per-bit majority votes over md5-derived token-hash bits — the
-    # exact SimHash definition, generated mechanically
-    simhash_bits = " + ".join(
-        f"CASE WHEN list_sum(list_transform(hs, h -> CAST((h >> {b}) & 1 AS "
-        f"BIGINT)*2 - 1)) > 0 THEN CAST('{1 << b}' AS UBIGINT) "
-        "ELSE CAST(0 AS UBIGINT) END"
-        for b in range(64)
-    )
-    simhash = (
-        "WITH t AS (SELECT doc_id, "
-        "list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), "
-        "w -> CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT)) AS hs "
-        f"FROM documents) SELECT doc_id, ({simhash_bits}) AS simhash FROM t"
-    )
+    # (q_simhash's mechanically-generated 64-bit majority-vote oracle
+    # retired r5 with its slot — regenerate from git history if the
+    # slot ever rotates back; the arithmetic stays pinned in pytest)
     return {
-        "q_simhash": simhash,
+        "q_update_rows": (
+            "SELECT doc_id, CASE WHEN n_chars BETWEEN 0 AND 400 "
+            "THEN 'und' ELSE lang END AS lang, n_chars, source "
+            "FROM documents"),
         "q_minhash_pairs_md5": minhash_md5,
         "q_ngram_dedup_md5": ngram_md5,
         "q_dedup_corpus": dedup_corpus_sql,
@@ -1676,14 +1721,40 @@ def oracle_sql() -> dict[str, str]:
             "MIN(l_quantity) AS l_quantity_min, "
             "MAX(l_quantity) AS l_quantity_max "
             "FROM lineitem GROUP BY l_orderkey"),
+        # boolean AND match + the BM25 arithmetic spelled literally:
+        # idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1=1.5,
+        # length norm b=0.75 against avgdl = max(1, Σ|d| / N); scores
+        # ROUND(…, 6) on both sides (engine rounds identically)
         "q_text_search": (
-            "SELECT doc_id, lang, source, n_chars FROM documents "
-            + " AND ".join(
-                "WHERE list_contains(regexp_split_to_array(lower(text),"
-                f" '[^a-z0-9]+'), '{t}')" if i == 0 else
+            "WITH toks AS ("
+            "  SELECT doc_id, tok FROM ("
+            "    SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(text), '[^a-z0-9]+')) AS tok FROM documents)"
+            "  WHERE tok <> ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks "
+            "GROUP BY doc_id), "
+            "corpus AS (SELECT (SELECT count(*) FROM documents) AS n, "
+            "greatest(1.0, (SELECT COALESCE(sum(dl), 0) FROM dl) * 1.0"
+            " / (SELECT count(*) FROM documents)) AS avgdl), "
+            "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+            f"WHERE tok IN ({', '.join(repr(t) for t in _SEARCH_TERMS)})"
+            " GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf "
+            "GROUP BY tok), "
+            "scores AS (SELECT tf.doc_id, "
+            "SUM(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5)) * "
+            "tf.tf * 2.5 / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / "
+            "corpus.avgdl))) AS score "
+            "FROM tf JOIN df USING (tok) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus "
+            "GROUP BY tf.doc_id) "
+            "SELECT d.doc_id, d.lang, d.source, d.n_chars, "
+            "ROUND(s.score, 6) AS bm25 "
+            "FROM documents d JOIN scores s ON d.doc_id = s.doc_id "
+            "WHERE " + " AND ".join(
                 "list_contains(regexp_split_to_array(lower(text),"
                 f" '[^a-z0-9]+'), '{t}')"
-                for i, t in enumerate(_SEARCH_TERMS))),
+                for t in _SEARCH_TERMS)),
         "q_sessionize": (
             "WITH d AS ("
             "  SELECT user_id, ts,"
