@@ -118,6 +118,43 @@ def cmd_decode(args) -> dict:
                                 embed_blooms=args.embed_blooms)
 
 
+def cmd_scan(args) -> dict:
+    """Predicate-pruned scan of FOREIGN parquet (or any corpus format):
+    parquet inputs route through the page-index consumer — only
+    surviving pages' byte ranges are read on files carrying a
+    ColumnIndex/OffsetIndex, with an exact fallback otherwise."""
+
+    def _coerce(v):
+        if v is None or v == "":
+            return None
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+
+    from .sources.readers import read_corpus
+
+    predicates = []
+    for spec in args.where or []:
+        parts = spec.split(":", 2)
+        if len(parts) != 3:
+            raise SystemExit(f"--where {spec!r}: expected col:lo:hi "
+                             "(empty side = unbounded)")
+        predicates.append((parts[0], _coerce(parts[1]),
+                           _coerce(parts[2])))
+    ds = read_corpus(args.input, fmt=args.input_format,
+                     columns=args.columns.split(",") if args.columns
+                     else None,
+                     predicates=predicates or None)
+    if args.output:
+        ds.write_parquet(args.output)
+        return {"rows": None, "output": args.output}
+    return {"rows": ds.count()}
+
+
 def cmd_view(args) -> dict:
     """P70 materialized aggregate views: create / refresh / status."""
     from .pipelines.matview_pipeline import (
@@ -736,6 +773,23 @@ def main(argv: list[str] | None = None) -> int:
     ver = sub.add_parser("verify")
     ver.add_argument("--container", required=True)
 
+    scn = sub.add_parser("scan",
+                         help="predicate-pruned scan of foreign "
+                              "parquet via its page index")
+    scn.add_argument("--input", required=True)
+    scn.add_argument("--input-format", default="parquet",
+                     choices=["parquet", "jsonl", "json", "csv",
+                              "arrow", "ipc", "feather"])
+    scn.add_argument("--columns", default=None,
+                     help="comma-separated projection")
+    scn.add_argument("--where", action="append", default=None,
+                     metavar="COL:LO:HI",
+                     help="inclusive range conjunct; empty side = "
+                          "unbounded (repeatable)")
+    scn.add_argument("--output", default=None,
+                     help="write matching rows as parquet here "
+                          "(prints only a row count otherwise)")
+
     dele = sub.add_parser("delete")
     dele.add_argument("--container", required=True)
     dele.add_argument("--column", required=True)
@@ -1105,6 +1159,7 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
     out = {"encode": cmd_encode, "decode": cmd_decode, "verify": cmd_verify,
+           "scan": cmd_scan,
            "compact": cmd_compact, "delete": cmd_delete,
            "recluster": cmd_recluster, "join": cmd_join, "agg": cmd_agg,
            "dedup": cmd_dedup, "prepare": cmd_prepare,

@@ -355,3 +355,32 @@ def test_job_upsert(tmp_path, capsys):
     r = _out()
     assert (r["matched"], r["inserted"]) == (1, 2)
     assert r["n_rows"] == 101
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_scan_predicate_pruned(tmp_path, capsys):
+    """`job.py scan`: page-index-pruned foreign-parquet scan with
+    range predicates, projection, and parquet output."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = 5000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array((np.arange(n) % 97).astype(np.int32)),
+        "s": pa.array([f"s{i:05d}" for i in range(n)]),
+    })
+    src = tmp_path / "scan.parquet"
+    pq.write_table(t, str(src), write_page_index=True,
+                   data_page_size=1024, row_group_size=2000)
+    assert main(["scan", "--input", str(src),
+                 "--where", "id:1000:1200"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] == 201
+    out = str(tmp_path / "scanout")
+    assert main(["scan", "--input", str(src), "--columns", "id,s",
+                 "--where", "id:10:20", "--output", out]) == 0
+    capsys.readouterr()
+    got = pq.read_table(out)
+    assert sorted(got["id"].to_pylist()) == list(range(10, 21))
+    assert got.column_names == ["id", "s"]
