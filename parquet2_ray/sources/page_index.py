@@ -136,6 +136,13 @@ def _decode_stat(b: bytes, ptype: int):
     return bytes(b)          # BYTE_ARRAY / FLBA compare lexicographically
 
 
+# per-process cache: a decode task planning + reading the same file
+# re-parses nothing (keyed by (path, size, mtime) so a rewritten file
+# invalidates; parquet files are immutable in practice)
+_PIDX_CACHE: dict[tuple, dict] = {}
+_PIDX_CACHE_MAX = 64
+
+
 def read_page_index(path: str, filesystem=None) -> dict:
     """Parse a foreign parquet file's footer + every column chunk's
     ColumnIndex/OffsetIndex (when present) into numpy-friendly dicts.
@@ -145,6 +152,19 @@ def read_page_index(path: str, filesystem=None) -> dict:
     from pyarrow import fs as pafs
 
     fs = filesystem or pafs.LocalFileSystem()
+    info = fs.get_file_info(path)
+    key = (path, info.size, getattr(info, "mtime_ns", None))
+    hit = _PIDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _read_page_index_uncached(path, fs)
+    if len(_PIDX_CACHE) >= _PIDX_CACHE_MAX:
+        _PIDX_CACHE.pop(next(iter(_PIDX_CACHE)))
+    _PIDX_CACHE[key] = out
+    return out
+
+
+def _read_page_index_uncached(path: str, fs) -> dict:
     with fs.open_input_file(path) as f:
         meta = _read_footer(f)
         leaves = _leaf_schema(meta)
