@@ -139,6 +139,11 @@ def test_full_read_matches_pyarrow(tmp_path):
                           "id": "PLAIN", "val": "PLAIN",
                           "score": "PLAIN", "opt": "PLAIN",
                           "flag": "PLAIN"}),
+    dict(compression="lz4", use_dictionary=False,
+         column_encoding={"name": "DELTA_LENGTH_BYTE_ARRAY",
+                          "id": "PLAIN", "val": "PLAIN",
+                          "score": "PLAIN", "opt": "PLAIN",
+                          "flag": "PLAIN"}),
 ])
 def test_encodings_and_codecs(tmp_path, kw):
     p = _write(tmp_path, table=_table(20_000),
