@@ -307,16 +307,25 @@ def cmd_search(args) -> dict:
 
 
 def cmd_dedup(args) -> dict:
-    """Deduplicated corpus → parquet (exact + optional near-dup)."""
+    """Deduplicated corpus → parquet (exact + optional near-dup, or
+    SemDeDup embedding-space dedup with --semantic)."""
     import ray.data as rd
 
-    from .pipelines.dedup_pipeline import dedup_corpus
-
     ds = rd.read_parquet(args.input)
-    out = dedup_corpus(ds, text_col=args.text_col, id_col=args.id_col,
-                       near=not args.exact_only,
-                       cluster_exact=args.cluster_exact,
-                       cc_max_rounds=args.cc_max_rounds)
+    if getattr(args, "semantic", False):
+        from .stages.similarity import semantic_dedup
+
+        out = semantic_dedup(ds, threshold=args.sem_threshold,
+                             n_clusters=args.sem_clusters,
+                             emb_col=args.emb_col, id_col=args.id_col)
+    else:
+        from .pipelines.dedup_pipeline import dedup_corpus
+
+        out = dedup_corpus(ds, text_col=args.text_col,
+                           id_col=args.id_col,
+                           near=not args.exact_only,
+                           cluster_exact=args.cluster_exact,
+                           cc_max_rounds=args.cc_max_rounds)
     # materialize ONCE: count + write on the lazy pipeline would
     # re-execute the whole read+filter lineage twice
     out = out.materialize()
@@ -1010,6 +1019,13 @@ def main(argv: list[str] | None = None) -> int:
     ddp.add_argument("--cc-max-rounds", type=int, default=16,
                      help="label-propagation round cap (raise for "
                           "long duplicate chains; non-convergence raises)")
+    ddp.add_argument("--semantic", action="store_true",
+                     help="SemDeDup: k-means-cluster the embedding "
+                          "column, keep the min id of every "
+                          "within-cluster near-dup group")
+    ddp.add_argument("--emb-col", default="embedding")
+    ddp.add_argument("--sem-threshold", type=float, default=0.85)
+    ddp.add_argument("--sem-clusters", type=int, default=64)
 
     prep = sub.add_parser("prepare")
     prep.add_argument("--input", required=True)

@@ -27,6 +27,8 @@ __all__ = [
     "train_ivf_centroids",
     "neardup_pairs",
     "neardup_pairs_bucketed",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -416,3 +418,134 @@ def neardup_pairs_bucketed(
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a_id", "b_id"]).aggregate(Max("sim", alias_name="sim"))
+
+
+def semantic_dedup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.85,
+    n_clusters: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 29,
+    max_cluster: int = 8192,
+    nshards: int = 1024,
+    sample_rows: int = 10_000,
+) -> rd.Dataset:
+    """SemDeDup-style candidate pairs (Abbas et al. 2023, arXiv
+    2303.09540): spherical k-means clusters the embedding space
+    (bounded-sample training, one broadcast centroid matrix), then
+    EXACT cosine runs only over within-cluster pairs — compute is
+    Σ cluster² ≪ N², shuffle is ONE ``groupby(cluster-shard)`` of the
+    normalized vectors.  Returns (a_id, b_id, sim) with sim ≥
+    threshold, a_id < b_id; precision 1.0 (scores are exact), recall
+    misses only cross-cluster pairs — the paper's own approximation,
+    tuned by ``n_clusters``.
+
+    Clusters above ``max_cluster`` members are truncated to their
+    smallest ids (the minhash_lsh_pairs guard: a degenerate cluster is
+    quadratic; exact-dedup first in real pipelines)."""
+    from .bucket_pairs import sharded_bucket_pairs
+
+    cent = train_ivf_centroids(ds, n_clusters, emb_col,
+                               sample_rows=sample_rows, seed=seed)
+    empty = pa.table({
+        "a_id": pa.array([], pa.int64()),
+        "b_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    })
+    if cent.size == 0:
+        return rd.from_arrow(empty)
+    dim = cent.shape[1]
+    cent_ref = ray.put(cent)
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        m = _batch_matrix(batch, emb_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        cell = np.argmax(mn @ C.T, axis=1).astype(np.uint64)
+        emb_n = pa.FixedSizeListArray.from_arrays(
+            pa.array(mn.ravel(), type=pa.float64()), dim)
+        return pa.table({
+            "bkey": pa.array(cell),
+            id_col: batch[id_col],
+            "emb_n": emb_n,
+        })
+
+    def score_pairs(st: pa.Table, starts: np.ndarray,
+                    counts: np.ndarray) -> pa.Table:
+        ids = st[id_col].to_numpy(zero_copy_only=False)
+        emb = np.asarray(st["emb_n"].combine_chunks().values).reshape(
+            st.num_rows, dim)
+        out_a, out_b, out_s = [], [], []
+        # per-cluster BLAS gemm on a contiguous slice (bucket_pairs doc)
+        for s, c in zip(starts.tolist(), counts.tolist()):
+            E = emb[s:s + c]
+            sims = E @ E.T
+            iu, ju = np.triu_indices(c, k=1)
+            sv = sims[iu, ju]
+            keep = sv >= threshold
+            if keep.any():
+                bi = ids[s:s + c]
+                out_a.append(np.minimum(bi[iu[keep]], bi[ju[keep]]))
+                out_b.append(np.maximum(bi[iu[keep]], bi[ju[keep]]))
+                out_s.append(sv[keep])
+        if not out_a:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b_id": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    exploded = ds.map_batches(to_cells, batch_format="pyarrow")
+    return sharded_bucket_pairs(exploded, score_pairs, empty,
+                                id_col=id_col, nshards=nshards,
+                                max_bucket=max_cluster)
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    threshold: float = 0.85,
+    n_clusters: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 29,
+    max_cluster: int = 8192,
+    nshards: int = 1024,
+) -> rd.Dataset:
+    """SemDeDup end-to-end: keep exactly the MINIMUM id of every
+    transitive near-duplicate cluster (same keeper convention as
+    ``exact_dedup`` / ``cluster_dedup_keepers``), drop the rest.
+    Returns the surviving rows of ``ds``.
+
+    Scale shape: pairs from :func:`semantic_dedup_pairs` (one
+    cluster-shard exchange), transitive closure via the distributed
+    label-propagation ``connected_components``, then the removal-id
+    set — O(duplicates), NOT O(corpus) — broadcasts once and every
+    batch anti-filters locally (the prepare_pipeline removal-set
+    pattern; texts/embeddings never reach the driver)."""
+    import pyarrow.compute as pc
+
+    from .components import cluster_dedup_keepers
+    from .dedup import gather_small
+
+    pairs = semantic_dedup_pairs(
+        ds, threshold=threshold, n_clusters=n_clusters,
+        emb_col=emb_col, id_col=id_col, seed=seed,
+        max_cluster=max_cluster, nshards=nshards)
+    removals = gather_small(
+        cluster_dedup_keepers(pairs, "a_id", "b_id"),
+        pa.table({"remove_id": pa.array([], pa.int64())}))
+    if removals.num_rows == 0:
+        return ds
+    rm_ref = ray.put(np.unique(
+        removals["remove_id"].to_numpy(zero_copy_only=False)))
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        rm = ray.get(rm_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(ids, rm)))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow")

@@ -384,3 +384,29 @@ def test_job_scan_predicate_pruned(tmp_path, capsys):
     got = pq.read_table(out)
     assert sorted(got["id"].to_pylist()) == list(range(10, 21))
     assert got.column_names == ["id", "s"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_dedup_semantic(tmp_path, capsys):
+    """`job.py dedup --semantic`: SemDeDup over an embedding column."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(50)
+    a = rng.normal(size=12) * 8
+    m = np.stack([a, a + 0.01, a - 0.01,
+                  rng.normal(size=12) * 8,
+                  rng.normal(size=12) * 8]).astype(np.float32)
+    src = tmp_path / "emb.parquet"
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(5), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float32())),
+    }), str(src))
+    out = str(tmp_path / "kept")
+    assert main(["dedup", "--input", str(src), "--output", out,
+                 "--semantic", "--id-col", "vec_id",
+                 "--sem-threshold", "0.99", "--sem-clusters", "3"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] == 3
+    assert sorted(pq.read_table(out)["vec_id"].to_pylist()) == [0, 3, 4]

@@ -648,3 +648,85 @@ def test_verified_neardup_fast_matches_exact_on_ascii(ray_session):
     import numpy as np
     assert np.allclose(fast["jaccard"].to_numpy(),
                        exact["jaccard"].to_numpy(), atol=1e-9)
+
+
+def test_semantic_dedup_pairs_matches_bruteforce(ray_session):
+    """SemDeDup pairs: exact scores; with well-separated clusters and
+    enough centroids, recall equals the brute-force reference."""
+    from parquet2_ray.stages.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(44)
+    # 4 well-separated anchor directions, each with a family of
+    # near-duplicates (small perturbations) plus background noise
+    dim, nfam, per = 16, 4, 6
+    anchors = rng.normal(size=(nfam, dim)) * 10
+    rows = []
+    for f in range(nfam):
+        for j in range(per):
+            rows.append(anchors[f] + rng.normal(scale=0.05, size=dim))
+    noise = rng.normal(size=(40, dim))
+    m = np.concatenate([np.stack(rows), noise]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    })
+    thr = 0.95
+    got = (semantic_dedup_pairs(rd.from_arrow(tbl).repartition(4),
+                                threshold=thr, n_clusters=8,
+                                sample_rows=1000)
+           .to_pandas().sort_values(["a_id", "b_id"])
+           .reset_index(drop=True))
+    # brute force reference
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu, ju = np.triu_indices(len(m), k=1)
+    ref = {(int(a), int(b)): float(s) for a, b, s in
+           zip(iu, ju, sims[iu, ju]) if s >= thr}
+    got_pairs = {(int(r.a_id), int(r.b_id)): float(r.sim)
+                 for r in got.itertuples()}
+    # precision 1.0 always; recall exact here because each family is
+    # tight and the anchors are far apart (one cluster per family)
+    assert set(got_pairs) == set(ref)
+    for k in ref:
+        assert abs(got_pairs[k] - ref[k]) < 1e-12
+    assert len(ref) >= nfam * (per * (per - 1)) // 2  # sanity: dups found
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(ray_session):
+    from parquet2_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(45)
+    dim = 12
+    a = rng.normal(size=dim) * 8
+    b = rng.normal(size=dim) * 8
+    m = np.stack([
+        a, a + 0.01, a - 0.01,          # family A: ids 0,1,2
+        b, b + 0.01,                    # family B: ids 3,4
+        rng.normal(size=dim) * 8,       # singletons: 5,6
+        rng.normal(size=dim) * 8,
+    ]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(rd.from_arrow(tbl).repartition(3),
+                         threshold=0.99, n_clusters=4)
+    kept = sorted(r["vec_id"] for r in out.take_all())
+    assert kept == [0, 3, 5, 6]
+
+
+def test_semantic_dedup_no_dups_is_identity(ray_session):
+    from parquet2_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(46)
+    m = rng.normal(size=(30, 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(30), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(rd.from_arrow(tbl), threshold=0.999)
+    assert sorted(r["vec_id"] for r in out.take_all()) == list(range(30))
