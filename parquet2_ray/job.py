@@ -155,6 +155,44 @@ def cmd_scan(args) -> dict:
     return {"rows": ds.count()}
 
 
+def cmd_bpe(args) -> dict:
+    """BPE subword tokenizer: train merges from the corpus (writes a
+    JSON merge list) and/or apply an existing merge list as the
+    actor-pool encode stage (writes (id, bpe_ids, n_bpe) parquet)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from .state import fsio
+
+    ds = rd.read_parquet(args.input)
+    merges = None
+    if args.merges_in:
+        merges = [tuple(p) for p in
+                  _json.loads(fsio.read_bytes(args.merges_in))]
+    else:
+        from .stages.bpe import train_bpe
+
+        merges = train_bpe(ds, n_merges=args.n_merges,
+                           text_col=args.text_col,
+                           max_words=args.max_words)
+        if args.merges_out:
+            fsio.atomic_write(args.merges_out,
+                              _json.dumps(merges).encode(),
+                              fsync=False)
+    out = {"n_merges": len(merges)}
+    if args.output:
+        from .stages.bpe import BpeApply
+
+        enc = ds.map_batches(
+            BpeApply, batch_format="pandas",
+            concurrency=args.concurrency,
+            fn_constructor_args=(merges, args.text_col, args.id_col))
+        enc.write_parquet(args.output)
+        out["output"] = args.output
+    return out
+
+
 def cmd_view(args) -> dict:
     """P70 materialized aggregate views: create / refresh / status."""
     from .pipelines.matview_pipeline import (
@@ -1027,6 +1065,22 @@ def main(argv: list[str] | None = None) -> int:
     ddp.add_argument("--sem-threshold", type=float, default=0.85)
     ddp.add_argument("--sem-clusters", type=int, default=64)
 
+    bpe = sub.add_parser("bpe",
+                         help="train / apply a BPE subword tokenizer")
+    bpe.add_argument("--input", required=True)
+    bpe.add_argument("--text-col", default="text")
+    bpe.add_argument("--id-col", default="doc_id")
+    bpe.add_argument("--n-merges", type=int, default=1000)
+    bpe.add_argument("--max-words", type=int, default=100_000)
+    bpe.add_argument("--merges-in", default=None,
+                     help="JSON merge list to APPLY (skips training)")
+    bpe.add_argument("--merges-out", default=None,
+                     help="write the learned merge list here")
+    bpe.add_argument("--output", default=None,
+                     help="encode the corpus and write "
+                          "(id, bpe_ids, n_bpe) parquet here")
+    bpe.add_argument("--concurrency", type=int, default=4)
+
     prep = sub.add_parser("prepare")
     prep.add_argument("--input", required=True)
     prep.add_argument("--output", required=True)
@@ -1179,6 +1233,7 @@ def main(argv: list[str] | None = None) -> int:
            "compact": cmd_compact, "delete": cmd_delete,
            "recluster": cmd_recluster, "join": cmd_join, "agg": cmd_agg,
            "dedup": cmd_dedup, "prepare": cmd_prepare,
+           "bpe": cmd_bpe,
            "mix": cmd_mix, "history": cmd_history,
            "rollback": cmd_rollback, "changes": cmd_changes,
            "diff": cmd_diff, "clone": cmd_clone,
