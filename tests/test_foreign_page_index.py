@@ -243,3 +243,53 @@ def test_read_corpus_predicates_route(tmp_path, ray_session):
     rows = read_corpus(jl, fmt="jsonl",
                        predicates=[("id", 10, 20)]).take_all()
     assert sorted(r["id"] for r in rows) == list(range(10, 21))
+
+
+# ------------------- property: pruned == full + filter -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _rand_case(draw):
+    n = draw(st.integers(200, 3000))
+    seed = draw(st.integers(0, 2**31 - 1))
+    page = draw(st.sampled_from([512, 1024, 4096]))
+    rgsz = draw(st.sampled_from([500, 1000, 2500]))
+    comp = draw(st.sampled_from(["snappy", "zstd", "none"]))
+    lo = draw(st.integers(-100, 1100))
+    hi = draw(st.integers(lo, 1200))
+    col = draw(st.sampled_from(["k", "v", "s"]))
+    null_mod = draw(st.sampled_from([0, 3, 7]))
+    return n, seed, page, rgsz, comp, lo, hi, col, null_mod
+
+
+@given(case=_rand_case())
+@settings(max_examples=15, deadline=None)
+def test_property_pruned_equals_full_filter(case, tmp_path_factory):
+    """For ANY table layout / page size / codec / predicate, the
+    page-pruned read must equal a full read + exact filter."""
+    n, seed, page, rgsz, comp, lo, hi, col, null_mod = case
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.table({
+        "k": pa.array(np.sort(rng.integers(0, 1200, n)).astype(np.int32)),
+        "v": pa.array([None if null_mod and i % null_mod == 0
+                       else int(vals[i]) for i in range(n)], pa.int64()),
+        "s": pa.array([None if null_mod and i % (null_mod + 1) == 0
+                       else f"w{vals[i]:04d}" for i in range(n)]),
+    })
+    d = tmp_path_factory.mktemp("prop")
+    p = str(d / "t.parquet")
+    pq.write_table(t, p, write_page_index=True, data_page_size=page,
+                   row_group_size=rgsz, compression=comp)
+    pred_lo, pred_hi = (f"w{lo:04d}", f"w{hi:04d}") if col == "s" \
+        else (lo, hi)
+    out = read_indexed(p, predicates=[(col, pred_lo, pred_hi)])
+    w = pq.read_table(p)
+    c = w[col]
+    m = pc.and_(pc.is_valid(c),
+                pc.and_(pc.greater_equal(c, pa.scalar(pred_lo)),
+                        pc.less_equal(c, pa.scalar(pred_hi))))
+    assert out.equals(w.filter(m))
