@@ -350,7 +350,13 @@ def cmd_dedup(args) -> dict:
     import ray.data as rd
 
     ds = rd.read_parquet(args.input)
-    if getattr(args, "semantic", False):
+    if getattr(args, "lines", False):
+        from .stages.dedup import line_dedup
+
+        out = line_dedup(ds, text_col=args.text_col,
+                         id_col=args.id_col,
+                         min_len=args.line_min_len)
+    elif getattr(args, "semantic", False):
         from .stages.similarity import semantic_dedup
 
         out = semantic_dedup(ds, threshold=args.sem_threshold,
@@ -1057,6 +1063,12 @@ def main(argv: list[str] | None = None) -> int:
     ddp.add_argument("--cc-max-rounds", type=int, default=16,
                      help="label-propagation round cap (raise for "
                           "long duplicate chains; non-convergence raises)")
+    ddp.add_argument("--lines", action="store_true",
+                     help="corpus-wide exact LINE dedup (keep each "
+                          "line's globally-first occurrence, "
+                          "reassemble documents)")
+    ddp.add_argument("--line-min-len", type=int, default=1,
+                     help="lines shorter than this always survive")
     ddp.add_argument("--semantic", action="store_true",
                      help="SemDeDup: k-means-cluster the embedding "
                           "column, keep the min id of every "

@@ -33,6 +33,7 @@ __all__ = [
     "char_shingles",
     "verified_neardup_pairs",
     "duplicate_tiles",
+    "line_dedup",
 ]
 
 
@@ -621,3 +622,113 @@ def duplicate_tiles(
               .groupby("tile_hash")
               .aggregate(Count(alias_name="n_docs")))
     return counts.filter(expr="n_docs >= 2")
+
+
+def line_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+    hasher: str = "fast",
+    sep: str = "\n",
+) -> rd.Dataset:
+    """Corpus-wide exact LINE dedup (the C4/Dolma passage rule): every
+    line of ``min_len``+ characters keeps only its globally-FIRST
+    occurrence — first by (doc_id, line_index) — and each document is
+    reassembled from its surviving lines in order (lines shorter than
+    ``min_len``, including empties, always survive; a fully-deduped
+    document becomes the empty string, its row kept).
+
+    Two exchanges, both corpus-bounded and both the point of the op
+    (it is a full rewrite): ONE groupby on the line key decides
+    keepers (per-batch duplicate lines pre-collapse to a min-position
+    row, the combiner rule), ONE groupby on doc reassembles.  Keys:
+    ``hasher="fast"`` uses the pipeline hash (production);
+    ``hasher="md5"`` matches DuckDB's ``md5`` so the whole operator is
+    SQL-oracle-able (the dup_tiles twin convention).
+
+    Returns (id_col, text_col) — one row per input document.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_hex
+
+    use_md5 = hasher == "md5"
+    if hasher not in ("fast", "md5"):
+        raise ValueError(f"hasher={hasher!r}; one of fast/md5")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        txt = _pc.fill_null(batch[text_col], "")
+        parts = _pc.split_pattern(txt, sep).combine_chunks()
+        lens = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+        docs = batch[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(batch)), lens)))
+        lidx = np.concatenate([np.arange(n, dtype=np.int64)
+                               for n in lens]) if lens.size else \
+            np.empty(0, np.int64)
+        lines = parts.values
+        ll = _pc.utf8_length(lines).to_numpy(zero_copy_only=False) \
+            if len(lines) else np.empty(0, np.int64)
+        dedupable = ll >= min_len
+        flat = lines.to_numpy(zero_copy_only=False)
+        if use_md5:
+            keys = np.asarray(
+                [h if d else "" for h, d in
+                 zip(md5_hex(flat), dedupable)], dtype=object)
+        else:
+            keys = np.where(
+                dedupable,
+                hash_strings(flat).astype("uint64")
+                if len(flat) else np.empty(0, np.uint64),
+                np.uint64(0))
+        t = pa.table({
+            id_col: docs,
+            "lidx": pa.array(lidx),
+            "line": lines,
+            "dedupable": pa.array(dedupable),
+            "k": pa.array(keys,
+                          pa.string() if use_md5 else pa.uint64()),
+        })
+        return t
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    dedupable = exploded.filter(expr="dedupable == True")
+    always = exploded.filter(expr="dedupable == False")
+
+    def mark(group: pa.Table) -> pa.Table:
+        d = group[id_col].to_numpy(zero_copy_only=False)
+        li = group["lidx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((li, d))
+        keep = np.zeros(len(d), bool)
+        keep[order[0]] = True
+        return group.select([id_col, "lidx", "line"]).filter(
+            pa.array(keep))
+
+    kept_dedupable = (dedupable.groupby("k")
+                      .map_groups(mark, batch_format="pyarrow"))
+    kept = kept_dedupable.union(
+        always.select_columns([id_col, "lidx", "line"]))
+    # ALL docs must come back — including fully-deduped ones: ship a
+    # sentinel row per doc (lidx = -1, dropped at join time)
+    sentinels = ds.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            "lidx": pa.array(np.full(len(b), -1, np.int64)),
+            "line": pa.array([""] * len(b), pa.string()),
+        }), batch_format="pyarrow")
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        li = group["lidx"].to_numpy(zero_copy_only=False)
+        real = li >= 0
+        lines = group["line"].to_numpy(zero_copy_only=False)[real]
+        order = np.argsort(li[real], kind="stable")
+        return pa.table({
+            id_col: group[id_col].slice(0, 1),
+            text_col: pa.array([sep.join(lines[order])], pa.string()),
+        })
+
+    return (kept.union(sentinels)
+            .groupby(id_col)
+            .map_groups(reassemble, batch_format="pyarrow"))

@@ -410,3 +410,24 @@ def test_job_dedup_semantic(tmp_path, capsys):
     r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r["rows"] == 3
     assert sorted(pq.read_table(out)["vec_id"].to_pylist()) == [0, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_dedup_lines(tmp_path, capsys):
+    import pyarrow as pa
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["shared line\nunique a",
+                          "shared line\nunique b"]),
+    }), str(src))
+    out = str(tmp_path / "lined")
+    assert main(["dedup", "--input", str(src), "--output", out,
+                 "--lines"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["rows"] == 2
+    got = {x["doc_id"]: x["text"]
+           for x in pq.read_table(out).to_pylist()}
+    assert got[0] == "shared line\nunique a"
+    assert got[1] == "unique b"

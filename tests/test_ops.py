@@ -730,3 +730,82 @@ def test_semantic_dedup_no_dups_is_identity(ray_session):
     })
     out = semantic_dedup(rd.from_arrow(tbl), threshold=0.999)
     assert sorted(r["vec_id"] for r in out.take_all()) == list(range(30))
+
+
+def _line_dedup_oracle(df, min_len=1):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(f"""
+        WITH lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS lidx
+          FROM t),
+        marked AS (
+          SELECT doc_id, lidx, line,
+            CASE WHEN length(line) >= {min_len} THEN
+              row_number() OVER (PARTITION BY line
+                                 ORDER BY doc_id, lidx) = 1
+            ELSE TRUE END AS keep
+          FROM lines)
+        SELECT doc_id,
+          coalesce(string_agg(line, chr(10) ORDER BY lidx)
+                   FILTER (WHERE keep), '') AS text
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """).df()
+
+
+def test_line_dedup_matches_duckdb(ray_session):
+    """Corpus-wide first-occurrence line dedup == the SQL window-rank
+    formulation, on a corpus with cross-doc, within-doc, and empty-line
+    cases (md5 keys: the SQL-parity twin)."""
+    from parquet2_ray.stages.dedup import line_dedup
+
+    docs = {
+        0: "alpha\nbeta\nalpha\n\ngamma",
+        1: "beta\ndelta\n\nalpha",
+        2: "",
+        3: "delta\ndelta\nepsilon",
+        4: "gamma",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (line_dedup(rd.from_pandas(df).repartition(3), hasher="md5")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _line_dedup_oracle(df)
+    pd.testing.assert_frame_equal(got, want)
+    # every doc survives, even fully-deduped ones
+    assert len(got) == len(docs)
+
+
+def test_line_dedup_fast_matches_md5(ray_session):
+    from parquet2_ray.stages.dedup import line_dedup
+
+    rng = np.random.default_rng(12)
+    lines = [f"line number {i}" for i in range(40)]
+    docs = ["\n".join(rng.choice(lines, size=rng.integers(1, 15)))
+            for _ in range(120)]
+    df = pd.DataFrame({"doc_id": range(120), "text": docs})
+    a = (line_dedup(rd.from_pandas(df), hasher="fast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (line_dedup(rd.from_pandas(df), hasher="md5")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    want = _line_dedup_oracle(df)
+    pd.testing.assert_frame_equal(a, want)
+
+
+def test_line_dedup_min_len_keeps_short_lines(ray_session):
+    from parquet2_ray.stages.dedup import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["ok\nX\nlong duplicate line",
+                 "X\nlong duplicate line\nok"],
+    })
+    got = (line_dedup(rd.from_pandas(df), min_len=3, hasher="md5")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _line_dedup_oracle(df, min_len=3)
+    pd.testing.assert_frame_equal(got, want)
+    # short lines ('ok', 'X') survive everywhere
+    assert got.loc[1, "text"].split("\n") == ["X", "ok"]
