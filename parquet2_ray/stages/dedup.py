@@ -693,21 +693,43 @@ def line_dedup(
         })
         return t
 
+    from ..functions.hashing import column_hashes, shard_of
+
+    nshards = 256
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     dedupable = exploded.filter(expr="dedupable == True")
     always = exploded.filter(expr="dedupable == False")
 
-    def mark(group: pa.Table) -> pa.Table:
+    # SHARD-grouped keeper election (per-line map_groups would be
+    # Python-call-bound at millions of distinct lines — bucket_pairs
+    # rule): one groupby on hash(key)%nshards, then a vectorized
+    # lexsort + run-first inside the shard
+    def add_kshard(b: pa.Table) -> pa.Table:
+        k = b["k"]
+        h = (column_hashes(k.combine_chunks()) if use_md5
+             else k.to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "_shard", pa.array(shard_of(h, nshards)))
+
+    def mark_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.select([id_col, "lidx", "line"])
+        k = group["k"].to_numpy(zero_copy_only=False)
         d = group[id_col].to_numpy(zero_copy_only=False)
         li = group["lidx"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((li, d))
-        keep = np.zeros(len(d), bool)
-        keep[order[0]] = True
-        return group.select([id_col, "lidx", "line"]).filter(
-            pa.array(keep))
+        order = np.lexsort((li, d, k))
+        ks = k[order]
+        first = np.empty(ks.size, bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        keep_idx = order[first]
+        return group.select([id_col, "lidx", "line"]).take(
+            pa.array(np.sort(keep_idx)))
 
-    kept_dedupable = (dedupable.groupby("k")
-                      .map_groups(mark, batch_format="pyarrow"))
+    kept_dedupable = (dedupable.map_batches(add_kshard,
+                                            batch_format="pyarrow")
+                      .groupby("_shard")
+                      .map_groups(mark_shard, batch_format="pyarrow"))
     kept = kept_dedupable.union(
         always.select_columns([id_col, "lidx", "line"]))
     # ALL docs must come back — including fully-deduped ones: ship a
@@ -719,16 +741,37 @@ def line_dedup(
             "line": pa.array([""] * len(b), pa.string()),
         }), batch_format="pyarrow")
 
-    def reassemble(group: pa.Table) -> pa.Table:
+    # shard-grouped reassembly, same rationale: all docs of a shard
+    # rebuild in one task, lexsort + per-run join
+    def add_dshard(b: pa.Table) -> pa.Table:
+        h = column_hashes(b[id_col].combine_chunks())
+        return b.append_column(
+            "_shard", pa.array(shard_of(h, nshards)))
+
+    def reassemble_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                id_col: group[id_col],
+                text_col: pa.array([], pa.string())})
+        d = group[id_col].to_numpy(zero_copy_only=False)
         li = group["lidx"].to_numpy(zero_copy_only=False)
-        real = li >= 0
-        lines = group["line"].to_numpy(zero_copy_only=False)[real]
-        order = np.argsort(li[real], kind="stable")
+        lines = group["line"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((li, d))
+        d, li, lines = d[order], li[order], lines[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(d[1:] != d[:-1]) + 1, [d.size]])
+        out_d, out_t = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            out_d.append(d[s])
+            real = lines[s:e][li[s:e] >= 0]
+            out_t.append(sep.join(real))
+        doc_type = group.schema.field(id_col).type
         return pa.table({
-            id_col: group[id_col].slice(0, 1),
-            text_col: pa.array([sep.join(lines[order])], pa.string()),
+            id_col: pa.array(out_d, doc_type),
+            text_col: pa.array(out_t, pa.string()),
         })
 
     return (kept.union(sentinels)
-            .groupby(id_col)
-            .map_groups(reassemble, batch_format="pyarrow"))
+            .map_batches(add_dshard, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(reassemble_shard, batch_format="pyarrow"))
