@@ -13,6 +13,10 @@ Each ``queries()`` entry maps to operators in SURVEY.md §2:
 - q_pack_sequences       sequence packing into fixed-len rows (P23)
 - q_lookup_rows          bloom+page-index+projection point lookup (P25)
 - q_text_search          persisted inverted index → pruned fetch (P67)
+                         + BM25 scores vs literal SQL arithmetic (P73, r5)
+- q_update_rows          P63 UPDATE ... WHERE vs a CASE projection (r5)
+- q_parquet_interop      container→parquet round trip + foreign
+                         page-index pruned read (P78, r5)
 - q_agg_view             materialized-view lifecycle incl. CDC refresh (P70)
 - q_dedup_exact          exact dedup (hash-groupby, training-data op)
 - q_text_metrics/q_text_quality/q_lang_id  text analysis ops
